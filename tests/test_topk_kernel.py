@@ -1,0 +1,134 @@
+"""Unit tests for the fused matmul+top-k kernel vs the XLA reference.
+
+Strategy per SURVEY.md §7.4: Pallas kernel (interpreter mode on CPU)
+against jax.lax.top_k over the materialized score matrix, including tie
+and padding edge cases.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.ops import (
+    matmul_topk,
+    matmul_topk_reference,
+    quantize_int8,
+)
+
+
+def _make(rng, b, n, d):
+    q = rng.standard_normal((b, d), dtype=np.float32)
+    c = rng.standard_normal((n, d), dtype=np.float32)
+    return jnp.asarray(q), jnp.asarray(c)
+
+
+@pytest.mark.parametrize("mode", ["fast", "exact"])
+@pytest.mark.parametrize("b,n,d,k", [(8, 512, 128, 10), (16, 1024, 256, 4)])
+def test_matches_reference_indices(rng, b, n, d, k, mode):
+    q, c = _make(rng, b, n, d)
+    # Compare in bf16 on both sides so rounding is identical.
+    qb, cb = q.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+    s, i = matmul_topk(qb, cb, k, tile_n=256, mode=mode)
+    s_ref, i_ref = matmul_topk_reference(qb, cb, k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
+
+
+def test_single_tile(rng):
+    q, c = _make(rng, 8, 256, 128)
+    s, i = matmul_topk(q, c, 10, tile_n=256)
+    s_ref, i_ref = matmul_topk_reference(
+        q.astype(jnp.bfloat16), c.astype(jnp.bfloat16), 10
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_padding_mask(rng):
+    """Rows beyond valid_n (zero padding) must never be returned."""
+    b, n, d, valid = 8, 512, 128, 300
+    q = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    c_np = np.zeros((n, d), dtype=np.float32)
+    c_np[:valid] = rng.standard_normal((valid, d))
+    # Make padded rows attractive if unmasked:
+    c_np[valid:] = 100.0
+    c = jnp.asarray(c_np)
+    s, i = matmul_topk(q, c, 10, tile_n=256, valid_n=valid)
+    assert np.asarray(i).max() < valid
+    s_ref, i_ref = matmul_topk_reference(
+        q.astype(jnp.bfloat16), c.astype(jnp.bfloat16), 10, valid_n=valid
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("mode", ["fast", "exact"])
+@pytest.mark.parametrize("tile_n", [128, 256])
+def test_ties_resolve_to_lowest_index(rng, mode, tile_n):
+    """Duplicate corpus rows: lowest index wins, same as lax.top_k.
+
+    tile_n=256 puts duplicates 128 columns apart in the same lane bucket,
+    exercising the second-max restoration path of the fast kernel."""
+    d = 128
+    row = rng.standard_normal((1, d), dtype=np.float32)
+    c_np = np.tile(row, (256, 1)).astype(np.float32)
+    q = jnp.asarray(row.copy())
+    c = jnp.asarray(c_np)
+    s, i = matmul_topk(q, c, 5, tile_n=tile_n, mode=mode)
+    np.testing.assert_array_equal(np.asarray(i)[0], np.arange(5))
+
+
+def test_scores_sorted_descending(rng):
+    q, c = _make(rng, 8, 512, 128)
+    s, _ = matmul_topk(q, c, 10, tile_n=256)
+    s = np.asarray(s)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_int8_path_recall(rng):
+    """int8-compressed corpus must hold recall@10 >= 0.9 vs fp32 brute force
+    on random data (BASELINE config 3 gate is recall parity at 1M scale;
+    this is the small smoke version)."""
+    b, n, d, k = 16, 2048, 256, 10
+    q, c = _make(rng, b, n, d)
+    # L2-normalize like real embeddings.
+    c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    cq, cs = quantize_int8(c)
+    s, i = matmul_topk(q, cq, k, corpus_scales=cs, tile_n=512)
+    _, i_ref = matmul_topk_reference(q, c, k)
+    i, i_ref = np.asarray(i), np.asarray(i_ref)
+    recall = np.mean(
+        [
+            len(set(i[r]) & set(i_ref[r])) / k
+            for r in range(b)
+        ]
+    )
+    assert recall >= 0.9, f"int8 recall@10 too low: {recall}"
+
+
+def test_int8_requires_scales(rng):
+    q, c = _make(rng, 4, 256, 128)
+    cq, _ = quantize_int8(c)
+    with pytest.raises(ValueError):
+        matmul_topk(q, cq, 5, tile_n=256)
+
+
+def test_misaligned_corpus_auto_pads(rng):
+    """N not a multiple of tile_n: the wrapper pads and masks internally."""
+    q, c = _make(rng, 4, 300, 128)
+    s, i = matmul_topk(q, c, 5, tile_n=256)
+    _, i_ref = matmul_topk_reference(
+        q.astype(jnp.bfloat16), c.astype(jnp.bfloat16), 5
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    assert np.asarray(i).max() < 300
+
+
+def test_odd_batch_auto_pads(rng):
+    """B not a sublane multiple: padded internally, outputs sliced back."""
+    q, c = _make(rng, 5, 512, 128)
+    s, i = matmul_topk(q, c, 7, tile_n=256)
+    assert s.shape == (5, 7) and i.shape == (5, 7)
+    _, i_ref = matmul_topk_reference(
+        q.astype(jnp.bfloat16), c.astype(jnp.bfloat16), 7
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))

@@ -1,0 +1,87 @@
+"""int8 symmetric quantization kernels (per-row scales).
+
+Capability of the reference's bitsandbytes usage — nf4/int8 weight quant
+(reference src/models/trainer.py:470-487) and 8-bit optimizer states
+(PagedAdamW8bit / PagedLion8bit in reference scripts/train.sh) — rebuilt as
+first-class Pallas TPU kernels.  Used by:
+
+- the retrieval engine for vector compression (BASELINE config 3),
+- ``train.optim`` for 8-bit optimizer-state pytrees.
+
+Per-row symmetric scheme: ``x ≈ q * scale`` with ``scale = max|row| / 127``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _should_interpret(interpret: bool | None) -> bool:
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
+def _quant_kernel(x_ref, q_ref, scale_ref):
+    x = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (rows, 1)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    scale_ref[:] = scale
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def _quantize_int8(x, *, tile_rows, interpret):
+    n, d = x.shape
+    grid = (n // tile_rows,)
+    q, scale = pl.pallas_call(
+        _quant_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_rows, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_rows, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.int8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x)
+    return q, scale
+
+
+def quantize_int8(x, *, tile_rows: int = 256, interpret: bool | None = None):
+    """Quantize (N, D) floats to int8 with per-row scales.
+
+    Returns ``(values (N, D) int8, scales (N,) f32)``.
+    """
+    n, d = x.shape
+    tile_rows = min(tile_rows, n)
+    if n % tile_rows:
+        tile_rows = 1  # fallback for ragged row counts (still correct)
+    q, scale = _quantize_int8(
+        x, tile_rows=tile_rows, interpret=_should_interpret(interpret)
+    )
+    return q, scale.reshape(n)
+
+
+def dequantize_int8(q, scales, dtype=jnp.float32):
+    """Inverse of :func:`quantize_int8` (XLA elementwise; fuses trivially)."""
+    return q.astype(dtype) * scales.reshape(-1, 1).astype(dtype)
+
+
+def quantize_int8_reference(x):
+    """Pure-XLA reference implementation for parity tests."""
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(-1)

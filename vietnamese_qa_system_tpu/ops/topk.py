@@ -1,0 +1,454 @@
+"""Fused tiled matmul + streaming top-k Pallas kernel — the north-star op.
+
+This replaces the capability the reference gets from faiss inside txtai
+(`embeddings.search`, reference inference_pipeline/db_utils/heavy_ranker.py:
+91-101): brute-force inner-product top-k over a passage-embedding matrix.
+
+TPU-first design
+----------------
+The corpus ``(N, D)`` stays HBM-resident.  The kernel runs a 1-D grid over
+corpus tiles of ``(tile_n, D)``; Pallas's pipeline machinery double-buffers
+the HBM→VMEM tile DMA against compute, so the scan streams at HBM bandwidth.
+Per tile:
+
+1. MXU: ``scores = Q @ tile.T`` with fp32 (or int32 for int8 inputs)
+   accumulation.
+2. VPU (bucketed selection, ``mode="fast"`` default): the ``(B, tile_n)``
+   score block is viewed as ``tile_n/128`` aligned 128-lane slices.  An
+   elementwise scan keeps the per-lane-bucket two largest scores and their
+   slice ids — pure (8,128)-register VPU ops, no cross-lane reductions.
+3. A k-round extraction over the concatenated ``[running best (B,128) |
+   bucket maxima (B,128)]`` picks the batch top-k, restoring a winning
+   bucket with its second maximum.  The running best lives in VMEM scratch,
+   which persists across grid steps (TPU grids run sequentially per core).
+   Scores are never materialized to HBM.
+
+Tie-breaking matches ``jax.lax.top_k``: equal scores resolve to the lowest
+global index (ties are broken on the true index, not the lane).
+
+Exactness: ``mode="fast"`` is exact unless **three or more** of the running
+top-k fall into the same 128-stride lane bucket within a single corpus tile
+(probability ~1e-10 per query for random corpora at 1M scale; only
+adversarially constructed corpora — e.g. >=3 identical passages placed
+exactly 128*j columns apart inside one tile — can trigger it, and then the
+result still has recall parity since such passages are duplicates).
+``mode="exact"`` runs a fully exact (but ~10x slower) k-round selection over
+the whole tile and is used as the in-repo oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+LANES = 128
+_BIG_I32 = 2**30  # sentinel larger than any global index
+
+
+def _should_interpret(interpret: bool | None) -> bool:
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fast bucketed selection
+# ---------------------------------------------------------------------------
+
+
+def _scan_buckets(scores, n_slices: int, base: int, lane):
+    """Elementwise scan over 128-lane slices of `scores` (B, n_slices*128).
+
+    Returns per-lane-bucket (max1, gidx1, max2, gidx2), each (B, 128).
+    Bucket for lane l = columns {l, l+128, l+2*128, ...} of the tile.
+    Strict `>` keeps the lowest slice id on ties (lowest global index).
+    """
+    m1 = scores[:, :LANES]
+    i1 = jnp.zeros_like(lane)
+    m2 = jnp.full_like(m1, NEG_INF)
+    i2 = jnp.zeros_like(lane)
+    for c in range(1, n_slices):
+        v = scores[:, c * LANES : (c + 1) * LANES]
+        gt1 = v > m1
+        gt2 = v > m2
+        m2 = jnp.where(gt1, m1, jnp.where(gt2, v, m2))
+        i2 = jnp.where(gt1, i1, jnp.where(gt2, c, i2))
+        m1 = jnp.where(gt1, v, m1)
+        i1 = jnp.where(gt1, c, i1)
+    g1 = base + i1 * LANES + lane
+    g2 = base + i2 * LANES + lane
+    return m1, g1, m2, g2
+
+
+def _extract_rounds(best_v, best_i, m1, g1, m2, g2, k: int, col):
+    """k rounds of (max, locate-by-global-index, restore-second).
+
+    best_v/best_i: running (B, 128) top list (lanes >= k are -inf / -1).
+    Returns new (B, 128) best_v/best_i with the top-k in lanes [0, k).
+    """
+    cand_v = jnp.concatenate([best_v, m1], axis=1)  # (B, 256)
+    cand_i = jnp.concatenate([best_i, g1], axis=1)
+    sec_v = jnp.concatenate([jnp.full_like(best_v, NEG_INF), m2], axis=1)
+    sec_i = jnp.concatenate([jnp.full_like(best_i, -1), g2], axis=1)
+    acc_v = jnp.full_like(best_v, NEG_INF)
+    acc_i = jnp.full_like(best_i, -1)
+    for r in range(k):
+        m = jnp.max(cand_v, axis=1, keepdims=True)  # (B, 1)
+        hit = cand_v == m
+        pos = jnp.min(
+            jnp.where(hit, cand_i, _BIG_I32), axis=1, keepdims=True
+        )  # lowest global index among ties
+        chosen = hit & (cand_i == pos)
+        acc_v = jnp.where(col == r, m, acc_v)
+        acc_i = jnp.where(col == r, pos, acc_i)
+        cand_v = jnp.where(chosen, sec_v, cand_v)
+        cand_i = jnp.where(chosen, sec_i, cand_i)
+        sec_v = jnp.where(chosen, NEG_INF, sec_v)
+    return acc_v, acc_i
+
+
+def _merge_tile(scores, t, best_v_ref, best_i_ref, *, k, tile_n, valid_n):
+    """Shared per-tile body: mask padding, bucket-scan, k-round extraction."""
+    b = scores.shape[0]
+    n_slices = tile_n // LANES
+    base = t * tile_n
+
+    col_tile = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    scores = jnp.where(col_tile + base < valid_n, scores, NEG_INF)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+    m1, g1, m2, g2 = _scan_buckets(scores, n_slices, base, lane)
+    new_v, new_i = _extract_rounds(
+        best_v_ref[:], best_i_ref[:], m1, g1, m2, g2, k, lane
+    )
+    best_v_ref[:] = new_v
+    best_i_ref[:] = new_i
+
+
+def _init_best(t, best_v_ref, best_i_ref):
+    @pl.when(t == 0)
+    def _():
+        best_v_ref[:] = jnp.full(best_v_ref.shape, NEG_INF, best_v_ref.dtype)
+        best_i_ref[:] = jnp.full(best_i_ref.shape, -1, best_i_ref.dtype)
+
+
+def _emit(t, out_s_ref, out_i_ref, best_v_ref, best_i_ref):
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        out_s_ref[:] = best_v_ref[:]
+        out_i_ref[:] = best_i_ref[:]
+
+
+def _fast_kernel_bf16(
+    q_ref, c_ref, out_s_ref, out_i_ref, best_v, best_i, *, k, tile_n, valid_n
+):
+    t = pl.program_id(0)
+    _init_best(t, best_v, best_i)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _merge_tile(scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n)
+    _emit(t, out_s_ref, out_i_ref, best_v, best_i)
+
+
+def _fast_kernel_int8(
+    q_ref,
+    qscale_ref,
+    c_ref,
+    cscale_ref,
+    out_s_ref,
+    out_i_ref,
+    best_v,
+    best_i,
+    *,
+    k,
+    tile_n,
+    valid_n,
+):
+    """int8×int8 MXU matmul with int32 accumulation, then per-row (query)
+    and per-column (vector) scale application.  Vector-compression capability
+    of the reference's bitsandbytes int8 path (reference
+    src/models/trainer.py:470-487) applied to the index (BASELINE config 3).
+    """
+    t = pl.program_id(0)
+    _init_best(t, best_v, best_i)
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) * qscale_ref[:] * cscale_ref[:]
+    _merge_tile(scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n)
+    _emit(t, out_s_ref, out_i_ref, best_v, best_i)
+
+
+# ---------------------------------------------------------------------------
+# Fully exact (oracle) selection: k rounds over the whole tile
+# ---------------------------------------------------------------------------
+
+
+def _select_topk(scores, col, k: int, indices=None, *, sentinel: int):
+    """Exact top-k of `scores` (B, M) via k rounds of (max, locate, mask).
+    Ties resolve to the smallest column position."""
+    if indices is None:
+        indices = col
+    out_s, out_i = [], []
+    cand = scores
+    for _ in range(k):
+        m = jnp.max(cand, axis=1, keepdims=True)
+        hit = cand == m
+        key = jnp.where(hit, col, sentinel)
+        pos = jnp.min(key, axis=1, keepdims=True)
+        chosen = col == pos
+        sel = jnp.sum(jnp.where(chosen, indices, 0), axis=1, keepdims=True)
+        out_s.append(m)
+        out_i.append(sel)
+        cand = jnp.where(chosen, NEG_INF, cand)
+    return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
+
+
+def _exact_kernel_bf16(
+    q_ref, c_ref, out_s_ref, out_i_ref, best_s, best_i, *, k, tile_n, valid_n
+):
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        best_s[:] = jnp.full(best_s.shape, NEG_INF, best_s.dtype)
+        best_i[:] = jnp.full(best_i.shape, -1, best_i.dtype)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    base = t * tile_n
+    scores = jnp.where(col + base < valid_n, scores, NEG_INF)
+
+    tile_s, tile_pos = _select_topk(scores, col, k, sentinel=tile_n)
+    tile_i = tile_pos + base
+
+    cs = jnp.concatenate([best_s[:], tile_s], axis=1)  # (B, 2k)
+    ci = jnp.concatenate([best_i[:], tile_i], axis=1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * k), 1)
+    new_s, new_i = _select_topk(cs, col2, k, indices=ci, sentinel=2 * k)
+    best_s[:] = new_s
+    best_i[:] = new_i
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _emit_exact():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = best_i[:]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "valid_n", "interpret", "mode")
+)
+def _matmul_topk_bf16(queries, corpus, *, k, tile_n, valid_n, interpret, mode):
+    b, d = queries.shape
+    n = corpus.shape[0]
+    grid = (n // tile_n,)
+    if mode == "fast":
+        kernel = functools.partial(
+            _fast_kernel_bf16, k=k, tile_n=tile_n, valid_n=valid_n
+        )
+        out_k = LANES
+        scratch = [
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(
+            _exact_kernel_bf16, k=k, tile_n=tile_n, valid_n=valid_n
+        )
+        out_k = k
+        scratch = [
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ]
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, out_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, out_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, out_k), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_k), jnp.int32),
+        ),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d * corpus.dtype.itemsize + b * d * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus)
+    return out_s[:, :k], out_i[:, :k]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "valid_n", "interpret")
+)
+def _matmul_topk_int8(
+    queries, qscales, corpus, cscales, *, k, tile_n, valid_n, interpret
+):
+    b, d = queries.shape
+    n = corpus.shape[0]
+    grid = (n // tile_n,)
+    kernel = functools.partial(
+        _fast_kernel_int8, k=k, tile_n=tile_n, valid_n=valid_n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d + b * d + 4 * (n + b),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, qscales, corpus, cscales)
+    return out_s[:, :k], out_i[:, :k]
+
+
+def matmul_topk(
+    queries,
+    corpus,
+    k: int = 10,
+    *,
+    corpus_scales=None,
+    tile_n: int = 2048,
+    valid_n: int | None = None,
+    mode: str = "fast",
+    interpret: bool | None = None,
+):
+    """Top-k inner products of `queries` (B, D) against `corpus` (N, D).
+
+    Returns ``(scores (B, k) f32, indices (B, k) i32)`` sorted descending,
+    ties broken toward the lowest index (matching ``jax.lax.top_k``).
+
+    - bf16/f32 corpus: fused bf16 MXU path (inputs cast to bf16).
+    - int8 corpus (+ ``corpus_scales`` (N,) f32): queries are symmetrically
+      quantized per-row on the fly; the matmul runs int8×int8→int32.
+    - ``mode="fast"`` (default): bucketed selection — see module docstring
+      for the exactness guarantee.  ``mode="exact"``: fully exact oracle.
+
+    ``valid_n`` masks trailing padding rows.  The corpus is padded to a
+    multiple of ``tile_n`` if needed (a copy — pre-align large stores via
+    ``engine.store``).  Queries are padded to the sublane multiple.  Requires
+    ``k <= 128`` (fast mode) and at least k valid rows.
+    """
+    if mode not in ("fast", "exact"):
+        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+    if mode == "fast" and k > LANES:
+        raise ValueError(f"fast mode requires k <= {LANES}, got {k}")
+    b, d = queries.shape
+    n = corpus.shape[0]
+    if valid_n is None:
+        valid_n = n
+    if valid_n < k:
+        raise ValueError(f"need at least k={k} valid rows, got {valid_n}")
+    is_int8 = corpus.dtype == jnp.int8
+    if is_int8 and corpus_scales is None:
+        raise ValueError("int8 corpus requires corpus_scales")
+
+    tile_n = max(LANES, min(tile_n, _round_up(n, LANES)))
+    if tile_n % LANES:
+        raise ValueError(f"tile_n must be a multiple of {LANES}")
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+        if corpus_scales is not None:
+            corpus_scales = jnp.pad(corpus_scales, (0, n_pad - n))
+
+    b_mult = 32 if is_int8 else 16
+    b_pad = _round_up(b, b_mult)
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+
+    interp = _should_interpret(interpret)
+
+    if is_int8:
+        qf = queries.astype(jnp.float32)
+        qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+        qscale = jnp.maximum(qmax, 1e-12) / 127.0
+        q_i8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+        cscales = corpus_scales.astype(jnp.float32).reshape(1, n_pad)
+        s, i = _matmul_topk_int8(
+            q_i8,
+            qscale,
+            corpus,
+            cscales,
+            k=k,
+            tile_n=tile_n,
+            valid_n=valid_n,
+            interpret=interp,
+        )
+    else:
+        q = queries.astype(jnp.bfloat16)
+        c = corpus if corpus.dtype == jnp.bfloat16 else corpus.astype(jnp.bfloat16)
+        s, i = _matmul_topk_bf16(
+            q, c, k=k, tile_n=tile_n, valid_n=valid_n, interpret=interp, mode=mode
+        )
+    return s[:b], i[:b]
+
+
+def matmul_topk_reference(queries, corpus, k: int = 10, *, valid_n=None):
+    """Pure-XLA reference: materializes the full (B, N) score matrix.
+
+    Used for parity tests and as the recall-gate oracle (BASELINE config 1).
+    """
+    scores = jnp.dot(
+        queries.astype(jnp.float32),
+        corpus.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    if valid_n is not None and valid_n < corpus.shape[0]:
+        col = jnp.arange(corpus.shape[0])[None, :]
+        scores = jnp.where(col < valid_n, scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
