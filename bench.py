@@ -1,0 +1,92 @@
+"""Headline benchmark: retrieval QPS/chip at recall@10 parity on 1M passages.
+
+BASELINE.md north star: the fused Pallas matmul+top-k engine vs the CPU
+brute-force flat fp32 baseline (the reference's retrieval path is a
+CPU-side faiss/txtai top-1 loop, inference_pipeline/db_utils/heavy_ranker.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement notes (axon tunnel): data is generated on-device, completion is
+forced by fetching the small top-k outputs; the CPU baseline is measured on
+a 100k slice and scaled linearly to 1M (brute force is O(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vietnamese_qa_system_tpu.ops import matmul_topk
+
+    B, D, K = 256, 768, 10
+    N = 1024 * 1024
+    TILE = 2048
+
+    kq, kc = jax.random.split(jax.random.key(0))
+    q = jax.random.normal(kq, (B, D), jnp.bfloat16)
+    corpus = jax.random.normal(kc, (N, D), jnp.bfloat16)
+    np.asarray(jnp.sum(corpus[::4096, 0]))  # materialize
+
+    # --- TPU fused engine ---------------------------------------------------
+    def run():
+        return matmul_topk(q, corpus, K, tile_n=TILE)
+
+    np.asarray(run()[0])  # compile + settle
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    np.asarray(out[0])
+    np.asarray(out[1])
+    tpu_dt = (time.perf_counter() - t0) / reps
+    tpu_qps = B / tpu_dt
+
+    # --- recall gate vs on-device exact oracle (64 queries) -----------------
+    # (mode="exact" is the fully exact selection path; XLA's lax.top_k sort
+    # at (64, 1M) takes minutes to compile, so it is not used here)
+    s, ids = matmul_topk(q[:64], corpus, K, tile_n=TILE)
+    _, ref_ids = matmul_topk(q[:64], corpus, K, tile_n=TILE, mode="exact")
+    ids, ref_ids = np.asarray(ids), np.asarray(ref_ids)
+    recall = float(
+        np.mean([len(set(ids[r]) & set(ref_ids[r])) / K for r in range(64)])
+    )
+
+    # --- CPU brute-force fp32 baseline (100k slice, scaled to 1M) -----------
+    rng = np.random.default_rng(0)
+    n_cpu = 102_400
+    c_np = rng.standard_normal((n_cpu, D)).astype(np.float32)
+    q_np = rng.standard_normal((B, D)).astype(np.float32)
+
+    def cpu_run():
+        scores = q_np @ c_np.T
+        idx = np.argpartition(scores, -K, axis=1)[:, -K:]
+        part = np.take_along_axis(scores, idx, axis=1)
+        order = np.argsort(-part, axis=1)
+        return np.take_along_axis(idx, order, axis=1)
+
+    cpu_run()  # warm
+    t0 = time.perf_counter()
+    cpu_reps = 3
+    for _ in range(cpu_reps):
+        cpu_run()
+    cpu_dt = (time.perf_counter() - t0) / cpu_reps * (N / n_cpu)  # scale O(N)
+    cpu_qps = B / cpu_dt
+
+    result = {
+        "metric": "retrieval_qps_1M_768d_top10_recall%.3f" % recall,
+        "value": round(tpu_qps, 1),
+        "unit": "QPS/chip",
+        "vs_baseline": round(tpu_qps / cpu_qps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Retrieval-engine tests: sharded store vs brute-force oracle on the
+8-device CPU mesh (SURVEY §7.4 mesh-testing strategy), doc store CRUD,
+chunking, and the end-to-end ingest→query slice (BASELINE config 1 smoke).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.core.mesh import SHARD_AXIS, create_mesh
+from vietnamese_qa_system_tpu.engine import (
+    DocStore,
+    IngestPipeline,
+    Retriever,
+    VectorStore,
+    chunk_text,
+    dual_agreement,
+)
+from vietnamese_qa_system_tpu.engine.query import SearchResult
+from vietnamese_qa_system_tpu.data.tokenizer import ByteTokenizer
+from vietnamese_qa_system_tpu.models import encoder, tiny_test
+
+
+def _recall(ids, ref_ids):
+    k = ids.shape[1]
+    return np.mean(
+        [len(set(ids[r]) & set(ref_ids[r])) / k for r in range(len(ids))]
+    )
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+def test_store_topk_matches_bruteforce(rng, n_shards, dtype):
+    mesh = create_mesh({SHARD_AXIS: n_shards}, devices=jax.devices()[:n_shards])
+    store = VectorStore(2048, 128, mesh=mesh, dtype=dtype, tile_n=256)
+    vecs = rng.standard_normal((1000, 128)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store.add(vecs)
+    assert store.size == 1000
+
+    q = rng.standard_normal((16, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    scores, ids = store.topk(q, 10)
+    # oracle over the same precision the store holds (bf16-rounded)
+    vb = jnp.asarray(vecs).astype(jnp.bfloat16).astype(jnp.float32)
+    qb = jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+    ref = np.asarray(jax.lax.top_k(qb @ vb.T, 10)[1])
+    rec = _recall(np.asarray(ids), ref)
+    if dtype == "bf16":
+        assert rec >= 0.99, f"bf16 sharded recall {rec}"
+    else:
+        assert rec >= 0.9, f"int8 sharded recall {rec}"
+
+
+def test_store_streaming_adds_arbitrary_sizes(rng):
+    """Partial (non-multiple-of-S) adds must stay exact via tail rewrite."""
+    mesh = create_mesh({SHARD_AXIS: 4}, devices=jax.devices()[:4])
+    store = VectorStore(1024, 64, mesh=mesh, tile_n=128)
+    all_vecs = rng.standard_normal((150, 64)).astype(np.float32)
+    sizes = [3, 50, 1, 96]  # deliberately misaligned with S=4
+    off = 0
+    for sz in sizes:
+        got = store.add(all_vecs[off : off + sz])
+        np.testing.assert_array_equal(got, np.arange(off, off + sz))
+        off += sz
+    assert store.size == 150
+
+    q = all_vecs[:8]  # querying with stored vectors: top-1 must be itself
+    scores, ids = store.topk(q, 5)
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(8))
+
+
+def test_store_capacity_guard(rng):
+    store = VectorStore(256, 32, tile_n=128)
+    with pytest.raises(ValueError):
+        store.add(rng.standard_normal((store.capacity + 1, 32)))
+
+
+def test_store_size_lt_k_guard(rng):
+    store = VectorStore(256, 32, tile_n=128)
+    store.add(rng.standard_normal((5, 32)))
+    with pytest.raises(ValueError):
+        store.topk(rng.standard_normal((2, 32)), 10)
+
+
+def test_store_save_load_roundtrip(rng, tmp_path):
+    mesh = create_mesh({SHARD_AXIS: 2}, devices=jax.devices()[:2])
+    store = VectorStore(512, 64, mesh=mesh, tile_n=128)
+    vecs = rng.standard_normal((100, 64)).astype(np.float32)
+    store.add(vecs)
+    path = os.path.join(tmp_path, "index")
+    store.save(path)
+    loaded = VectorStore.load(path, mesh=mesh)
+    assert loaded.size == 100
+    q = vecs[:4]
+    _, ids1 = store.topk(q, 5)
+    _, ids2 = loaded.topk(q, 5)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+
+
+def test_docstore_crud(tmp_path):
+    with DocStore(os.path.join(tmp_path, "docs.db")) as ds:
+        ds.insert([0, 1, 2], ["tài liệu một", "doc two", "ba"], ["wiki", None, "x"])
+        assert ds.count() == 3
+        assert ds.get([1]) == ["doc two"]
+        assert ds.get([99]) == [None]
+        rows = ds.fetch(limit=2)
+        assert rows[0][1] == "tài liệu một"
+        ds.drop()
+        assert ds.count() == 0
+
+
+def test_chunking_bounds_and_coverage():
+    text = ("Câu một. " * 40 + "\n\n") * 5  # ~1.8k chars
+    chunks = chunk_text(text, chunk_size=200, overlap=0.1)
+    assert all(len(c) <= 200 for c in chunks)
+    assert sum(len(c) for c in chunks) >= len(text.replace("\n", "").strip()) * 0.9
+    # content preserved in order
+    joined = "".join(chunks)
+    assert "Câu một" in joined
+
+
+def test_chunking_short_text_single_chunk():
+    assert chunk_text("ngắn", chunk_size=100) == ["ngắn"]
+
+
+def test_e2e_ingest_query_recall(rng):
+    """Minimum end-to-end slice (SURVEY §7.2): encoder embeds passages →
+    store → query with the same encoder → recall@1 of self-retrieval."""
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    mesh = create_mesh({SHARD_AXIS: 2}, devices=jax.devices()[:2])
+    store = VectorStore(1024, cfg.d_model, mesh=mesh, tile_n=128)
+    docstore = DocStore()
+    pipe = IngestPipeline(
+        params, cfg, tok, store, docstore, batch_size=16, max_len=32
+    )
+    passages = [f"đoạn văn số {i} nói về chủ đề {i % 7}" for i in range(40)]
+    ids = pipe.add_texts(passages)
+    assert store.size == 40 and docstore.count() == 40
+
+    retr = Retriever(params, cfg, tok, store, docstore, max_len=32, query_batch=16)
+    results = retr.search(passages[:10], k=3)
+    # self-retrieval: identical text must be the top hit with its own doc
+    for i, row in enumerate(results):
+        assert row[0].id == i
+        assert row[0].doc == passages[i]
+    # scores are cosine (unit vectors): top-1 ~ 1.0
+    assert results[0][0].score > 0.99
+
+
+def test_dual_agreement_threshold():
+    a = [[SearchResult(1, 0.3, "d")], [SearchResult(2, 0.1)]]
+    b = [[SearchResult(1, 0.2, "d")], [SearchResult(3, 0.9)]]
+    out = dual_agreement(a, b, threshold=0.4)
+    assert out[0] is not None and out[0].id == 1
+    assert abs(out[0].score - 0.5) < 1e-9
+    assert out[1] is None  # id mismatch
+
+    # same id but sum below threshold -> rejected
+    a2 = [[SearchResult(5, 0.1)]]
+    b2 = [[SearchResult(5, 0.2)]]
+    assert dual_agreement(a2, b2, threshold=0.4) == [None]

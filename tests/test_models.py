@@ -1,0 +1,187 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.models import (
+    LoraConfig,
+    causal_lm,
+    encoder,
+    generate,
+    init_lora,
+    merge_lora,
+    seq2seq,
+    tiny_test,
+)
+from vietnamese_qa_system_tpu.models.causal_lm import IGNORE_INDEX
+
+
+@pytest.fixture(scope="module")
+def causal_setup():
+    cfg = tiny_test("causal")
+    params = causal_lm.init_causal_lm(jax.random.key(0), cfg)
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def enc_setup():
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _batch(cfg, b=2, t=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    return ids, mask
+
+
+def test_causal_forward_shape(causal_setup):
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg)
+    logits = causal_lm.forward(params, cfg, ids, mask)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+
+
+def test_causal_is_causal(causal_setup):
+    """Changing a later token must not affect earlier logits."""
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg)
+    l1 = causal_lm.forward(params, cfg, ids, mask)
+    ids2 = ids.at[:, -1].set((ids[:, -1] + 1) % cfg.vocab_size)
+    l2 = causal_lm.forward(params, cfg, ids2, mask)
+    np.testing.assert_allclose(
+        np.asarray(l1[:, :-1]), np.asarray(l2[:, :-1]), atol=1e-5
+    )
+
+
+def test_loss_ignores_masked_labels(causal_setup):
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg)
+    labels_full = ids
+    batch1 = {"input_ids": ids, "attention_mask": mask, "labels": labels_full}
+    # mask out the first half of the labels: loss must change and the
+    # number of counted tokens must drop accordingly
+    labels_half = jnp.where(
+        jnp.arange(16)[None, :] < 8, IGNORE_INDEX, labels_full
+    )
+    batch2 = {"input_ids": ids, "attention_mask": mask, "labels": labels_half}
+    loss1, n1 = causal_lm.loss_fn(params, cfg, batch1)
+    loss2, n2 = causal_lm.loss_fn(params, cfg, batch2)
+    assert int(n1) == 2 * 15  # labels shift by one
+    assert int(n2) == 2 * 8
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+
+
+def test_encoder_embeddings_unit_norm(enc_setup):
+    cfg, params = enc_setup
+    ids, mask = _batch(cfg, b=3, t=12)
+    emb = encoder.sentence_embed(params, cfg, ids, mask)
+    assert emb.shape == (3, cfg.d_model)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5
+    )
+
+
+def test_encoder_padding_invariance(enc_setup):
+    """Padding tokens must not change the sentence embedding."""
+    cfg, params = enc_setup
+    ids, _ = _batch(cfg, b=2, t=8)
+    mask = jnp.ones((2, 8), jnp.int32)
+    emb1 = encoder.sentence_embed(params, cfg, ids, mask)
+    ids_pad = jnp.pad(ids, ((0, 0), (0, 4)), constant_values=0)
+    mask_pad = jnp.pad(mask, ((0, 0), (0, 4)))
+    emb2 = encoder.sentence_embed(params, cfg, ids_pad, mask_pad)
+    np.testing.assert_allclose(np.asarray(emb1), np.asarray(emb2), atol=1e-4)
+
+
+def test_seq2seq_loss_runs():
+    cfg = tiny_test("seq2seq")
+    params = seq2seq.init_seq2seq(jax.random.key(0), cfg)
+    ids, mask = _batch(cfg, b=2, t=10)
+    labels = jnp.where(jnp.arange(10)[None, :] < 6, ids, IGNORE_INDEX)
+    loss, n = seq2seq.loss_fn(
+        params, cfg, {"input_ids": ids, "attention_mask": mask, "labels": labels}
+    )
+    assert np.isfinite(float(loss))
+    assert int(n) == 12
+
+
+def test_lora_init_is_identity(causal_setup):
+    cfg, params = causal_setup
+    lcfg = LoraConfig(r=4)
+    adapter = init_lora(jax.random.key(1), params, lcfg)
+    merged = merge_lora(params, adapter, lcfg)
+    ids, mask = _batch(cfg)
+    l1 = causal_lm.forward(params, cfg, ids, mask)
+    l2 = causal_lm.forward(merged, cfg, ids, mask)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_lora_changes_output_after_update(causal_setup):
+    cfg, params = causal_setup
+    lcfg = LoraConfig(r=4)
+    adapter = init_lora(jax.random.key(1), params, lcfg)
+    # simulate an update: add noise to B factors
+    adapter = jax.tree.map(lambda x: x + 0.1, adapter)
+    merged = merge_lora(params, adapter, lcfg)
+    ids, mask = _batch(cfg)
+    l1 = causal_lm.forward(params, cfg, ids, mask)
+    l2 = causal_lm.forward(merged, cfg, ids, mask)
+    assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 1e-3
+
+
+def test_lora_targets_only_selected(causal_setup):
+    _, params = causal_setup
+    lcfg = LoraConfig(r=4, targets=("wq",))
+    adapter = init_lora(jax.random.key(1), params, lcfg)
+    leaves = jax.tree.leaves(adapter)
+    cfg = tiny_test("causal")
+    # one (a, b) pair per layer
+    assert len(leaves) == 2 * cfg.n_layers
+
+
+def test_generate_greedy_matches_full_forward(causal_setup):
+    """KV-cache decode must agree with running the full forward each step."""
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=2, t=8, seed=3)
+    out = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=4, temperature=0.0
+    )
+    assert out.shape == (2, 12)
+    # naive reference decode
+    cur = ids
+    for _ in range(4):
+        logits = causal_lm.forward(params, cfg, cur, jnp.ones_like(cur))
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        cur = jnp.concatenate([cur, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(cur))
+
+
+def test_generate_left_padded(causal_setup):
+    """Left-padded prompts produce the same continuations as unpadded."""
+    cfg, params = causal_setup
+    ids, _ = _batch(cfg, b=1, t=6, seed=5)
+    mask = jnp.ones_like(ids)
+    out1 = generate.generate(params, cfg, ids, mask, max_new_tokens=3)
+    ids_pad = jnp.pad(ids, ((0, 0), (4, 0)), constant_values=0)
+    mask_pad = jnp.pad(mask, ((0, 0), (4, 0)))
+    out2 = generate.generate(params, cfg, ids_pad, mask_pad, max_new_tokens=3)
+    np.testing.assert_array_equal(
+        np.asarray(out1[:, 6:]), np.asarray(out2[:, 10:])
+    )
+
+
+def test_generate_eos_stops(causal_setup):
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=1, t=4, seed=7)
+    logits = causal_lm.forward(params, cfg, ids, mask)
+    eos = int(jnp.argmax(logits[0, -1]))  # force first generated token = eos
+    out = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=5, eos_id=eos
+    )
+    gen = np.asarray(out[0, 4:])
+    assert gen[0] == eos
+    assert (gen == eos).all()  # everything after first eos stays eos

@@ -50,8 +50,10 @@ class MeshSpec:
                     f"{n_devices} devices not divisible by fixed axes {axes}"
                 )
             axes[unknown[0]] = n_devices // known
-        elif known != n_devices:
-            raise ValueError(f"mesh {axes} does not cover {n_devices} devices")
+        elif known > n_devices:
+            raise ValueError(
+                f"mesh {axes} needs {known} devices, only {n_devices} available"
+            )
         return axes
 
 
@@ -73,7 +75,8 @@ def create_mesh(
     resolved = spec.resolve(len(devices))
     names = tuple(resolved)
     shape = tuple(resolved[n] for n in names)
-    dev_array = np.asarray(devices).reshape(shape)
+    n_used = math.prod(shape)  # a mesh smaller than the host uses a prefix
+    dev_array = np.asarray(devices[:n_used]).reshape(shape)
     return Mesh(dev_array, names)
 
 

@@ -1,0 +1,15 @@
+from .store import VectorStore
+from .docstore import DocStore
+from .chunking import chunk_text
+from .ingest import IngestPipeline
+from .query import Retriever, SearchResult, dual_agreement
+
+__all__ = [
+    "VectorStore",
+    "DocStore",
+    "chunk_text",
+    "IngestPipeline",
+    "Retriever",
+    "SearchResult",
+    "dual_agreement",
+]

@@ -1,0 +1,92 @@
+"""Batched embed-and-write ingest pipeline.
+
+Replaces the reference's index-build path (sqlite ingestion glue in
+reference inference_pipeline/db_utils/setup_docs_db.py:16-50 + the txtai
+`index(...)` encoder-forward/faiss build in heavy_ranker.py:78-89) with a
+TPU streaming pipeline: texts → host tokenize (fixed shapes) → jitted
+encoder forward (bf16 MXU) → L2-normalized vectors → sharded store write +
+host doc-store insert.  Restartable: the vector shards are the checkpoint
+(``VectorStore.save``), the doc store is durable sqlite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data.tokenizer import batch_encode
+from ..models import encoder as encoder_model
+from .chunking import chunk_text
+from .docstore import DocStore
+from .store import VectorStore
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed(params, cfg, ids, mask):
+    return encoder_model.sentence_embed(params, cfg, ids, mask)
+
+
+class IngestPipeline:
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        store: VectorStore,
+        docstore: Optional[DocStore] = None,
+        *,
+        batch_size: int = 256,
+        max_len: int = 128,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.store = store
+        self.docstore = docstore
+        self.batch_size = batch_size
+        self.max_len = max_len
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Encode texts to (N, D) unit vectors with fixed-shape batches."""
+        out = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i : i + bs])
+            n = len(chunk)
+            chunk += [""] * (bs - n)  # static batch shape
+            ids, mask = batch_encode(self.tok, chunk, self.max_len)
+            emb = _embed(self.params, self.cfg, ids, mask)
+            out.append(np.asarray(emb[:n], np.float32))
+        return np.concatenate(out, axis=0) if out else np.zeros((0, self.store.dim))
+
+    def add_texts(
+        self,
+        texts: Sequence[str],
+        sources: Optional[Sequence[str]] = None,
+    ) -> np.ndarray:
+        """Embed + index + persist docs.  Returns assigned global ids."""
+        vecs = self.embed_texts(texts)
+        ids = self.store.add(vecs)
+        if self.docstore is not None:
+            self.docstore.insert(ids, list(texts), sources)
+        return ids
+
+    def add_documents(
+        self,
+        documents: Sequence[str],
+        sources: Optional[Sequence[str]] = None,
+        *,
+        chunk_size: int = 512,
+        overlap: float = 0.1,
+    ) -> np.ndarray:
+        """Chunk long documents (reference setup_docs_db granularity) then
+        ingest the chunks."""
+        chunks, chunk_sources = [], []
+        for i, doc in enumerate(documents):
+            for c in chunk_text(doc, chunk_size, overlap):
+                chunks.append(c)
+                chunk_sources.append(sources[i] if sources else None)
+        return self.add_texts(chunks, chunk_sources)

@@ -1,0 +1,122 @@
+"""Query path: encode → sharded fused top-k → doc fetch (+ dual-encoder
+agreement).
+
+Replaces the reference's per-query Python loop over two txtai indexes
+(reference inference_pipeline/db_utils/heavy_ranker.py:97-115): queries are
+encoded as a batch on the MXU, scored by the fused kernel over all shards,
+merged over ICI, and only then do ids resolve to text on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data.tokenizer import batch_encode
+from ..models import encoder as encoder_model
+from .docstore import DocStore
+from .store import VectorStore
+
+
+@dataclasses.dataclass
+class SearchResult:
+    id: int
+    score: float
+    doc: Optional[str] = None
+    source: Optional[str] = None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed(params, cfg, ids, mask):
+    return encoder_model.sentence_embed(params, cfg, ids, mask)
+
+
+class Retriever:
+    """One encoder + one vector store + optional doc store."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        store: VectorStore,
+        docstore: Optional[DocStore] = None,
+        *,
+        max_len: int = 128,
+        query_batch: int = 256,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.store = store
+        self.docstore = docstore
+        self.max_len = max_len
+        self.query_batch = query_batch
+
+    def embed_queries(self, texts: Sequence[str]) -> np.ndarray:
+        bs = self.query_batch
+        out = []
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i : i + bs])
+            n = len(chunk)
+            chunk += [""] * (bs - n)
+            ids, mask = batch_encode(self.tok, chunk, self.max_len)
+            emb = _embed(self.params, self.cfg, ids, mask)
+            out.append(np.asarray(emb[:n], np.float32))
+        return np.concatenate(out, axis=0)
+
+    def search(
+        self, queries: Sequence[str], k: int = 10, *, fetch_docs: bool = True
+    ) -> list[list[SearchResult]]:
+        qvecs = self.embed_queries(queries)
+        results: list[list[SearchResult]] = []
+        bs = self.query_batch
+        for i in range(0, len(qvecs), bs):
+            block = qvecs[i : i + bs]
+            n = len(block)
+            if n < bs:
+                block = np.pad(block, ((0, bs - n), (0, 0)))
+            scores, ids = self.store.topk(block, k)
+            scores = np.asarray(scores[:n])
+            ids = np.asarray(ids[:n])
+            for r in range(n):
+                row = [
+                    SearchResult(int(ids[r, j]), float(scores[r, j]))
+                    for j in range(k)
+                ]
+                if fetch_docs and self.docstore is not None:
+                    fetched = self.docstore.get_rows(int(x.id) for x in row)
+                    for res, got in zip(row, fetched):
+                        if got is not None:
+                            res.doc, res.source = got[1], got[2]
+                results.append(row)
+        return results
+
+
+def dual_agreement(
+    results_a: list[list[SearchResult]],
+    results_b: list[list[SearchResult]],
+    threshold: float = 0.4,
+) -> list[Optional[SearchResult]]:
+    """Two-encoder agreement heuristic: accept the top-1 hit when both
+    retrievers agree on the id AND the summed scores clear the threshold.
+
+    Capability of the reference's accept rule
+    (reference inference_pipeline/db_utils/heavy_ranker.py:110-115:
+    same uid AND score1+score2 > 0.4).
+    """
+    out = []
+    for ra, rb in zip(results_a, results_b):
+        top_a, top_b = ra[0], rb[0]
+        if top_a.id == top_b.id and (top_a.score + top_b.score) > threshold:
+            merged = SearchResult(
+                top_a.id, top_a.score + top_b.score, top_a.doc, top_a.source
+            )
+            out.append(merged)
+        else:
+            out.append(None)
+    return out

@@ -1,0 +1,27 @@
+from .config import (
+    ModelConfig,
+    gpt_125m_class,
+    minilm_class,
+    mpnet_class,
+    pythia_410m_class,
+    tiny_test,
+)
+from .lora import LoraConfig, init_lora, merge_lora, count_params
+from . import causal_lm, encoder, seq2seq, generate
+
+__all__ = [
+    "ModelConfig",
+    "tiny_test",
+    "minilm_class",
+    "mpnet_class",
+    "gpt_125m_class",
+    "pythia_410m_class",
+    "LoraConfig",
+    "init_lora",
+    "merge_lora",
+    "count_params",
+    "causal_lm",
+    "encoder",
+    "seq2seq",
+    "generate",
+]

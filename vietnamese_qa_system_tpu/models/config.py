@@ -1,0 +1,99 @@
+"""Model configuration.
+
+Replaces the capability of the reference's HF `AutoModelFor*` +
+`AutoConfig` loading (reference src/models/trainer.py:536-551) with typed,
+self-contained configs.  Three architectures cover the reference's model
+families:
+
+- ``encoder``  — bidirectional sentence encoder (capability of the
+  sentence-transformers MiniLM/mpnet models used by
+  reference inference_pipeline/db_utils/heavy_ranker.py:78-83).
+- ``causal``   — decoder-only LM (capability of gpt-neo / pythia in
+  reference scripts/train.sh).
+- ``seq2seq``  — encoder-decoder LM (capability of the mt5 path,
+  reference src/test.py:106-147 and the SEQ_2_SEQ_LM task type).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: Literal["encoder", "causal", "seq2seq"] = "causal"
+    vocab_size: int = 512
+    d_model: int = 256
+    n_heads: int = 4
+    n_layers: int = 2
+    d_ff: int = 1024
+    max_seq_len: int = 1024
+    # decoder stack for seq2seq (encoder uses n_layers)
+    n_decoder_layers: int | None = None
+    # "rope" for causal/seq2seq decoders, "learned" for the encoder family
+    positional: Literal["rope", "learned"] = "rope"
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-6
+    tie_embeddings: bool = True
+    dropout_rate: float = 0.0  # inference default; trainer may override
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.n_heads == 0
+        return self.d_model // self.n_heads
+
+    @property
+    def decoder_layers(self) -> int:
+        return self.n_decoder_layers or self.n_layers
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ModelConfig":
+        return cls(**json.loads(s))
+
+
+# Ready-made sizes, roughly matching the reference's model scale points
+# (gpt-neo-125m / pythia-410m in reference scripts/train*.sh and the
+# MiniLM-L12 / mpnet-base encoders in heavy_ranker.py).
+def tiny_test(arch="causal") -> ModelConfig:
+    return ModelConfig(
+        arch=arch, vocab_size=512, d_model=128, n_heads=4, n_layers=2,
+        d_ff=512, max_seq_len=256,
+        positional="learned" if arch == "encoder" else "rope",
+    )
+
+
+def minilm_class() -> ModelConfig:
+    """~33M-param sentence encoder (MiniLM-L12 class, 384-d)."""
+    return ModelConfig(
+        arch="encoder", vocab_size=32000, d_model=384, n_heads=12,
+        n_layers=12, d_ff=1536, max_seq_len=512, positional="learned",
+    )
+
+
+def mpnet_class() -> ModelConfig:
+    """~110M-param sentence encoder (mpnet-base class, 768-d)."""
+    return ModelConfig(
+        arch="encoder", vocab_size=32000, d_model=768, n_heads=12,
+        n_layers=12, d_ff=3072, max_seq_len=512, positional="learned",
+    )
+
+
+def gpt_125m_class() -> ModelConfig:
+    """gpt-neo-125m class decoder (reference scripts/train.sh)."""
+    return ModelConfig(
+        arch="causal", vocab_size=50304, d_model=768, n_heads=12,
+        n_layers=12, d_ff=3072, max_seq_len=2048,
+    )
+
+
+def pythia_410m_class() -> ModelConfig:
+    """pythia-410m class decoder (reference scripts/train_test.sh)."""
+    return ModelConfig(
+        arch="causal", vocab_size=50304, d_model=1024, n_heads=16,
+        n_layers=24, d_ff=4096, max_seq_len=2048,
+    )

@@ -1,0 +1,107 @@
+"""Autoregressive generation with a static-shape KV cache.
+
+Capability of the reference's `inference_model.generate(...)` eval path
+(reference src/models/trainer.py:942-946,1005-1030) rebuilt TPU-first:
+prompts are LEFT-padded to a fixed length (the reference also pads left for
+causal generation, src/data/dataloader.py:183), the cache is a fixed
+(B, prompt+max_new, H, Dh) buffer per layer, and the decode loop is a
+`jax.lax.scan` over `max_new_tokens` steps — one traced program, no
+data-dependent shapes.  RoPE positions are logical (pads excluded) via
+cumsum of the attention mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from . import causal_lm
+
+
+def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
+    shape = (b, total_len, cfg.n_heads, cfg.head_dim)
+    return [
+        {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
+        for _ in range(n_layers)
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature", "eos_id")
+)
+def generate(
+    params,
+    cfg: ModelConfig,
+    ids,
+    attn_mask,
+    *,
+    max_new_tokens: int = 32,
+    temperature: float = 0.0,
+    eos_id: int | None = None,
+    key=None,
+):
+    """Greedy (temperature=0) or sampled decode.
+
+    ids/attn_mask: (B, T) LEFT-padded prompts.  Returns (B, T+max_new)
+    ids where finished rows are padded with eos after their first eos.
+    """
+    b, t = ids.shape
+    total = t + max_new_tokens
+    if key is None:
+        key = jax.random.key(0)
+
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
+    n_prompt = jnp.sum(attn_mask, axis=1)  # (B,) true prompt lengths
+
+    cache = _make_cache(cfg, b, total, cfg.n_layers)
+    # Prefill: causal over prompt, keys limited to prompt slots.
+    j = jnp.arange(total)[None, None, :]  # (1, 1, total)
+    q_pos = jnp.arange(t)[None, :, None]  # (1, T, 1)
+    key_valid = jnp.concatenate(
+        [attn_mask.astype(jnp.bool_), jnp.zeros((b, max_new_tokens), jnp.bool_)],
+        axis=1,
+    )  # (B, total)
+    prefill_mask = (j <= q_pos) & key_valid[:, None, :]
+    logits, cache = causal_lm.forward(
+        params, cfg, ids, prefill_mask,
+        positions=positions, cache=cache, cache_index=0,
+    )
+    last_logits = logits[:, -1]  # (B, V) — last prompt slot (right edge; left-padded)
+
+    def sample(logits, k):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k, logits / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    done0 = jnp.zeros((b,), jnp.bool_)
+
+    def step(carry, step_key):
+        cache, last_logits, done, step_idx = carry
+        tok = sample(last_logits, step_key)
+        if eos_id is not None:
+            tok = jnp.where(done, eos_id, tok)
+            done = done | (tok == eos_id)
+        # decode position: logical position = n_prompt + step_idx
+        pos = (n_prompt + step_idx)[:, None]  # (B, 1)
+        cache_slot = t + step_idx
+        # keys valid: prompt mask ∪ generated slots <= current
+        jj = jnp.arange(total)[None, None, :]
+        gen_valid = (jj >= t) & (jj <= cache_slot)
+        step_mask = key_valid[:, None, :] | gen_valid  # (B, 1, total)
+        logits, new_cache = causal_lm.forward(
+            params, cfg, tok[:, None], step_mask,
+            positions=pos, cache=cache, cache_index=cache_slot,
+        )
+        return (new_cache, logits[:, 0], done, step_idx + 1), tok
+
+    keys = jax.random.split(key, max_new_tokens)
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (cache, last_logits, done0, jnp.int32(0)), keys
+    )
+    out = jnp.concatenate([ids, toks.T], axis=1)
+    return out

@@ -1,0 +1,256 @@
+"""Functional transformer building blocks (pure JAX, params as pytrees).
+
+No module framework: every block is an ``init_*(key, ...) -> params`` +
+``apply(params, x, ...) -> y`` pair.  This keeps the whole model a plain
+pytree — LoRA surgery (models/lora.py), sharding rules (parallel/sharding.py)
+and checkpointing (train/checkpoint.py) all operate on the same structure.
+
+All matmuls run in bf16 with fp32 accumulation (``preferred_element_type``);
+layer norms and softmax run in fp32 — the TPU-native equivalent of the
+reference's accelerate ``mixed_precision: bf16`` configs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+COMPUTE_DTYPE = jnp.bfloat16
+
+
+def _matmul(x, w):
+    return jnp.dot(
+        x.astype(COMPUTE_DTYPE),
+        w.astype(COMPUTE_DTYPE),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# -----------------------------------------------------------------------------
+# Dense
+# -----------------------------------------------------------------------------
+
+
+def init_dense(key, d_in: int, d_out: int, *, use_bias: bool = True):
+    scale = 1.0 / jnp.sqrt(d_in)
+    p = {"w": jax.random.uniform(key, (d_in, d_out), jnp.float32, -scale, scale)}
+    if use_bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def dense(p, x):
+    y = _matmul(x, p["w"])
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# -----------------------------------------------------------------------------
+# Layer norm (fp32)
+# -----------------------------------------------------------------------------
+
+
+def init_layernorm(d: int):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def layernorm(p, x, eps: float = 1e-6):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+# -----------------------------------------------------------------------------
+# Rotary position embedding
+# -----------------------------------------------------------------------------
+
+
+def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0):
+    """Precompute (max_len, head_dim/2) cos/sin tables."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)  # (max_len, head_dim/2)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x, cos, sin, positions):
+    """x: (B, T, H, Dh); positions: (B, T) int32 absolute positions."""
+    cos_t = cos[positions][:, :, None, :]  # (B, T, 1, Dh/2)
+    sin_t = sin[positions][:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        [x1 * cos_t - x2 * sin_t, x2 * cos_t + x1 * sin_t], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+# -----------------------------------------------------------------------------
+# Attention
+# -----------------------------------------------------------------------------
+
+
+def init_attention(key, d_model: int, n_heads: int):
+    ks = jax.random.split(key, 4)
+    return {
+        "wq": init_dense(ks[0], d_model, d_model),
+        "wk": init_dense(ks[1], d_model, d_model),
+        "wv": init_dense(ks[2], d_model, d_model),
+        "wo": init_dense(ks[3], d_model, d_model),
+    }
+
+
+def _split_heads(x, n_heads: int):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def attention(
+    p,
+    x,
+    *,
+    n_heads: int,
+    mask=None,
+    kv_x=None,
+    rope=None,
+    positions=None,
+    cache=None,
+    cache_index=None,
+):
+    """Multi-head attention.
+
+    - self-attention: ``kv_x=None``; cross-attention: pass encoder output.
+    - ``mask``: (B, Tq, Tk) or broadcastable boolean; True = attend.
+    - ``rope``: optional (cos, sin) tables; ``positions`` (B, T) required.
+    - ``cache``: optional dict {"k","v"} of (B, max_len, H, Dh) for
+      autoregressive decode; new keys/values are written at
+      ``cache_index`` and attention runs over the full cache.
+      Returns (out, new_cache).
+    """
+    kv_in = x if kv_x is None else kv_x
+    q = _split_heads(dense(p["wq"], x), n_heads)
+    k = _split_heads(dense(p["wk"], kv_in), n_heads)
+    v = _split_heads(dense(p["wv"], kv_in), n_heads)
+
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin, positions)
+        kpos = positions if kv_x is None else jnp.arange(k.shape[1])[None, :]
+        k = apply_rope(k, cos, sin, kpos)
+
+    new_cache = None
+    if cache is not None:
+        k = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+        )
+        new_cache = {"k": k, "v": v}
+
+    head_dim = q.shape[-1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk",
+        q.astype(COMPUTE_DTYPE),
+        k.astype(COMPUTE_DTYPE),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(float(head_dim))
+    if mask is not None:
+        logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        probs.astype(COMPUTE_DTYPE),
+        v.astype(COMPUTE_DTYPE),
+        preferred_element_type=jnp.float32,
+    )
+    b, t = out.shape[:2]
+    out = dense(p["wo"], out.reshape(b, t, -1))
+    return out, new_cache
+
+
+# -----------------------------------------------------------------------------
+# MLP
+# -----------------------------------------------------------------------------
+
+
+def init_mlp(key, d_model: int, d_ff: int):
+    k1, k2 = jax.random.split(key)
+    return {"wi": init_dense(k1, d_model, d_ff), "wo": init_dense(k2, d_ff, d_model)}
+
+
+def mlp(p, x):
+    return dense(p["wo"], jax.nn.gelu(dense(p["wi"], x)))
+
+
+# -----------------------------------------------------------------------------
+# Transformer block (pre-LN)
+# -----------------------------------------------------------------------------
+
+
+def init_block(key, d_model: int, n_heads: int, d_ff: int, *, cross: bool = False):
+    ks = jax.random.split(key, 5)
+    p = {
+        "ln1": init_layernorm(d_model),
+        "attn": init_attention(ks[0], d_model, n_heads),
+        "ln2": init_layernorm(d_model),
+        "mlp": init_mlp(ks[1], d_model, d_ff),
+    }
+    if cross:
+        p["ln_cross"] = init_layernorm(d_model)
+        p["cross_attn"] = init_attention(ks[2], d_model, n_heads)
+    return p
+
+
+def block(
+    p,
+    x,
+    *,
+    n_heads: int,
+    mask=None,
+    enc_out=None,
+    enc_mask=None,
+    rope=None,
+    positions=None,
+    cache=None,
+    cache_index=None,
+    eps: float = 1e-6,
+):
+    h, new_cache = attention(
+        p["attn"],
+        layernorm(p["ln1"], x, eps),
+        n_heads=n_heads,
+        mask=mask,
+        rope=rope,
+        positions=positions,
+        cache=cache,
+        cache_index=cache_index,
+    )
+    x = x + h
+    if enc_out is not None:
+        h, _ = attention(
+            p["cross_attn"],
+            layernorm(p["ln_cross"], x, eps),
+            n_heads=n_heads,
+            mask=enc_mask,
+            kv_x=enc_out,
+        )
+        x = x + h
+    x = x + mlp(p["mlp"], layernorm(p["ln2"], x, eps))
+    return x, new_cache
+
+
+# -----------------------------------------------------------------------------
+# Masks
+# -----------------------------------------------------------------------------
+
+
+def causal_mask(t: int):
+    """(1, T, T) boolean lower-triangular mask."""
+    return jnp.tril(jnp.ones((1, t, t), jnp.bool_))
+
+
+def padding_mask(attn_mask):
+    """attn_mask (B, T) {0,1} -> (B, 1, T) key-side mask."""
+    return attn_mask[:, None, :].astype(jnp.bool_)

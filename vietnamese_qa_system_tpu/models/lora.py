@@ -1,0 +1,105 @@
+"""LoRA adapters as parameter-pytree surgery.
+
+Capability of the reference's peft usage — `LoraConfig` + `get_peft_model`
+(reference src/models/trainer.py:489-497,604) and `merge_adapter` /
+`merge_and_unload` (reference src/models/trainer.py:84-161) — without the
+device_map gymnastics: an adapter is just a second pytree mirroring the
+targeted dense weights; "wrapping" is a functional merge
+``W' = W + (alpha/r) * A @ B`` applied inside the loss, so gradients w.r.t.
+the adapter are exact LoRA gradients and the base stays frozen by
+construction (grad is only taken w.r.t. the adapter pytree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+# Dense-weight leaf names eligible for adaptation, mirroring the reference's
+# default target_modules (q/k/v/o projections + MLP in/out).
+DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "wi")
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 8
+    alpha: int = 16
+    targets: Sequence[str] = DEFAULT_TARGETS
+    # dropout intentionally omitted: the reference defaults lora_dropout=0.05
+    # but on TPU we train with deterministic kernels by default.
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.r
+
+
+def _is_dense(node) -> bool:
+    return isinstance(node, dict) and "w" in node and hasattr(node["w"], "ndim")
+
+
+def init_lora(key, params, cfg: LoraConfig):
+    """Build an adapter pytree with the same nesting as `params`, containing
+    {"a","b"} factors only at targeted dense leaves (None elsewhere is
+    pruned).  A ~ N(0, 1/r), B = 0 so the initial adapted model equals the
+    base model (standard LoRA init)."""
+    keys = iter(jax.random.split(key, 4096))
+
+    def walk(node, name=""):
+        if _is_dense(node):
+            if name in cfg.targets and node["w"].ndim == 2:
+                d_in, d_out = node["w"].shape
+                return {
+                    "a": jax.random.normal(next(keys), (d_in, cfg.r), jnp.float32)
+                    / cfg.r,
+                    "b": jnp.zeros((cfg.r, d_out), jnp.float32),
+                }
+            return None
+        if isinstance(node, dict):
+            sub = {k: walk(v, k) for k, v in node.items()}
+            sub = {k: v for k, v in sub.items() if v is not None}
+            return sub or None
+        if isinstance(node, list):
+            sub = [walk(v, name) for v in node]
+            return sub if any(s is not None for s in sub) else None
+        return None
+
+    adapter = walk(params)
+    return adapter if adapter is not None else {}
+
+
+def merge_lora(params, adapter, cfg: LoraConfig):
+    """Return params with ``W + scale * A@B`` at adapted leaves.
+
+    Used both inside the train step (functional 'wrap') and for export
+    (capability of reference merge_and_unload, trainer.py:150-157).
+    The base is passed through ``stop_gradient`` so differentiating the
+    merged forward w.r.t. `adapter` trains only the adapter.
+    """
+    def walk(p, a):
+        if a is None:
+            return p
+        if _is_dense(p):
+            if isinstance(a, dict) and "a" in a:
+                delta = jnp.dot(
+                    a["a"], a["b"], preferred_element_type=jnp.float32
+                ) * cfg.scale
+                merged = dict(p)
+                merged["w"] = p["w"] + delta.astype(p["w"].dtype)
+                return merged
+            return p
+        if isinstance(p, dict):
+            return {k: walk(v, a.get(k) if isinstance(a, dict) else None) for k, v in p.items()}
+        if isinstance(p, list):
+            if isinstance(a, list):
+                return [walk(v, av) for v, av in zip(p, a)]
+            return p
+        return p
+
+    return walk(params, adapter)
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree))

@@ -117,7 +117,10 @@ def _extract_rounds(best_v, best_i, m1, g1, m2, g2, k: int, col):
 
 
 def _merge_tile(scores, t, best_v_ref, best_i_ref, *, k, tile_n, valid_n):
-    """Shared per-tile body: mask padding, bucket-scan, k-round extraction."""
+    """Shared per-tile body: mask padding, bucket-scan, k-round extraction.
+
+    ``valid_n`` may be a python int or a traced scalar (SMEM-prefetched), so
+    the store size can change without recompiling the kernel."""
     b = scores.shape[0]
     n_slices = tile_n // LANES
     base = t * tile_n
@@ -149,9 +152,10 @@ def _emit(t, out_s_ref, out_i_ref, best_v_ref, best_i_ref):
 
 
 def _fast_kernel_bf16(
-    q_ref, c_ref, out_s_ref, out_i_ref, best_v, best_i, *, k, tile_n, valid_n
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, best_v, best_i, *, k, tile_n
 ):
     t = pl.program_id(0)
+    valid_n = valid_ref[0, 0]
     _init_best(t, best_v, best_i)
     scores = jax.lax.dot_general(
         q_ref[:],
@@ -168,6 +172,7 @@ def _fast_kernel_int8(
     qscale_ref,
     c_ref,
     cscale_ref,
+    valid_ref,
     out_s_ref,
     out_i_ref,
     best_v,
@@ -175,7 +180,6 @@ def _fast_kernel_int8(
     *,
     k,
     tile_n,
-    valid_n,
 ):
     """int8×int8 MXU matmul with int32 accumulation, then per-row (query)
     and per-column (vector) scale application.  Vector-compression capability
@@ -183,6 +187,7 @@ def _fast_kernel_int8(
     src/models/trainer.py:470-487) applied to the index (BASELINE config 3).
     """
     t = pl.program_id(0)
+    valid_n = valid_ref[0, 0]
     _init_best(t, best_v, best_i)
     acc = jax.lax.dot_general(
         q_ref[:],
@@ -221,9 +226,10 @@ def _select_topk(scores, col, k: int, indices=None, *, sentinel: int):
 
 
 def _exact_kernel_bf16(
-    q_ref, c_ref, out_s_ref, out_i_ref, best_s, best_i, *, k, tile_n, valid_n
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, best_s, best_i, *, k, tile_n
 ):
     t = pl.program_id(0)
+    valid_n = valid_ref[0, 0]
     b = q_ref.shape[0]
 
     @pl.when(t == 0)
@@ -263,25 +269,22 @@ def _exact_kernel_bf16(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "valid_n", "interpret", "mode")
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "mode")
 )
-def _matmul_topk_bf16(queries, corpus, *, k, tile_n, valid_n, interpret, mode):
+def _matmul_topk_bf16(queries, corpus, valid_n, *, k, tile_n, interpret, mode):
     b, d = queries.shape
     n = corpus.shape[0]
     grid = (n // tile_n,)
+    valid_arr = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
     if mode == "fast":
-        kernel = functools.partial(
-            _fast_kernel_bf16, k=k, tile_n=tile_n, valid_n=valid_n
-        )
+        kernel = functools.partial(_fast_kernel_bf16, k=k, tile_n=tile_n)
         out_k = LANES
         scratch = [
             pltpu.VMEM((b, LANES), jnp.float32),
             pltpu.VMEM((b, LANES), jnp.int32),
         ]
     else:
-        kernel = functools.partial(
-            _exact_kernel_bf16, k=k, tile_n=tile_n, valid_n=valid_n
-        )
+        kernel = functools.partial(_exact_kernel_bf16, k=k, tile_n=tile_n)
         out_k = k
         scratch = [
             pltpu.VMEM((b, k), jnp.float32),
@@ -293,6 +296,7 @@ def _matmul_topk_bf16(queries, corpus, *, k, tile_n, valid_n, interpret, mode):
         in_specs=[
             pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, out_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -309,22 +313,21 @@ def _matmul_topk_bf16(queries, corpus, *, k, tile_n, valid_n, interpret, mode):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus)
+    )(queries, corpus, valid_arr)
     return out_s[:, :k], out_i[:, :k]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "valid_n", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "interpret")
 )
 def _matmul_topk_int8(
-    queries, qscales, corpus, cscales, *, k, tile_n, valid_n, interpret
+    queries, qscales, corpus, cscales, valid_n, *, k, tile_n, interpret
 ):
     b, d = queries.shape
     n = corpus.shape[0]
     grid = (n // tile_n,)
-    kernel = functools.partial(
-        _fast_kernel_int8, k=k, tile_n=tile_n, valid_n=valid_n
-    )
+    valid_arr = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_fast_kernel_int8, k=k, tile_n=tile_n)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -333,6 +336,7 @@ def _matmul_topk_int8(
             pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -352,7 +356,7 @@ def _matmul_topk_int8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, qscales, corpus, cscales)
+    )(queries, qscales, corpus, cscales, valid_arr)
     return out_s[:, :k], out_i[:, :k]
 
 
@@ -391,7 +395,9 @@ def matmul_topk(
     n = corpus.shape[0]
     if valid_n is None:
         valid_n = n
-    if valid_n < k:
+    # valid_n may be a traced scalar (dynamic store size); only check when
+    # it is a concrete python int.
+    if isinstance(valid_n, int) and valid_n < k:
         raise ValueError(f"need at least k={k} valid rows, got {valid_n}")
     is_int8 = corpus.dtype == jnp.int8
     if is_int8 and corpus_scales is None:

@@ -1,0 +1,19 @@
+from .sharding import (
+    ShardingRules,
+    FSDP_RULES,
+    TP_RULES,
+    DP_RULES,
+    param_sharding,
+    batch_sharding,
+    shard_params,
+)
+
+__all__ = [
+    "ShardingRules",
+    "FSDP_RULES",
+    "TP_RULES",
+    "DP_RULES",
+    "param_sharding",
+    "batch_sharding",
+    "shard_params",
+]

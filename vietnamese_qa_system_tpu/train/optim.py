@@ -1,0 +1,226 @@
+"""Optimizers: AdamW / Lion with optional 8-bit (blockwise-quantized)
+moment states.
+
+Capability of the reference's bitsandbytes paged 8-bit optimizers
+(`PagedAdamW8bit` / `PagedLion8bit`, reference scripts/train.sh and
+src/models/trainer.py:183,199-204) rebuilt as optax transformations whose
+states are int8 pytrees with per-block scales — the TPU analogue of bnb's
+blockwise dynamic quantization (no paging needed: states live in HBM and
+XLA manages memory).  Also provides the LR schedules the reference gets
+from transformers.get_scheduler (linear/cosine with warmup,
+reference src/models/trainer.py:645 area / train.py --lr_sheduler_name).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+QBLOCK = 256  # elements per quantization block (bnb uses 256/2048)
+
+
+# ---------------------------------------------------------------------------
+# Blockwise int8 moment quantization
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class QTensor:
+    """int8 blockwise-quantized tensor: q (nb, QBLOCK) int8, scales (nb, 1).
+
+    size/shape are static pytree aux data so jit never traces them.
+    """
+
+    def __init__(self, q, scales, size: int, shape: tuple):
+        self.q = q
+        self.scales = scales
+        self.size = size
+        self.shape = shape
+
+    def tree_flatten(self):
+        return (self.q, self.scales), (self.size, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+LOG_RANGE = 30.0  # code magnitudes span absmax * [2^-30, 1]
+_LOG_STEP = LOG_RANGE / 127.0
+
+
+def quantize_blockwise(x) -> QTensor:
+    """Signed dynamic (log-magnitude) int8 quantization with per-block
+    absmax scaling: ``code = sign * round(127 * (1 + log2(|x|/absmax)/30))``.
+
+    A *linear* int8 map flushes small second-moment (nu) entries to zero,
+    which makes Adam's ``m/sqrt(nu)`` explode — the reason bnb uses dynamic
+    (exponent-coded) maps.  The log map bounds the *relative* error at
+    ~±8.5% across 30 octaves; exact zero round-trips exactly (code 0).
+    """
+    flat = x.reshape(-1).astype(jnp.float32)
+    size = flat.size
+    nb = -(-size // QBLOCK)
+    flat = jnp.pad(flat, (0, nb * QBLOCK - size)).reshape(nb, QBLOCK)
+    scales = jnp.maximum(jnp.max(jnp.abs(flat), axis=1, keepdims=True), 1e-30)
+    mag = jnp.abs(flat) / scales
+    code = jnp.clip(
+        jnp.round((jnp.log2(jnp.maximum(mag, 2.0**-40)) + LOG_RANGE) / _LOG_STEP),
+        0,
+        127,
+    )
+    q = (jnp.sign(flat) * code).astype(jnp.int8)
+    return QTensor(q, scales, size, tuple(x.shape))
+
+
+def dequantize_blockwise(t: QTensor):
+    code = jnp.abs(t.q.astype(jnp.float32))
+    mag = jnp.exp2(code * _LOG_STEP - LOG_RANGE)
+    flat = jnp.where(t.q == 0, 0.0, jnp.sign(t.q.astype(jnp.float32)) * mag) * t.scales
+    return flat.reshape(-1)[: t.size].reshape(t.shape)
+
+
+# ---------------------------------------------------------------------------
+# 8-bit AdamW
+# ---------------------------------------------------------------------------
+
+
+class Adam8bitState(NamedTuple):
+    count: jax.Array
+    mu: dict  # pytree of QTensor
+    nu: dict
+
+
+def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    def init(params):
+        def qzeros(p):
+            return quantize_blockwise(jnp.zeros_like(p))
+
+        return Adam8bitState(
+            jnp.zeros([], jnp.int32),
+            jax.tree.map(qzeros, params),
+            jax.tree.map(qzeros, params),
+        )
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        b1c = 1 - b1**count.astype(jnp.float32)
+        b2c = 1 - b2**count.astype(jnp.float32)
+
+        def upd(g, mu_q, nu_q):
+            g = g.astype(jnp.float32)
+            mu = b1 * dequantize_blockwise(mu_q) + (1 - b1) * g
+            nu = b2 * dequantize_blockwise(nu_q) + (1 - b2) * jnp.square(g)
+            u = (mu / b1c) / (jnp.sqrt(nu / b2c) + eps)
+            return u, quantize_blockwise(mu), quantize_blockwise(nu)
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        outs = [upd(g, m, n) for g, m, n in zip(flat_g, flat_mu, flat_nu)]
+        updates = jax.tree.unflatten(treedef, [o[0] for o in outs])
+        new_mu = jax.tree.unflatten(treedef, [o[1] for o in outs])
+        new_nu = jax.tree.unflatten(treedef, [o[2] for o in outs])
+        return updates, Adam8bitState(count, new_mu, new_nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
+# 8-bit Lion
+# ---------------------------------------------------------------------------
+
+
+class Lion8bitState(NamedTuple):
+    mu: dict
+
+
+def scale_by_lion8bit(b1: float = 0.9, b2: float = 0.99):
+    def init(params):
+        return Lion8bitState(
+            jax.tree.map(lambda p: quantize_blockwise(jnp.zeros_like(p)), params)
+        )
+
+    def update(grads, state, params=None):
+        def upd(g, mu_q):
+            g = g.astype(jnp.float32)
+            mu = dequantize_blockwise(mu_q)
+            u = jnp.sign(b1 * mu + (1 - b1) * g)
+            new_mu = b2 * mu + (1 - b2) * g
+            return u, quantize_blockwise(new_mu)
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        outs = [upd(g, m) for g, m in zip(flat_g, flat_mu)]
+        updates = jax.tree.unflatten(treedef, [o[0] for o in outs])
+        new_mu = jax.tree.unflatten(treedef, [o[1] for o in outs])
+        return updates, Lion8bitState(new_mu)
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
+# Schedules + factory
+# ---------------------------------------------------------------------------
+
+
+def make_schedule(
+    name: str, lr: float, total_steps: int, warmup_steps: int = 0
+):
+    """linear | cosine | constant with linear warmup — capability of the
+    reference's --lr_sheduler_name flag (train.py:69)."""
+    if name == "constant":
+        if warmup_steps:
+            return optax.linear_schedule(0.0, lr, warmup_steps)
+        return lr
+    decay_steps = max(total_steps - warmup_steps, 1)
+    if name == "linear":
+        sched = optax.linear_schedule(lr, 0.0, decay_steps)
+    elif name == "cosine":
+        sched = optax.cosine_decay_schedule(lr, decay_steps)
+    else:
+        raise ValueError(f"unknown schedule {name!r}")
+    if warmup_steps:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps), sched],
+            [warmup_steps],
+        )
+    return sched
+
+
+def make_optimizer(
+    name: str = "adamw",
+    lr: float | optax.Schedule = 3e-4,
+    *,
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """adamw | lion | adamw8bit | lion8bit (+ global-norm clipping).
+
+    Covers the reference's optimizer surface (--optim_name, train.py:62;
+    AdamW default trainer.py:183, Paged*8bit via scripts).
+    """
+    if name == "adamw":
+        core = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+    elif name == "adamw8bit":
+        core = scale_by_adam8bit(b1=b1, b2=b2, eps=eps)
+    elif name == "lion":
+        core = optax.scale_by_lion(b1=b1, b2=min(b2, 0.99))
+    elif name == "lion8bit":
+        core = scale_by_lion8bit(b1=b1, b2=min(b2, 0.99))
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    parts = []
+    if max_grad_norm is not None:
+        parts.append(optax.clip_by_global_norm(max_grad_norm))
+    parts.append(core)
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*parts)

@@ -1,0 +1,315 @@
+"""Training engine: pjit train step, grad accumulation, LoRA, checkpoints.
+
+Capability of the reference's `train()` (reference src/models/trainer.py:283):
+Accelerator init → model/optimizer prep → resume → epoch/step hot loop with
+gradient accumulation, logging, step/time-triggered checkpoints → per-epoch
+perplexity + generative eval → export.  TPU-first redesign:
+
+- One SPMD program over a `jax.sharding.Mesh`; the distribution strategy is
+  a *sharding rule set* (parallel/sharding.py), not a launcher wrapper —
+  replacing DDP / ZeRO-2/3 / FSDP / DeepSpeed-TP engine selection
+  (reference trainer.py:164-231 `prepare_any`).
+- Gradient accumulation is a `lax.scan` over microbatches inside one jit
+  step (capability of `accelerator.accumulate`, trainer.py:801).
+- LoRA trains only the adapter pytree: the base is merged functionally
+  under `stop_gradient` (capability of peft wrapping, trainer.py:604).
+- The whole step is donated — parameters and optimizer state update
+  in place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.mesh import DATA_AXIS, create_mesh
+from ..core.profiling import MemoryTracker
+from ..models import LoraConfig, ModelConfig, causal_lm, init_lora, merge_lora, seq2seq
+from ..models.encoder import init_encoder
+from ..models.causal_lm import init_causal_lm
+from ..models.seq2seq import init_seq2seq
+from ..parallel.sharding import batch_sharding, param_sharding
+from ..utils.logging import dist_print, get_logger
+from ..utils.trackers import make_tracker
+from .checkpoint import CheckpointManager
+from .optim import make_optimizer, make_schedule
+
+logger = get_logger("vqa_tpu.train")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Typed replacement for the reference's ~80-flag argparse surface
+    (reference train.py:15-213) — training-loop subset."""
+
+    model: ModelConfig
+    lora: Optional[LoraConfig] = None
+    optimizer: str = "adamw"
+    lr: float = 2e-4
+    weight_decay: float = 0.0
+    max_grad_norm: Optional[float] = 1.0
+    schedule: str = "linear"
+    warmup_steps: int = 0
+    epochs: int = 1
+    grad_accum: int = 1  # microbatches per step (capability of --gradient_accumulation_steps)
+    strategy: str = "dp"  # dp | zero2 | fsdp | tp | fsdp_tp
+    mesh_axes: Optional[dict] = None  # e.g. {"data": -1} / {"data": 2, "model": 4}
+    checkpoint_dir: Optional[str] = None
+    save_every_steps: Optional[int] = None
+    save_every_seconds: Optional[float] = None
+    keep_checkpoints: int = 3
+    resume: bool = False
+    seed: int = 42
+    log_every: int = 10
+    log_dir: str = "runs/logs"
+    report_to: str = "jsonl"
+    run_name: Optional[str] = None
+    remat: bool = False  # jax.checkpoint the loss for memory
+
+
+def init_model_params(cfg: ModelConfig, key):
+    if cfg.arch == "causal":
+        return init_causal_lm(key, cfg)
+    if cfg.arch == "seq2seq":
+        return init_seq2seq(key, cfg)
+    if cfg.arch == "encoder":
+        return init_encoder(key, cfg)
+    raise ValueError(cfg.arch)
+
+
+def model_loss_fn(cfg: ModelConfig) -> Callable:
+    if cfg.arch == "causal":
+        return functools.partial(causal_lm.loss_fn, cfg=cfg)
+    if cfg.arch == "seq2seq":
+        return functools.partial(seq2seq.loss_fn, cfg=cfg)
+    raise ValueError(f"no training loss for arch {cfg.arch!r}")
+
+
+def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
+    """Build the jitted (state, batch) -> (state, metrics) step.
+
+    state: {"params", "adapter", "opt_state", "step"}; batch leaves are
+    (grad_accum, microbatch, ...) shaped.
+    """
+    loss_of = model_loss_fn(cfg.model)
+    use_lora = cfg.lora is not None
+    lcfg = cfg.lora
+
+    def loss_for(trainable, frozen_base, mb):
+        if use_lora:
+            params = merge_lora(jax.lax.stop_gradient(frozen_base), trainable, lcfg)
+        else:
+            params = trainable
+        loss, n = loss_of(params, batch=mb)
+        return loss, n
+
+    if cfg.remat:
+        loss_for = jax.checkpoint(loss_for)
+
+    grad_fn = jax.value_and_grad(loss_for, has_aux=True)
+
+    def step_fn(state, batch):
+        trainable = state["adapter"] if use_lora else state["params"]
+        base = state["params"]
+
+        def micro(carry, mb):
+            g_acc, loss_acc, n_acc = carry
+            (loss, n), grads = grad_fn(trainable, base, mb)
+            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            return (g_acc, loss_acc + loss * n, n_acc + n), None
+
+        g0 = jax.tree.map(lambda x: jnp.zeros_like(x, jnp.float32), trainable)
+        (grads, loss_sum, n_sum), _ = jax.lax.scan(
+            micro, (g0, jnp.float32(0.0), jnp.int32(0)), batch
+        )
+        grads = jax.tree.map(lambda g: g / cfg.grad_accum, grads)
+
+        updates, new_opt = tx.update(grads, state["opt_state"], trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_state = dict(state)
+        new_state["opt_state"] = new_opt
+        new_state["step"] = state["step"] + 1
+        if use_lora:
+            new_state["adapter"] = new_trainable
+        else:
+            new_state["params"] = new_trainable
+        metrics = {
+            "loss": loss_sum / jnp.maximum(n_sum.astype(jnp.float32), 1.0),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+class Trainer:
+    """Orchestrates init → shard → resume → fit (capability of
+    reference trainer.py train(); see module docstring)."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        *,
+        params=None,
+        mesh=None,
+        total_steps: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh(
+            cfg.mesh_axes or {DATA_AXIS: -1}
+        )
+        key = jax.random.key(cfg.seed)
+        if params is None:
+            params = init_model_params(cfg.model, key)
+        # place params per strategy
+        p_shardings = param_sharding(params, self.mesh, cfg.strategy)
+        self.params = jax.device_put(params, p_shardings)
+
+        self.adapter = None
+        if cfg.lora is not None:
+            adapter = init_lora(jax.random.key(cfg.seed + 1), params, cfg.lora)
+            a_shard = param_sharding(adapter, self.mesh, "dp")
+            self.adapter = jax.device_put(adapter, a_shard)
+
+        sched = make_schedule(
+            cfg.schedule, cfg.lr, total_steps or 10_000, cfg.warmup_steps
+        )
+        self.tx = make_optimizer(
+            cfg.optimizer,
+            sched,
+            weight_decay=cfg.weight_decay,
+            max_grad_norm=cfg.max_grad_norm,
+        )
+        trainable = self.adapter if cfg.lora is not None else self.params
+        opt_state = self.tx.init(trainable)
+        if cfg.strategy in ("zero2", "fsdp", "fsdp_tp"):
+            # ZeRO-style optimizer-state sharding (reference ZeRO-2/3 configs)
+            o_shardings = param_sharding(opt_state, self.mesh, "fsdp")
+            opt_state = jax.device_put(opt_state, o_shardings)
+        self.state = {
+            "params": self.params,
+            "adapter": self.adapter,
+            "opt_state": opt_state,
+            "step": jnp.zeros([], jnp.int32),
+        }
+        self._step_fn = make_train_step(cfg, self.tx)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self.ckpt = (
+            CheckpointManager(cfg.checkpoint_dir, cfg.keep_checkpoints)
+            if cfg.checkpoint_dir
+            else None
+        )
+        self.tracker = make_tracker(cfg.report_to, cfg.log_dir, cfg.run_name)
+        self.start_step = 0
+        if cfg.resume and self.ckpt is not None:
+            restored, meta = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                self.start_step = int(meta["step"])
+                dist_print(f"resumed from step {self.start_step}")
+
+    # ------------------------------------------------------------------ fit
+
+    def _device_batch(self, batch: dict):
+        """(global_b, ...) numpy → (accum, micro_b, ...) device arrays."""
+        a = self.cfg.grad_accum
+
+        def shape(x):
+            x = np.asarray(x)
+            gb = x.shape[0]
+            if gb % a:
+                raise ValueError(f"global batch {gb} not divisible by accum {a}")
+            return x.reshape(a, gb // a, *x.shape[1:])
+
+        return {k: jnp.asarray(shape(v)) for k, v in batch.items()}
+
+    def fit(
+        self,
+        train_batches: Callable[[], Iterable[dict]],
+        *,
+        eval_batches: Optional[Callable[[], Iterable[dict]]] = None,
+        eval_fn: Optional[Callable[[Any, int], dict]] = None,
+        max_steps: Optional[int] = None,
+    ):
+        """train_batches: factory returning one epoch's iterable of host
+        batches {"input_ids","attention_mask","labels"} with a global batch
+        dim.  Resume fast-forwards within the epoch (capability of
+        accelerate `skip_first_batches`, reference trainer.py:784-787)."""
+        cfg = self.cfg
+        step = self.start_step
+        last_save = time.time()
+        t0 = time.time()
+        for epoch in range(cfg.epochs):
+            epoch_loss, epoch_tokens, epoch_steps = 0.0, 0, 0
+            with MemoryTracker() as mem:
+                for i, batch in enumerate(train_batches()):
+                    if self.start_step > 0 and epoch == 0 and i < self.start_step:
+                        continue  # fast-forward after resume
+                    dev_batch = self._device_batch(batch)
+                    n_tok = int(np.prod(dev_batch["input_ids"].shape))
+                    self.state, metrics = self._step_fn(self.state, dev_batch)
+                    step += 1
+                    epoch_steps += 1
+                    epoch_tokens += n_tok
+                    if step % cfg.log_every == 0:
+                        loss = float(metrics["loss"])
+                        epoch_loss += loss
+                        elapsed = time.time() - t0
+                        self.tracker.log(
+                            {
+                                "loss": loss,
+                                "grad_norm": float(metrics["grad_norm"]),
+                                "epoch": epoch,
+                                "tokens_per_s": epoch_tokens / max(elapsed, 1e-9),
+                            },
+                            step,
+                        )
+                    if self._should_save(step, last_save):
+                        self.save(step)
+                        last_save = time.time()
+                    if max_steps is not None and step >= max_steps:
+                        break
+            dist_print(
+                f"epoch {epoch}: steps={epoch_steps} "
+                f"device_mem_peak={mem.peaked}MB cpu_peak={mem.cpu_peaked}MB"
+            )
+            if eval_fn is not None:
+                eval_metrics = eval_fn(self.state, epoch)
+                self.tracker.log({f"eval_{k}": v for k, v in eval_metrics.items()}, step)
+            if self.ckpt is not None:
+                self.save(step)
+            if max_steps is not None and step >= max_steps:
+                break
+        return self.state
+
+    def _should_save(self, step: int, last_save: float) -> bool:
+        if self.ckpt is None:
+            return False
+        if self.cfg.save_every_steps and step % self.cfg.save_every_steps == 0:
+            return True
+        if (
+            self.cfg.save_every_seconds
+            and time.time() - last_save > self.cfg.save_every_seconds
+        ):
+            return True
+        return False
+
+    def save(self, step: int) -> None:
+        if self.ckpt is not None:
+            self.ckpt.save(step, self.state, {"config": repr(self.cfg)})
+
+    # ---------------------------------------------------------------- export
+
+    def merged_params(self):
+        """Adapter merged into the base for inference/export — capability of
+        reference merge_adapter/merge_and_unload (trainer.py:84-161)."""
+        if self.adapter is None:
+            return self.state["params"]
+        return merge_lora(self.state["params"], self.state["adapter"], self.cfg.lora)
