@@ -1,0 +1,118 @@
+"""Fault-tolerant parallel translation for the offline ETL pipeline.
+
+Capability of the reference's `translate_converted`
+(reference src/data/features/final_storge_converted/data_parser.py:204-318):
+split work into large chunks, fan out thread-pool sub-chunks, detect failed
+futures and resubmit exactly those chunks, guard over-long fields, and
+survive transient connection errors.  The reference's translator backends
+(googletrans / a 4-bit vinai en→vi model, data_parser.py:75-93) need
+network or downloaded weights; here the backend is a pluggable protocol —
+``NullTranslator`` (identity, offline default) ships in-repo, and any
+callable batch translator plugs in.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Protocol, Sequence
+
+from ..utils.logging import get_logger
+
+logger = get_logger("vqa_tpu.etl.translate")
+
+MAX_FIELD_CHARS = 6000  # large-example guard (reference data_parser.py:168-170)
+
+
+class Translator(Protocol):
+    def translate_batch(
+        self, texts: Sequence[str], src: str, dst: str
+    ) -> list[str]: ...
+
+
+class NullTranslator:
+    """Identity translator — keeps the pipeline runnable offline."""
+
+    def translate_batch(self, texts, src, dst):
+        return list(texts)
+
+
+class FlakyWrapper:
+    """Test helper: fails the first `fail_times` calls per chunk key to
+    exercise the resubmit path."""
+
+    def __init__(self, inner: Translator, fail_times: int = 1):
+        self.inner = inner
+        self.fail_times = fail_times
+        self._failures: dict[int, int] = {}
+        self._lock = threading.Lock()
+
+    def translate_batch(self, texts, src, dst):
+        key = hash(tuple(texts)) % (2**31)
+        with self._lock:
+            n = self._failures.get(key, 0)
+            if n < self.fail_times:
+                self._failures[key] = n + 1
+                raise ConnectionError(f"simulated transient failure #{n + 1}")
+        return self.inner.translate_batch(texts, src, dst)
+
+
+def translate_texts(
+    texts: Sequence[str],
+    translator: Translator,
+    *,
+    src: str = "en",
+    dst: str = "vi",
+    chunk_size: int = 400,
+    max_workers: int = 8,
+    max_retries: int = 3,
+) -> list[str]:
+    """Translate preserving order, with per-chunk retry.
+
+    Mirrors the reference's failed-future detection + exact-chunk
+    resubmission (data_parser.py:278-291) without its unbounded restart
+    recursion: after `max_retries` a chunk raises.
+    """
+    texts = [
+        t if len(t) <= MAX_FIELD_CHARS else t[:MAX_FIELD_CHARS] for t in texts
+    ]
+    chunks = [
+        (i, texts[i : i + chunk_size]) for i in range(0, len(texts), chunk_size)
+    ]
+    results: dict[int, list[str]] = {}
+
+    def work(offset: int, chunk: list[str]) -> tuple[int, list[str]]:
+        return offset, translator.translate_batch(chunk, src, dst)
+
+    pending = chunks
+    for attempt in range(max_retries + 1):
+        if not pending:
+            break
+        failed: list[tuple[int, list[str]]] = []
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {pool.submit(work, off, ch): (off, ch) for off, ch in pending}
+            for fut in cf.as_completed(futures):
+                off, ch = futures[fut]
+                try:
+                    o, translated = fut.result()
+                    if len(translated) != len(ch):
+                        raise ValueError(
+                            f"translator returned {len(translated)} items for "
+                            f"a {len(ch)}-item chunk"
+                        )
+                    results[o] = translated
+                except Exception as e:  # noqa: BLE001 — resubmit transient failures
+                    logger.warning(
+                        "chunk at offset %d failed (attempt %d): %s", off, attempt, e
+                    )
+                    failed.append((off, ch))
+        pending = failed
+    if pending:
+        raise RuntimeError(
+            f"{len(pending)} translation chunks still failing after "
+            f"{max_retries} retries (offsets {[o for o, _ in pending]})"
+        )
+    out: list[str] = []
+    for off, _ in chunks:
+        out.extend(results[off])
+    return out
