@@ -1,0 +1,103 @@
+"""CLI smoke tests: each subcommand end-to-end in-process (conftest already
+forces the 8-device CPU mesh)."""
+
+import json
+
+import pytest
+
+from vietnamese_qa_system_tpu.cli.main import main
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    raw = tmp_path / "raw.jsonl"
+    with open(raw, "w", encoding="utf-8") as f:
+        for i in range(16):
+            f.write(
+                json.dumps(
+                    {
+                        "instruction": f"Chủ đề {i}",
+                        "input": "",
+                        "output": f"Giải thích {i}",
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+    docs = tmp_path / "docs.jsonl"
+    with open(docs, "w", encoding="utf-8") as f:
+        for i in range(8):
+            f.write(json.dumps({"doc": f"bài viết {i}: nội dung {i}"}, ensure_ascii=False) + "\n")
+    return raw, docs
+
+
+def test_cli_parse(dataset, tmp_path):
+    raw, _ = dataset
+    rc = main(
+        ["parse", "--parser", "alpaca", "--input", str(raw),
+         "--output-dir", str(tmp_path / "out")]
+    )
+    assert rc == 0
+    out = tmp_path / "out" / "AlpacaParser.jsonl"
+    assert out.exists()
+    assert len(out.read_text().splitlines()) == 16
+
+
+def test_cli_train_smoke(dataset, tmp_path):
+    raw, _ = dataset
+    parsed = tmp_path / "p"
+    main(["parse", "--parser", "alpaca", "--input", str(raw), "--output-dir", str(parsed)])
+    rc = main(
+        [
+            "train",
+            "--train-files", str(parsed / "AlpacaParser.jsonl"),
+            "--epochs", "1", "--batch-size", "4", "--max-steps", "2",
+            "--max-len", "256", "--use-lora",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--mesh", '{"data": 1}',
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "ckpt").exists()
+
+
+def test_cli_train_no_data(tmp_path):
+    rc = main(["train", "--log-dir", str(tmp_path), "--mesh", '{"data": 1}'])
+    assert rc == 2
+
+
+def test_cli_ingest_and_serve(dataset, tmp_path, monkeypatch, capsys):
+    _, docs = dataset
+    rc = main(
+        [
+            "ingest",
+            "--inputs", str(docs),
+            "--index", str(tmp_path / "index"),
+            "--db", str(tmp_path / "docs.db"),
+            "--capacity", "2048", "--batch-size", "8", "--max-len", "48",
+        ]
+    )
+    assert rc == 0
+
+    answers = iter(["bài viết 3", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = main(
+        [
+            "serve",
+            "--index", str(tmp_path / "index"),
+            "--db", str(tmp_path / "docs.db"),
+            "--k", "2", "--max-len", "48",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "score=" in out and "bài viết" in out
+
+
+def test_cli_chat_smoke(monkeypatch, capsys):
+    answers = iter(["xin chào", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = main(["chat", "--max-new-tokens", "4", "--max-len", "32"])
+    assert rc == 0
+    assert "model>" in capsys.readouterr().out

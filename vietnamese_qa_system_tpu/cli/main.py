@@ -1,0 +1,560 @@
+"""Command-line interface: train / parse / ingest / serve / chat / bench.
+
+Capability of the reference's launch layer (reference train.py:15-213 —
+~80 flags in six groups — plus the accelerate YAML strategy switch,
+scripts/train*.sh, the parser __main__ blocks, setup_docs_db.py ingestion,
+heavy_ranker.py querying and the ds_inference.py chat REPL), unified into
+one typed subcommand surface.  On TPU there is no external launcher: the
+distribution strategy is the --strategy/--mesh flags compiled into the SPMD
+program, not a YAML handed to `accelerate launch`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+from ..utils.logging import dist_print
+
+
+# --------------------------------------------------------------------- train
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("model")
+    g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
+    g.add_argument("--model-size", default="tiny",
+                   choices=["tiny", "gpt125m", "pythia410m"],
+                   help="preset size (reference used gpt-neo-125m / pythia-410m)")
+    g.add_argument("--model-config", help="path to a ModelConfig json (overrides preset)")
+    g.add_argument("--init-params", help="checkpoint dir or converted-weights .npz to start from")
+
+    g = p.add_argument_group("lora (reference peft group, train.py:33)")
+    g.add_argument("--use-lora", action="store_true")
+    g.add_argument("--lora-r", type=int, default=8)
+    g.add_argument("--lora-alpha", type=int, default=16)
+    g.add_argument("--lora-targets", nargs="*", default=None)
+
+    g = p.add_argument_group("optimization (reference bnb/training groups)")
+    g.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "lion", "adamw8bit", "lion8bit"])
+    g.add_argument("--lr", type=float, default=2e-4)
+    g.add_argument("--weight-decay", type=float, default=0.0)
+    g.add_argument("--max-grad-norm", type=float, default=1.0)
+    g.add_argument("--lr-scheduler", default="linear",
+                   choices=["linear", "cosine", "constant"])
+    g.add_argument("--warmup-steps", type=int, default=0)
+    g.add_argument("--epochs", type=int, default=1)
+    g.add_argument("--max-steps", type=int, default=None)
+    g.add_argument("--batch-size", type=int, default=8,
+                   help="global batch (= grad-accum * microbatch)")
+    g.add_argument("--grad-accum", type=int, default=1)
+    g.add_argument("--remat", action="store_true",
+                   help="rematerialize the loss (gradient checkpointing)")
+
+    g = p.add_argument_group("distribution (replaces accelerate YAMLs)")
+    g.add_argument("--strategy", default="dp",
+                   choices=["dp", "zero2", "fsdp", "tp", "fsdp_tp"])
+    g.add_argument("--mesh", default=None,
+                   help='mesh axes as json, e.g. \'{"data": 2, "model": 4}\'')
+
+    g = p.add_argument_group("data (reference dataloader group, train.py:95)")
+    g.add_argument("--train-files", nargs="+", required=False, default=[])
+    g.add_argument("--train-schemas", nargs="*", default=None,
+                   help="schema per file: qa|instruct (default instruct)")
+    g.add_argument("--train-fractions", nargs="*", type=float, default=None,
+                   help="mix fraction per file (reference --each_train_file_percentage)")
+    g.add_argument("--eval-files", nargs="*", default=[])
+    g.add_argument("--max-examples", type=int, default=None)
+    g.add_argument("--max-len", type=int, default=512)
+    g.add_argument("--pack", action="store_true", help="group_texts block packing")
+    g.add_argument("--tokenizer", default="byte",
+                   help='"byte" or a local HF tokenizer path')
+
+    g = p.add_argument_group("checkpoint / logging")
+    g.add_argument("--checkpoint-dir", default=None)
+    g.add_argument("--save-every-steps", type=int, default=None)
+    g.add_argument("--save-every-seconds", type=float, default=None)
+    g.add_argument("--resume", action="store_true")
+    g.add_argument("--log-dir", default="runs/logs")
+    g.add_argument("--report-to", default="jsonl", choices=["jsonl", "wandb"])
+    g.add_argument("--run-name", default=None)
+    g.add_argument("--log-every", type=int, default=10)
+    g.add_argument("--seed", type=int, default=42)
+
+    g = p.add_argument_group("evaluation (reference generation group, train.py:130)")
+    g.add_argument("--do-eval", action="store_true")
+    g.add_argument("--do-generative-eval", action="store_true")
+    g.add_argument("--max-new-tokens", type=int, default=64)
+    g.add_argument("--temperature", type=float, default=0.0)
+
+
+def _model_config(args):
+    from ..models import config as mcfg
+
+    if args.model_config:
+        with open(args.model_config) as f:
+            return mcfg.ModelConfig.from_json(f.read())
+    presets = {
+        "tiny": lambda: mcfg.tiny_test(args.arch),
+        "gpt125m": mcfg.gpt_125m_class,
+        "pythia410m": mcfg.pythia_410m_class,
+    }
+    cfg = presets[args.model_size]()
+    if cfg.arch != args.arch:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, arch=args.arch)
+    return cfg
+
+
+def _tokenizer(spec: str):
+    from ..data import ByteTokenizer, HFTokenizer
+
+    return ByteTokenizer() if spec == "byte" else HFTokenizer(spec)
+
+
+def _file_specs(files, schemas, fractions):
+    from ..data import DataFileSpec
+
+    schemas = schemas or ["instruct"] * len(files)
+    fractions = fractions or [1.0] * len(files)
+    # reference passes percentages (30 30 15 ...); accept either unit
+    fractions = [f / 100.0 if f > 1.0 else f for f in fractions]
+    return [
+        DataFileSpec(path, schema, frac)
+        for path, schema, frac in zip(files, schemas, fractions)
+    ]
+
+
+def cmd_train(args) -> int:
+    from ..data import QADataLoader
+    from ..models import LoraConfig
+    from ..train import TrainConfig, Trainer, generative_eval, perplexity_eval
+
+    model = _model_config(args)
+    tok = _tokenizer(args.tokenizer)
+    import dataclasses
+
+    if tok.vocab_size > model.vocab_size:
+        model = dataclasses.replace(model, vocab_size=tok.vocab_size)
+
+    lora = (
+        LoraConfig(
+            r=args.lora_r,
+            alpha=args.lora_alpha,
+            targets=tuple(args.lora_targets) if args.lora_targets else LoraConfig.targets,
+        )
+        if args.use_lora
+        else None
+    )
+    mesh_axes = json.loads(args.mesh) if args.mesh else None
+    cfg = TrainConfig(
+        model=model,
+        lora=lora,
+        optimizer=args.optimizer,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        schedule=args.lr_scheduler,
+        warmup_steps=args.warmup_steps,
+        epochs=args.epochs,
+        grad_accum=args.grad_accum,
+        strategy=args.strategy,
+        mesh_axes=mesh_axes,
+        checkpoint_dir=args.checkpoint_dir,
+        save_every_steps=args.save_every_steps,
+        save_every_seconds=args.save_every_seconds,
+        resume=args.resume,
+        seed=args.seed,
+        log_every=args.log_every,
+        log_dir=args.log_dir,
+        report_to=args.report_to,
+        run_name=args.run_name,
+        remat=args.remat,
+    )
+
+    dl = QADataLoader(
+        tok,
+        task=model.arch if model.arch == "seq2seq" else "causal",
+        max_len=args.max_len,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        pack=args.pack,
+    )
+    train_examples = dl.load_examples(
+        _file_specs(args.train_files, args.train_schemas, args.train_fractions),
+        max_examples=args.max_examples,
+        split="train",
+    )
+    if not train_examples:
+        dist_print(
+            f"no training examples loaded (stats: {dl.stats} — "
+            f"skipped_too_long>0 means --max-len {args.max_len} is too small "
+            "for prompt+answer)",
+            file=sys.stderr,
+        )
+        return 2
+    eval_examples = (
+        dl.load_examples(
+            _file_specs(args.eval_files, None, None),
+            max_examples=args.max_examples,
+            split="eval",
+        )
+        if args.eval_files
+        else []
+    )
+
+    steps_per_epoch = max(len(train_examples) // args.batch_size, 1)
+    total = args.max_steps or steps_per_epoch * args.epochs
+    init_params = None
+    if args.init_params:
+        init_params = load_converted_params(args.init_params, model)
+    trainer = Trainer(cfg, total_steps=total, params=init_params)
+
+    epoch_counter = {"n": 0}
+
+    def train_batches():
+        epoch_counter["n"] += 1
+        return dl.batches(train_examples, epoch=epoch_counter["n"])
+
+    def eval_fn(state, epoch):
+        metrics = {}
+        params = trainer.merged_params()
+        if eval_examples:
+            metrics.update(
+                perplexity_eval(
+                    params, model, dl.batches(eval_examples, shuffle=False)
+                )
+            )
+        if args.do_generative_eval and eval_examples:
+            gm = generative_eval(
+                params,
+                model,
+                tok,
+                _gen_batches(dl, eval_examples, tok, args),
+                max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature,
+                log_dir=os.path.join(args.log_dir, "predictions"),
+                epoch=epoch,
+                run_name=args.run_name or "model",
+            )
+            metrics["gen_tokens_per_s"] = gm["gen_tokens_per_s"]
+        dist_print(f"eval @ epoch {epoch}: {metrics}")
+        return metrics
+
+    trainer.fit(
+        train_batches,
+        eval_fn=eval_fn if (args.do_eval and eval_examples) else None,
+        max_steps=args.max_steps,
+    )
+    dist_print(f"training done at step {int(trainer.state['step'])}")
+    return 0
+
+
+def _gen_batches(dl, examples, tok, args):
+    """Left-padded prompt-only batches for generative eval."""
+    import numpy as np
+
+    from ..data.loader import IGNORE_INDEX
+
+    bs = args.batch_size
+    for i in range(0, len(examples) - bs + 1, bs):
+        group = examples[i : i + bs]
+        prompts = []
+        for ex in group:
+            ids = ex["input_ids"]
+            labels = ex["labels"]
+            n_prompt = sum(1 for l in labels if l == IGNORE_INDEX)
+            prompts.append(ids[:n_prompt])
+        width = max(len(p) for p in prompts)
+        ids = np.full((bs, width), tok.pad_id, np.int32)
+        mask = np.zeros((bs, width), np.int32)
+        for r, pr in enumerate(prompts):
+            ids[r, width - len(pr):] = pr
+            mask[r, width - len(pr):] = 1
+        yield {"input_ids": ids, "attention_mask": mask}
+
+
+def load_converted_params(path: str, model_cfg):
+    """Load params from a checkpoint dir (step_N/state.npz) or a converted
+    flat .npz (models/convert_hf.py output)."""
+    from ..train.checkpoint import CheckpointManager
+    from ..train.trainer import init_model_params
+
+    import jax
+
+    target = init_model_params(model_cfg, jax.random.key(0))
+    if os.path.isdir(path):
+        mgr = CheckpointManager(path)
+        state, _ = mgr.restore({"params": target})
+        if state is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        return state["params"]
+    from ..train.checkpoint import load_pytree
+
+    return load_pytree(path, target)
+
+
+# --------------------------------------------------------------------- parse
+
+
+def cmd_parse(args) -> int:
+    from ..etl import get_parser
+
+    cls = get_parser(args.parser)
+    kwargs = dict(seed=args.seed, do_translate=args.translate)
+    if args.ctx_pool:
+        with open(args.ctx_pool) as f:
+            kwargs["ctx_pool"] = [line.strip() for line in f if line.strip()]
+    parser = cls(args.input, args.output_dir, **kwargs)
+    out = parser.run()
+    dist_print(f"wrote {parser.stats['converted']} records -> {out}")
+    return 0
+
+
+# -------------------------------------------------------------------- ingest
+
+
+def cmd_ingest(args) -> int:
+    import jax
+
+    from ..core.mesh import SHARD_AXIS, create_mesh
+    from ..engine import DocStore, IngestPipeline, VectorStore
+    from ..models import minilm_class, mpnet_class, tiny_test
+    from ..models.encoder import init_encoder
+    from ..etl.parser import load_json_or_jsonl
+
+    presets = {
+        "tiny": lambda: tiny_test("encoder"),
+        "minilm": minilm_class,
+        "mpnet": mpnet_class,
+    }
+    cfg = presets[args.encoder]()
+    params = init_encoder(jax.random.key(args.seed), cfg)
+    tok = _tokenizer(args.tokenizer)
+
+    mesh = create_mesh({SHARD_AXIS: args.shards}) if args.shards > 1 else None
+    if os.path.exists(os.path.join(args.index, "meta.json")):
+        store = VectorStore.load(args.index, mesh=mesh)
+    else:
+        store = VectorStore(args.capacity, cfg.d_model, mesh=mesh, dtype=args.dtype)
+    docstore = DocStore(args.db)
+    pipe = IngestPipeline(
+        params, cfg, tok, store, docstore,
+        batch_size=args.batch_size, max_len=args.max_len,
+    )
+    for path in args.inputs:
+        rows = load_json_or_jsonl(path)
+        docs = [r[args.text_field] if isinstance(r, dict) else str(r) for r in rows]
+        sources = [path] * len(docs)
+        ids = pipe.add_documents(docs, sources, chunk_size=args.chunk_size)
+        dist_print(f"{path}: ingested {len(ids)} chunks (store size {store.size})")
+    store.save(args.index)
+    dist_print(f"index saved -> {args.index}; docs in {args.db}")
+    return 0
+
+
+# --------------------------------------------------------------------- serve
+
+
+def cmd_serve(args) -> int:
+    """Interactive retrieval loop (capability of heavy_ranker.py's query
+    path as a usable REPL)."""
+    import jax
+
+    from ..engine import DocStore, Retriever, VectorStore
+    from ..models import minilm_class, mpnet_class, tiny_test
+    from ..models.encoder import init_encoder
+
+    presets = {
+        "tiny": lambda: tiny_test("encoder"),
+        "minilm": minilm_class,
+        "mpnet": mpnet_class,
+    }
+    cfg = presets[args.encoder]()
+    params = init_encoder(jax.random.key(args.seed), cfg)
+    tok = _tokenizer(args.tokenizer)
+    store = VectorStore.load(args.index)
+    docstore = DocStore(args.db)
+    retriever = Retriever(params, cfg, tok, store, docstore, max_len=args.max_len)
+    dist_print(f"index: {store.size} vectors; type a query (empty line quits)")
+    while True:
+        try:
+            query = input("query> ").strip()
+        except EOFError:
+            break
+        if not query:
+            break
+        results = retriever.search([query], k=args.k)[0]
+        for rank, r in enumerate(results):
+            doc = (r.doc or "")[:160].replace("\n", " ")
+            print(f"  {rank + 1}. [{r.id}] score={r.score:.3f} {doc}")
+    return 0
+
+
+# ---------------------------------------------------------------------- chat
+
+
+def cmd_chat(args) -> int:
+    """Interactive generation REPL (capability of the reference's DeepSpeed
+    TP chat script, reference src/models/model_utils/ds_inference.py:45-60:
+    load base + adapter, wrap for inference, loop on input)."""
+    import numpy as np
+
+    from ..data import RESPONSE_PREFIX, QUESTION_PREFIX, batch_encode
+    from ..models import generate as gen_mod
+    from ..train.trainer import init_model_params
+
+    import jax
+
+    model = _model_config(args)
+    tok = _tokenizer(args.tokenizer)
+    import dataclasses
+
+    if tok.vocab_size > model.vocab_size:
+        model = dataclasses.replace(model, vocab_size=tok.vocab_size)
+    if args.init_params:
+        params = load_converted_params(args.init_params, model)
+    else:
+        params = init_model_params(model, jax.random.key(args.seed))
+        dist_print("(no --init-params given: chatting with RANDOM weights)")
+    dist_print("chat REPL — empty line quits")
+    while True:
+        try:
+            text = input("user> ").strip()
+        except EOFError:
+            break
+        if not text:
+            break
+        prompt = f"{QUESTION_PREFIX}\n{text}\n\n{RESPONSE_PREFIX}\n"
+        ids, mask = batch_encode(tok, [prompt], args.max_len, pad_side="left")
+        out = gen_mod.generate(
+            params,
+            model,
+            np.asarray(ids),
+            np.asarray(mask),
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature,
+            eos_id=tok.eos_id,
+        )
+        completion = tok.decode(
+            [
+                t
+                for t in np.asarray(out)[0, ids.shape[1]:]
+                if t not in (tok.pad_id, tok.eos_id)
+            ]
+        )
+        print(f"model> {completion}")
+    return 0
+
+
+# --------------------------------------------------------------------- bench
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(__file__))))
+    import bench
+
+    bench.main()
+    return 0
+
+
+# ---------------------------------------------------------------------- main
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vqa_tpu",
+        description="TPU-native Vietnamese QA framework CLI",
+    )
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="force the JAX backend (jax.config route — env vars can be "
+        "overridden by site customizations)",
+    )
+    p.add_argument(
+        "--cpu-devices",
+        type=int,
+        default=None,
+        help="with --platform cpu: number of virtual CPU devices (mesh testing)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pt = sub.add_parser("train", help="fine-tune a model")
+    _add_train_args(pt)
+    pt.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser("parse", help="run a dataset parser (offline ETL)")
+    pp.add_argument("--parser", required=True)
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output-dir", required=True)
+    pp.add_argument("--translate", action="store_true")
+    pp.add_argument("--ctx-pool", default=None,
+                    help="file of passages for random context injection")
+    pp.add_argument("--seed", type=int, default=42)
+    pp.set_defaults(fn=cmd_parse)
+
+    pi = sub.add_parser("ingest", help="build the retrieval index")
+    pi.add_argument("--inputs", nargs="+", required=True)
+    pi.add_argument("--text-field", default="doc")
+    pi.add_argument("--index", required=True)
+    pi.add_argument("--db", required=True)
+    pi.add_argument("--encoder", default="tiny", choices=["tiny", "minilm", "mpnet"])
+    pi.add_argument("--tokenizer", default="byte")
+    pi.add_argument("--capacity", type=int, default=1 << 20)
+    pi.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
+    pi.add_argument("--shards", type=int, default=1)
+    pi.add_argument("--chunk-size", type=int, default=512)
+    pi.add_argument("--batch-size", type=int, default=256)
+    pi.add_argument("--max-len", type=int, default=128)
+    pi.add_argument("--seed", type=int, default=42)
+    pi.set_defaults(fn=cmd_ingest)
+
+    ps = sub.add_parser("serve", help="interactive retrieval REPL")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--db", required=True)
+    ps.add_argument("--encoder", default="tiny", choices=["tiny", "minilm", "mpnet"])
+    ps.add_argument("--tokenizer", default="byte")
+    ps.add_argument("--k", type=int, default=5)
+    ps.add_argument("--max-len", type=int, default=128)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.set_defaults(fn=cmd_serve)
+
+    pc = sub.add_parser("chat", help="interactive generation REPL")
+    pc.add_argument("--arch", choices=["causal"], default="causal")
+    pc.add_argument("--model-size", default="tiny",
+                    choices=["tiny", "gpt125m", "pythia410m"])
+    pc.add_argument("--model-config", default=None)
+    pc.add_argument("--init-params", default=None)
+    pc.add_argument("--tokenizer", default="byte")
+    pc.add_argument("--max-len", type=int, default=256)
+    pc.add_argument("--max-new-tokens", type=int, default=128)
+    pc.add_argument("--temperature", type=float, default=0.0)
+    pc.add_argument("--seed", type=int, default=42)
+    pc.set_defaults(fn=cmd_chat)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices and args.platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,8 +54,12 @@ class ByteTokenizer:
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:
+        # ids outside the byte range (e.g. from a model whose vocab is
+        # padded beyond 260) are dropped rather than crashing the decode
         data = bytes(
-            i - self.N_SPECIAL for i in ids if i >= self.N_SPECIAL
+            i - self.N_SPECIAL
+            for i in ids
+            if self.N_SPECIAL <= i < self.vocab_size
         )
         return data.decode("utf-8", errors="replace")
 
