@@ -103,8 +103,27 @@ def batch_encode(
     Static shapes by construction — the TPU-side replacement for the
     reference's dynamic per-batch padding (reference
     src/data/dataloader.py:366-412).  Returns (ids, attention_mask) numpy.
+
+    For ByteTokenizer the hot loop runs in the native C++ codec when
+    available (native/byte_codec.cpp); the Python path below is the
+    reference implementation and fallback.
     """
     import numpy as np
+
+    if isinstance(tok, ByteTokenizer):
+        from ..native import native_batch_encode
+
+        out = native_batch_encode(
+            texts,
+            max_len,
+            pad_id=tok.pad_id,
+            eos_id=tok.eos_id,
+            n_special=tok.N_SPECIAL,
+            add_eos=add_eos,
+            pad_side=pad_side,
+        )
+        if out is not None:
+            return out
 
     ids = np.full((len(texts), max_len), tok.pad_id, np.int32)
     mask = np.zeros((len(texts), max_len), np.int32)
