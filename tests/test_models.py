@@ -185,3 +185,55 @@ def test_generate_eos_stops(causal_setup):
     gen = np.asarray(out[0, 4:])
     assert gen[0] == eos
     assert (gen == eos).all()  # everything after first eos stays eos
+
+
+def test_generate_seq2seq_matches_stepwise():
+    """Cached seq2seq decode must match naive full decoder re-runs."""
+    from vietnamese_qa_system_tpu.models import generate as gen_mod
+
+    cfg = tiny_test("seq2seq")
+    params = seq2seq.init_seq2seq(jax.random.key(0), cfg)
+    ids, mask = _batch(cfg, b=2, t=10, seed=11)
+    out = gen_mod.generate_seq2seq(
+        params, cfg, ids, mask, max_new_tokens=4, temperature=0.0, bos_id=0
+    )
+    assert out.shape == (2, 4)
+
+    # naive reference: grow the decoder input each step
+    enc_out = seq2seq.encode(params, cfg, ids, mask)
+    dec = jnp.zeros((2, 1), jnp.int32)
+    for _ in range(4):
+        logits = seq2seq.decode(params, cfg, dec, enc_out, mask)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        dec = jnp.concatenate([dec, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(dec[:, 1:]))
+
+
+def test_tracing_utilities(tmp_path):
+    from vietnamese_qa_system_tpu.core.tracing import (
+        StepTimer,
+        record_errors,
+        roofline,
+    )
+
+    t = StepTimer(total_steps=10)
+    m = t.update(100)
+    assert m["tokens_per_s"] > 0 and "eta_s" in m
+
+    r = roofline(flops=1e12, bytes_accessed=1e9, seconds=0.01)
+    assert r["bound"] == "compute"
+    r2 = roofline(flops=1e9, bytes_accessed=1e10, seconds=0.01)
+    assert r2["bound"] == "memory"
+
+    err_file = str(tmp_path / "err.json")
+
+    @record_errors(error_file=err_file)
+    def boom():
+        raise RuntimeError("xảy ra lỗi")
+
+    import json as _json
+
+    with pytest.raises(RuntimeError):
+        boom()
+    rec = _json.load(open(err_file))
+    assert rec["type"] == "RuntimeError" and "xảy ra lỗi" in rec["message"]

@@ -100,10 +100,16 @@ def test_pack_blocks():
 def test_native_speedup():
     tok = ByteTokenizer()
     texts = ["đoạn văn tiếng Việt dài vừa phải " * 8] * 2000
-    t0 = time.perf_counter()
-    native_batch_encode(texts, 256)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _py_batch_encode(tok, texts, 256)
-    t_py = time.perf_counter() - t0
+
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = best_of(lambda: native_batch_encode(texts, 256))
+    t_py = best_of(lambda: _py_batch_encode(tok, texts, 256))
+    # generous bound: machine may be loaded; real speedup is ~9x
     assert t_native < t_py, f"native {t_native:.4f}s vs python {t_py:.4f}s"

@@ -65,14 +65,25 @@ def forward(
     rope = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
 
     if cache is None:
+        flash = None
         mask = causal_mask(t)
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, :].astype(jnp.bool_)
+        if cfg.use_flash_attention:
+            # right-padded batches: the (causal & padding) mask is exactly
+            # (kv_lens, causal=True) for the fused kernel
+            lens = (
+                jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+                if attn_mask is not None
+                else jnp.full((b,), t, jnp.int32)
+            )
+            flash = {"kv_lens": lens, "causal": True}
         new_caches = None
         for p_blk in params["blocks"]:
             x, _ = block(
                 p_blk, x, n_heads=cfg.n_heads, mask=mask,
                 rope=rope, positions=positions, eps=cfg.norm_eps,
+                flash=flash,
             )
     else:
         # decode step: keys live in the cache; mask is (B, T, cache_len)

@@ -38,6 +38,9 @@ class ModelConfig:
     norm_eps: float = 1e-6
     tie_embeddings: bool = True
     dropout_rate: float = 0.0  # inference default; trainer may override
+    # fused Pallas attention (ops/attention.py) on the non-cached causal
+    # path — capability of the reference's --use_flash_attention_2 flag
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:

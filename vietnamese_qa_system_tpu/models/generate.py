@@ -105,3 +105,68 @@ def generate(
     )
     out = jnp.concatenate([ids, toks.T], axis=1)
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature", "eos_id")
+)
+def generate_seq2seq(
+    params,
+    cfg: ModelConfig,
+    enc_ids,
+    enc_mask,
+    *,
+    max_new_tokens: int = 32,
+    temperature: float = 0.0,
+    eos_id: int | None = None,
+    bos_id: int = 0,
+    key=None,
+):
+    """Encoder-decoder decode (capability of the reference's seq2seq
+    `generate` eval path, trainer.py:928-949): encode once, then scan
+    decoder steps with a self-attention KV cache; cross-attention reads the
+    fixed encoder output.  Returns (B, max_new_tokens) generated ids."""
+    from . import seq2seq
+
+    b = enc_ids.shape[0]
+    if key is None:
+        key = jax.random.key(0)
+    enc_out = seq2seq.encode(params, cfg, enc_ids, enc_mask)
+
+    total = max_new_tokens + 1  # slot 0 holds BOS
+    cache = _make_cache(cfg, b, total, cfg.decoder_layers)
+    jj = jnp.arange(total)[None, None, :]
+
+    def sample(logits, k):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k, logits / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    def step(carry, step_key):
+        cache, tok, done, idx = carry
+        pos = jnp.broadcast_to(idx[None, None], (b, 1))
+        dec_mask = (jj <= idx).astype(jnp.bool_)  # (1, 1, total) broadcast
+        logits, new_cache = seq2seq.decode(
+            params,
+            cfg,
+            tok[:, None],
+            enc_out,
+            enc_mask,
+            jnp.broadcast_to(dec_mask, (b, 1, total)),
+            positions=pos,
+            cache=cache,
+            cache_index=idx,
+        )
+        nxt = sample(logits[:, 0], step_key)
+        if eos_id is not None:
+            nxt = jnp.where(done, eos_id, nxt)
+            done = done | (nxt == eos_id)
+        return (new_cache, nxt, done, idx + 1), nxt
+
+    tok0 = jnp.full((b,), bos_id, jnp.int32)
+    done0 = jnp.zeros((b,), jnp.bool_)
+    keys = jax.random.split(key, max_new_tokens)
+    _, toks = jax.lax.scan(step, (cache, tok0, done0, jnp.int32(0)), keys)
+    return toks.T

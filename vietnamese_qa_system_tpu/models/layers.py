@@ -117,6 +117,7 @@ def attention(
     positions=None,
     cache=None,
     cache_index=None,
+    flash=None,
 ):
     """Multi-head attention.
 
@@ -148,6 +149,21 @@ def attention(
             cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
         )
         new_cache = {"k": k, "v": v}
+
+    if flash is not None and cache is None and kv_x is None:
+        # fused Pallas path (ops/attention.py); mask semantics are
+        # (causal x right-padded keys) expressed via flash["kv_lens"]
+        from ..ops.attention import flash_attention
+
+        out = flash_attention(
+            q,
+            k,
+            v,
+            kv_lens=flash.get("kv_lens"),
+            causal=flash.get("causal", True),
+        )
+        b_, t_ = out.shape[:2]
+        return dense(p["wo"], out.reshape(b_, t_, -1)), None
 
     head_dim = q.shape[-1]
     logits = jnp.einsum(
@@ -216,6 +232,7 @@ def block(
     cache=None,
     cache_index=None,
     eps: float = 1e-6,
+    flash=None,
 ):
     h, new_cache = attention(
         p["attn"],
@@ -226,6 +243,7 @@ def block(
         positions=positions,
         cache=cache,
         cache_index=cache_index,
+        flash=flash,
     )
     x = x + h
     if enc_out is not None:

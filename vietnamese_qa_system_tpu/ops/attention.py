@@ -1,0 +1,270 @@
+"""Flash attention (Pallas TPU kernel).
+
+Capability of the reference's FlashAttention-2 usage
+(`--use_flash_attention_2`, reference train.py:26 / src/models/trainer.py:527
+and the SDP-kernel autocast context, trainer.py:1011-1012): fused attention
+that never materializes the (Tq, Tk) score matrix in HBM.
+
+Design (standard TPU flash forward):
+- grid = (batch*heads, Tq/BLK_Q, Tk/BLK_K); the Tk dimension is the
+  innermost (sequential) axis, so running max ``m``, normalizer ``l`` and
+  the output accumulator live in VMEM scratch across k-blocks.
+- online softmax with fp32 accumulation; bf16 MXU matmuls.
+- causal masking skips fully-masked k-blocks via ``pl.when`` (no wasted
+  MXU work above the diagonal) and masks the diagonal block elementwise.
+- optional per-row key-padding via ``kv_lens`` (B,) for right-padded
+  batches.
+
+Backward: ``flash_attention`` is wrapped in ``jax.custom_vjp`` whose
+backward recomputes attention blockwise with XLA einsums (memory O(T^2)
+only inside the bwd pass).  A fully fused Pallas backward is a known
+follow-up; at the reference's context lengths (<= ~2k,
+scripts/train*.sh --model_max_length 1024-1256) recompute-bwd is not the
+bottleneck.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _should_interpret(interpret: bool | None) -> bool:
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
+def _fa_kernel(
+    lens_ref,  # (BH, 1) int32 in SMEM: valid kv length per row
+    q_ref,  # (1, BLK_Q, D)
+    k_ref,  # (1, BLK_K, D)
+    v_ref,  # (1, BLK_K, D)
+    o_ref,  # (1, BLK_Q, D)
+    m_scr,  # (BLK_Q, 1) f32
+    l_scr,  # (BLK_Q, 1) f32
+    acc_scr,  # (BLK_Q, D) f32
+    *,
+    blk_q: int,
+    blk_k: int,
+    causal: bool,
+    scale: float,
+):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    # hoisted out of the pl.when branch: program_id / SMEM reads must run
+    # at kernel top level for interpret mode
+    cur_len = lens_ref[pl.program_id(0), 0]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BLK_Q, BLK_K)
+
+        q_pos = iq * blk_q + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, blk_k), 0
+        )
+        k_pos = ik * blk_k + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, blk_k), 1
+        )
+        mask = k_pos < cur_len
+        if causal:
+            mask &= k_pos <= q_pos
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_cur)  # (BLK_Q, BLK_K) f32
+        alpha = jnp.exp(m_prev - m_cur)  # (BLK_Q, 1)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_cur
+
+    if causal:
+        # skip blocks entirely above the diagonal
+        @pl.when(ik * blk_k <= (iq + 1) * blk_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ik == nk - 1)
+    def _emit():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret"),
+)
+def _flash_fwd(q, k, v, kv_lens, *, causal, blk_q, blk_k, scale, interpret):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    grid = (bh, tq // blk_q, tk // blk_k)
+    kernel = functools.partial(
+        _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # whole lens vector in SMEM (tiny); per-bh blocks would violate
+            # Mosaic's min block-shape rules
+            pl.BlockSpec((bh, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq * tk * d,
+            bytes_accessed=2 * bh * (tq + 2 * tk) * d,
+            transcendentals=bh * tq * tk,
+        ),
+        interpret=interpret,
+    )(kv_lens, q, k, v)
+
+
+def _reference_attention(q, k, v, kv_lens, causal, scale):
+    """XLA reference (used for tests and the custom-vjp backward)."""
+    kv_lens = kv_lens.reshape(kv_lens.shape[0])  # accept (BH,) or (BH, 1)
+    s = jnp.einsum(
+        "bqd,bkd->bqk",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    tq, tk = q.shape[1], k.shape[1]
+    k_pos = jnp.arange(tk)[None, None, :]
+    mask = k_pos < kv_lens[:, None, None]
+    if causal:
+        mask &= k_pos <= jnp.arange(tq)[None, :, None]
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k):
+    return _flash_fwd(
+        q, k, v, kv_lens,
+        causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        interpret=_should_interpret(None),
+    )
+
+
+def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k):
+    out = _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k)
+    return out, (q, k, v, kv_lens)
+
+
+def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
+    q, k, v, kv_lens = residuals
+
+    def ref(q, k, v):
+        return _reference_attention(q, k, v, kv_lens, causal, scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g.astype(q.dtype))
+    return dq, dk, dv, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+_BLKQ = 256
+_BLKK = 256
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    *,
+    kv_lens=None,
+    causal: bool = True,
+    scale: float | None = None,
+):
+    """Fused attention over (B, T, H, D) tensors.
+
+    - ``kv_lens`` (B,) int32: valid key length per row (right padding);
+      defaults to full length.
+    - T is padded internally to the block size; outputs are sliced back.
+    Differentiable (recompute backward; see module docstring).
+    """
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), tk, jnp.int32)
+
+    blk_q = min(_BLKQ, max(128, 1 << max(tq - 1, 1).bit_length()))
+    blk_k = min(_BLKK, max(128, 1 << max(tk - 1, 1).bit_length()))
+    pad_q = (-tq) % blk_q
+    pad_k = (-tk) % blk_k
+
+    def to_bh(x, pad):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return (
+            jnp.transpose(x, (0, 2, 1, 3))
+            .reshape(b * h, x.shape[1], d)
+            .astype(jnp.bfloat16)
+        )
+
+    qb = to_bh(q, pad_q)
+    kb = to_bh(k, pad_k)
+    vb = to_bh(v, pad_k)
+    lens = jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(b * h, 1)
+
+    out = _flash_core(qb, kb, vb, lens, causal, scale, blk_q, blk_k)
+    out = out.reshape(b, h, tq + pad_q, d)[:, :, :tq]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def flash_attention_reference(q, k, v, *, kv_lens=None, causal=True, scale=None):
+    """(B, T, H, D) XLA oracle with identical masking semantics."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), tk, jnp.int32)
+    qb = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, tq, d)
+    kb = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, tk, d)
+    vb = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, tk, d)
+    lens = jnp.repeat(kv_lens.astype(jnp.int32), h)
+    out = _reference_attention(qb, kb, vb, lens, causal, scale)
+    return jnp.transpose(out.reshape(b, h, tq, d), (0, 2, 1, 3))
