@@ -1,0 +1,92 @@
+"""HF GPT-NeoX weight-import faithfulness: a randomly initialized tiny
+GPTNeoXForCausalLM (torch, local, no downloads) must produce the same
+logits through this framework's converted pytree."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from vietnamese_qa_system_tpu.models import causal_lm, generate
+from vietnamese_qa_system_tpu.models.convert_hf import (
+    convert_gpt_neox,
+    neox_config,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_neox():
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=256,
+        max_position_embeddings=64,
+        rotary_pct=0.25,
+        use_parallel_residual=True,
+        tie_word_embeddings=False,
+        layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    model = transformers.GPTNeoXForCausalLM(cfg).eval()
+    return model, cfg
+
+
+def test_logits_match_transformers(tiny_neox):
+    model, hf_cfg = tiny_neox
+    cfg = neox_config(hf_cfg)
+    assert cfg.parallel_residual and cfg.rope_pct == 0.25
+    params = convert_gpt_neox(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32)
+        ),
+        np.float32,
+    )
+    # bf16 matmuls vs torch fp32: compare top-1 agreement + loose values
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_generation_matches_transformers_greedy(tiny_neox):
+    model, hf_cfg = tiny_neox
+    cfg = neox_config(hf_cfg)
+    params = convert_gpt_neox(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, hf_cfg.vocab_size, (1, 8)).astype(np.int64)
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids), max_new_tokens=6, do_sample=False
+        ).numpy()
+    ours = np.asarray(
+        generate.generate(
+            params,
+            cfg,
+            jnp.asarray(ids, jnp.int32),
+            jnp.ones((1, 8), jnp.int32),
+            max_new_tokens=6,
+            temperature=0.0,
+        )
+    )
+    # greedy chains can diverge after one low-margin step; require the
+    # first steps to agree exactly
+    np.testing.assert_array_equal(ours[0, 8:11], hf_out[0, 8:11])
+
+
+def test_missing_weight_raises(tiny_neox):
+    model, hf_cfg = tiny_neox
+    cfg = neox_config(hf_cfg)
+    sd = dict(model.state_dict())
+    sd.pop("gpt_neox.embed_in.weight")
+    with pytest.raises(KeyError, match="embed_in"):
+        convert_gpt_neox(sd, cfg)

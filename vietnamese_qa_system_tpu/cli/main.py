@@ -280,13 +280,21 @@ def _gen_batches(dl, examples, tok, args):
 
 
 def load_converted_params(path: str, model_cfg):
-    """Load params from a checkpoint dir (step_N/state.npz) or a converted
-    flat .npz (models/convert_hf.py output)."""
+    """Load params from a framework checkpoint dir (step_N/state.npz), a
+    flat .npz, or a LOCAL HF GPT-NeoX model directory (config.json with
+    model_type gpt_neox — converted via models/convert_hf.py)."""
     from ..train.checkpoint import CheckpointManager
     from ..train.trainer import init_model_params
 
     import jax
 
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json")):
+        with open(os.path.join(path, "config.json")) as f:
+            if json.load(f).get("model_type") == "gpt_neox":
+                from ..models.convert_hf import load_gpt_neox
+
+                params, _ = load_gpt_neox(path)
+                return params
     target = init_model_params(model_cfg, jax.random.key(0))
     if os.path.isdir(path):
         mgr = CheckpointManager(path)

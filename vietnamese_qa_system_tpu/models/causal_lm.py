@@ -62,7 +62,9 @@ def forward(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = params["tok_embed"][ids]
-    rope = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    rot = int(cfg.head_dim * cfg.rope_pct)
+    rot -= rot % 2
+    rope = rope_frequencies(rot, cfg.max_seq_len, cfg.rope_theta)
 
     if cache is None:
         flash = None
@@ -83,7 +85,7 @@ def forward(
             x, _ = block(
                 p_blk, x, n_heads=cfg.n_heads, mask=mask,
                 rope=rope, positions=positions, eps=cfg.norm_eps,
-                flash=flash,
+                flash=flash, parallel_residual=cfg.parallel_residual,
             )
     else:
         # decode step: keys live in the cache; mask is (B, T, cache_len)
@@ -94,6 +96,7 @@ def forward(
                 p_blk, x, n_heads=cfg.n_heads, mask=mask,
                 rope=rope, positions=positions,
                 cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
+                parallel_residual=cfg.parallel_residual,
             )
             new_caches.append(nc)
 

@@ -41,6 +41,13 @@ class ModelConfig:
     # fused Pallas attention (ops/attention.py) on the non-cached causal
     # path — capability of the reference's --use_flash_attention_2 flag
     use_flash_attention: bool = False
+    # GPT-NeoX-style (pythia) architecture knobs, enabling faithful import
+    # of the reference's pythia-410m family (scripts/train_test.sh):
+    # x + attn(ln1(x)) + mlp(ln2(x)) instead of sequential residuals
+    parallel_residual: bool = False
+    # fraction of head_dim that RoPE rotates (NeoX rotary_pct, e.g. 0.25)
+    rope_pct: float = 1.0
+    norm: str = "layernorm"  # reserved for future rmsnorm variants
 
     @property
     def head_dim(self) -> int:
@@ -95,8 +102,12 @@ def gpt_125m_class() -> ModelConfig:
 
 
 def pythia_410m_class() -> ModelConfig:
-    """pythia-410m class decoder (reference scripts/train_test.sh)."""
+    """pythia-410m class decoder (reference scripts/train_test.sh) —
+    faithful GPT-NeoX layout (parallel residual, rotary_pct=0.25,
+    untied head), so real pythia weights import via models/convert_hf.py."""
     return ModelConfig(
         arch="causal", vocab_size=50304, d_model=1024, n_heads=16,
         n_layers=24, d_ff=4096, max_seq_len=2048,
+        parallel_residual=True, rope_pct=0.25, tie_embeddings=False,
+        norm_eps=1e-5,
     )

@@ -76,14 +76,22 @@ def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0):
 
 
 def apply_rope(x, cos, sin, positions):
-    """x: (B, T, H, Dh); positions: (B, T) int32 absolute positions."""
-    cos_t = cos[positions][:, :, None, :]  # (B, T, 1, Dh/2)
+    """x: (B, T, H, Dh); positions: (B, T) int32 absolute positions.
+
+    Rotates only the first ``2 * cos.shape[-1]`` feature dims (partial
+    rotary, GPT-NeoX rotary_pct); the rest pass through unchanged.
+    """
+    rot = 2 * cos.shape[-1]
+    x_rot, x_pass = x[..., :rot], x[..., rot:]
+    cos_t = cos[positions][:, :, None, :]  # (B, T, 1, rot/2)
     sin_t = sin[positions][:, :, None, :]
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    x1, x2 = jnp.split(x_rot.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate(
         [x1 * cos_t - x2 * sin_t, x2 * cos_t + x1 * sin_t], axis=-1
-    )
-    return out.astype(x.dtype)
+    ).astype(x.dtype)
+    if x_pass.shape[-1]:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
 
 
 # -----------------------------------------------------------------------------
@@ -233,6 +241,7 @@ def block(
     cache_index=None,
     eps: float = 1e-6,
     flash=None,
+    parallel_residual: bool = False,
 ):
     h, new_cache = attention(
         p["attn"],
@@ -245,6 +254,10 @@ def block(
         cache_index=cache_index,
         flash=flash,
     )
+    if parallel_residual:
+        # GPT-NeoX style: x + attn(ln1(x)) + mlp(ln2(x))
+        m = mlp(p["mlp"], layernorm(p["ln2"], x, eps))
+        return x + h + m, new_cache
     x = x + h
     if enc_out is not None:
         h, _ = attention(
