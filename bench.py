@@ -35,17 +35,28 @@ def main() -> None:
     np.asarray(jnp.sum(corpus[::4096, 0]))  # materialize
 
     # --- TPU fused engine ---------------------------------------------------
-    def run():
-        return matmul_topk(q, corpus, K, tile_n=TILE)
+    # All reps run inside ONE dispatch (lax.scan over query batches):
+    # per-call host->device round-trips through the tunnel would otherwise
+    # dominate the measurement.
+    reps, rounds = 10, 3
+    qs = jax.random.normal(kq, (reps, B, D), jnp.bfloat16)
 
-    np.asarray(run()[0])  # compile + settle
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run()
-    np.asarray(out[0])
-    np.asarray(out[1])
-    tpu_dt = (time.perf_counter() - t0) / reps
+    @jax.jit
+    def run_many(qs, corpus):
+        def body(_, qb):
+            s, i = matmul_topk(qb, corpus, K, tile_n=TILE)
+            return 0, (s[0, 0], i[0, 0])
+
+        _, outs = jax.lax.scan(body, 0, qs)
+        return outs
+
+    np.asarray(run_many(qs, corpus)[0])  # compile + settle
+    tpu_dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = run_many(qs, corpus)
+        np.asarray(out[0])
+        tpu_dt = min(tpu_dt, (time.perf_counter() - t0) / reps)
     tpu_qps = B / tpu_dt
 
     # --- recall gate vs on-device exact oracle (64 queries) -----------------
@@ -72,11 +83,12 @@ def main() -> None:
         return np.take_along_axis(idx, order, axis=1)
 
     cpu_run()  # warm
-    t0 = time.perf_counter()
-    cpu_reps = 3
-    for _ in range(cpu_reps):
+    cpu_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
         cpu_run()
-    cpu_dt = (time.perf_counter() - t0) / cpu_reps * (N / n_cpu)  # scale O(N)
+        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+    cpu_dt *= N / n_cpu  # brute force is O(N): scale the 100k slice to 1M
     cpu_qps = B / cpu_dt
 
     result = {

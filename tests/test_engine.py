@@ -32,7 +32,7 @@ def _recall(ids, ref_ids):
 
 
 @pytest.mark.parametrize("n_shards", [1, 4])
-@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
 def test_store_topk_matches_bruteforce(rng, n_shards, dtype):
     mesh = create_mesh({SHARD_AXIS: n_shards}, devices=jax.devices()[:n_shards])
     store = VectorStore(2048, 128, mesh=mesh, dtype=dtype, tile_n=256)
@@ -52,7 +52,7 @@ def test_store_topk_matches_bruteforce(rng, n_shards, dtype):
     if dtype == "bf16":
         assert rec >= 0.99, f"bf16 sharded recall {rec}"
     else:
-        assert rec >= 0.9, f"int8 sharded recall {rec}"
+        assert rec >= 0.9, f"{dtype} sharded recall {rec}"
 
 
 def test_store_streaming_adds_arbitrary_sizes(rng):

@@ -132,3 +132,23 @@ def test_odd_batch_auto_pads(rng):
         q.astype(jnp.bfloat16), c.astype(jnp.bfloat16), 7
     )
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_int8_global_scale_recall(rng):
+    """Global-scale int8 (deferred scaling, raw int32 kernel compare) must
+    hold recall on L2-normalized embeddings."""
+    from vietnamese_qa_system_tpu.ops.quant import quantize_int8_global
+
+    b, n, d, k = 16, 2048, 256, 10
+    q, c = _make(rng, b, n, d)
+    c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    cq, gscale = quantize_int8_global(c)
+    s, i = matmul_topk(q, cq, k, corpus_scales=gscale, tile_n=512)
+    _, i_ref = matmul_topk_reference(q, c, k)
+    i, i_ref = np.asarray(i), np.asarray(i_ref)
+    recall = np.mean([len(set(i[r]) & set(i_ref[r])) / k for r in range(b)])
+    assert recall >= 0.9, f"int8-global recall@10 too low: {recall}"
+    # scores approximate the true inner products
+    s_ref, _ = matmul_topk_reference(q, c, k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=0.05)

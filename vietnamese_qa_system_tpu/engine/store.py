@@ -59,8 +59,10 @@ class VectorStore:
         dtype: str = "bf16",
         tile_n: int = 2048,
     ):
-        if dtype not in ("bf16", "int8"):
-            raise ValueError(f"dtype must be bf16 or int8, got {dtype!r}")
+        if dtype not in ("bf16", "int8", "int8_global"):
+            raise ValueError(
+                f"dtype must be bf16, int8 or int8_global, got {dtype!r}"
+            )
         self.mesh = (
             mesh
             if mesh is not None
@@ -81,6 +83,11 @@ class VectorStore:
         self._tail = np.zeros((0, dim), np.float32)  # < S pending re-write rows
 
         vec_dt = jnp.bfloat16 if dtype == "bf16" else jnp.int8
+        # int8_global: one scalar scale for the whole index, calibrated on
+        # the first add (abs-max * margin) — lets the kernel compare raw
+        # int32 scores with all scaling deferred (ops/quant.py
+        # quantize_int8_global).
+        self.global_scale: float | None = None
         self._vec_sharding = NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
         self._scale_sharding = NamedSharding(self.mesh, P(SHARD_AXIS, None))
         self.vectors = jax.device_put(
@@ -132,6 +139,14 @@ class VectorStore:
             sblock = qs.reshape(s, rows)
             self.vectors = _write_block(self.vectors, qblock, row_base)
             self.scales = _write_scales(self.scales, sblock, row_base)
+        elif self.dtype == "int8_global":
+            if self.global_scale is None:
+                absmax = float(np.abs(padded).max())
+                self.global_scale = max(absmax, 1e-12) * 1.25 / 127.0
+            q = jnp.clip(
+                jnp.round(block / self.global_scale), -127, 127
+            ).astype(jnp.int8)
+            self.vectors = _write_block(self.vectors, q, row_base)
         else:
             self.vectors = _write_block(
                 self.vectors, block.astype(jnp.bfloat16), row_base
@@ -154,7 +169,7 @@ class VectorStore:
         if self.size < k:
             raise ValueError(f"store has {self.size} < k={k} vectors")
         b = queries.shape[0]
-        key = (b, k)
+        key = (b, k, self.global_scale)
         if key not in self._query_cache:
             self._query_cache[key] = self._build_query_fn(k)
         q = jnp.asarray(queries, jnp.float32)
@@ -167,11 +182,18 @@ class VectorStore:
         tile_n = self.tile_n
         is_int8 = self.dtype == "int8"
 
+        g_scale = self.global_scale if self.dtype == "int8_global" else None
+
         def local(q, vecs, scales, size):
             shard = jax.lax.axis_index(s_axis)
             valid = (size - shard + n_shards - 1) // n_shards
             v = vecs[0]  # (cap, D) local slab
-            sc = scales[0] if is_int8 else None
+            if g_scale is not None:
+                sc = jnp.float32(g_scale)
+            elif is_int8:
+                sc = scales[0]
+            else:
+                sc = None
             scores, slots = matmul_topk(
                 q, v, k, corpus_scales=sc, valid_n=valid, tile_n=tile_n
             )
@@ -221,6 +243,7 @@ class VectorStore:
             "size": self.size,
             "n_shards": self.n_shards,
             "tile_n": self.tile_n,
+            "global_scale": self.global_scale,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -250,6 +273,7 @@ class VectorStore:
                 in_order[g] = flat[g % n_old, g // n_old]
             store.add(in_order)
             return store
+        store.global_scale = meta.get("global_scale")
         vec_dt = jnp.bfloat16 if meta["dtype"] == "bf16" else jnp.int8
         store.vectors = jax.device_put(
             jnp.asarray(flat).astype(vec_dt), store._vec_sharding

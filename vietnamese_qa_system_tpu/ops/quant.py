@@ -85,3 +85,18 @@ def quantize_int8_reference(x):
     scale = jnp.maximum(absmax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return q, scale.reshape(-1)
+
+
+def quantize_int8_global(x):
+    """Single-scale symmetric quantization: ``x ≈ q * scale`` with one
+    scalar scale for the whole matrix.
+
+    For L2-NORMALIZED embeddings per-vector absmax varies little, and a
+    global scale lets the top-k kernel compare RAW int32 dot products
+    (scaling deferred outside the kernel entirely — no per-column
+    broadcast on the hot path).  Returns (q (N, D) int8, scale () f32).
+    """
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale

@@ -50,6 +50,13 @@ LANES = 128
 _BIG_I32 = 2**30  # sentinel larger than any global index
 
 
+def _neg(dtype):
+    """Smallest representable value for f32/int32 score dtypes."""
+    if jnp.issubdtype(dtype, jnp.floating):
+        return NEG_INF
+    return jnp.iinfo(dtype).min
+
+
 def _should_interpret(interpret: bool | None) -> bool:
     if interpret is not None:
         return interpret
@@ -65,19 +72,22 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _scan_buckets(scores, n_slices: int, base: int, lane):
+def _scan_buckets(scores, n_slices: int, base: int, lane, slice_prep=None):
     """Elementwise scan over 128-lane slices of `scores` (B, n_slices*128).
 
     Returns per-lane-bucket (max1, gidx1, max2, gidx2), each (B, 128).
     Bucket for lane l = columns {l, l+128, l+2*128, ...} of the tile.
     Strict `>` keeps the lowest slice id on ties (lowest global index).
+    ``slice_prep`` (e.g. an int32->f32 cast) is applied per 128-lane slice
+    so it fuses with the scan instead of materializing a full-width pass.
     """
-    m1 = scores[:, :LANES]
+    prep = slice_prep or (lambda v: v)
+    m1 = prep(scores[:, :LANES])
     i1 = jnp.zeros_like(lane)
-    m2 = jnp.full_like(m1, NEG_INF)
+    m2 = jnp.full_like(m1, _neg(m1.dtype))
     i2 = jnp.zeros_like(lane)
     for c in range(1, n_slices):
-        v = scores[:, c * LANES : (c + 1) * LANES]
+        v = prep(scores[:, c * LANES : (c + 1) * LANES])
         gt1 = v > m1
         gt2 = v > m2
         m2 = jnp.where(gt1, m1, jnp.where(gt2, v, m2))
@@ -95,11 +105,12 @@ def _extract_rounds(best_v, best_i, m1, g1, m2, g2, k: int, col):
     best_v/best_i: running (B, 128) top list (lanes >= k are -inf / -1).
     Returns new (B, 128) best_v/best_i with the top-k in lanes [0, k).
     """
+    neg = _neg(best_v.dtype)
     cand_v = jnp.concatenate([best_v, m1], axis=1)  # (B, 256)
     cand_i = jnp.concatenate([best_i, g1], axis=1)
-    sec_v = jnp.concatenate([jnp.full_like(best_v, NEG_INF), m2], axis=1)
+    sec_v = jnp.concatenate([jnp.full_like(best_v, neg), m2], axis=1)
     sec_i = jnp.concatenate([jnp.full_like(best_i, -1), g2], axis=1)
-    acc_v = jnp.full_like(best_v, NEG_INF)
+    acc_v = jnp.full_like(best_v, neg)
     acc_i = jnp.full_like(best_i, -1)
     for r in range(k):
         m = jnp.max(cand_v, axis=1, keepdims=True)  # (B, 1)
@@ -112,35 +123,51 @@ def _extract_rounds(best_v, best_i, m1, g1, m2, g2, k: int, col):
         acc_i = jnp.where(col == r, pos, acc_i)
         cand_v = jnp.where(chosen, sec_v, cand_v)
         cand_i = jnp.where(chosen, sec_i, cand_i)
-        sec_v = jnp.where(chosen, NEG_INF, sec_v)
+        sec_v = jnp.where(chosen, neg, sec_v)
     return acc_v, acc_i
 
 
-def _merge_tile(scores, t, best_v_ref, best_i_ref, *, k, tile_n, valid_n):
+def _merge_tile(
+    scores, t, best_v_ref, best_i_ref, *, k, tile_n, valid_n, slice_prep=None
+):
     """Shared per-tile body: mask padding, bucket-scan, k-round extraction.
 
     ``valid_n`` may be a python int or a traced scalar (SMEM-prefetched), so
-    the store size can change without recompiling the kernel."""
+    the store size can change without recompiling the kernel.  Fully valid
+    tiles (all but at most the last) skip the O(B*tile_n) padding mask via
+    a predicated dual path.
+    """
     b = scores.shape[0]
     n_slices = tile_n // LANES
     base = t * tile_n
-
-    col_tile = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    scores = jnp.where(col_tile + base < valid_n, scores, NEG_INF)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
-    m1, g1, m2, g2 = _scan_buckets(scores, n_slices, base, lane)
-    new_v, new_i = _extract_rounds(
-        best_v_ref[:], best_i_ref[:], m1, g1, m2, g2, k, lane
-    )
-    best_v_ref[:] = new_v
-    best_i_ref[:] = new_i
+
+    def merge(scores_in):
+        m1, g1, m2, g2 = _scan_buckets(scores_in, n_slices, base, lane, slice_prep)
+        new_v, new_i = _extract_rounds(
+            best_v_ref[:], best_i_ref[:], m1, g1, m2, g2, k, lane
+        )
+        best_v_ref[:] = new_v
+        best_i_ref[:] = new_i
+
+    is_partial = base + tile_n > valid_n
+
+    @pl.when(jnp.logical_not(is_partial))
+    def _full():
+        merge(scores)
+
+    @pl.when(is_partial)
+    def _partial():
+        col_tile = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+        merge(jnp.where(col_tile + base < valid_n, scores, _neg(scores.dtype)))
 
 
 def _init_best(t, best_v_ref, best_i_ref):
     @pl.when(t == 0)
     def _():
-        best_v_ref[:] = jnp.full(best_v_ref.shape, NEG_INF, best_v_ref.dtype)
+        best_v_ref[:] = jnp.full(
+            best_v_ref.shape, _neg(best_v_ref.dtype), best_v_ref.dtype
+        )
         best_i_ref[:] = jnp.full(best_i_ref.shape, -1, best_i_ref.dtype)
 
 
@@ -197,6 +224,31 @@ def _fast_kernel_int8(
     )
     scores = acc.astype(jnp.float32) * qscale_ref[:] * cscale_ref[:]
     _merge_tile(scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n)
+    _emit(t, out_s_ref, out_i_ref, best_v, best_i)
+
+
+def _fast_kernel_int8_global(
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, best_v, best_i, *, k, tile_n
+):
+    """Global-scale int8: RAW int32 dot products are order-preserving when
+    one scalar scale covers the corpus and query scales are per-row, so all
+    scaling is deferred outside the kernel (see quantize_int8_global)."""
+    t = pl.program_id(0)
+    valid_n = valid_ref[0, 0]
+    _init_best(t, best_v, best_i)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # cast fuses into the per-slice scan (f32 selection is much faster on
+    # the VPU than int32, and a full-width cast pass is what made the
+    # naive version slow)
+    _merge_tile(
+        scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n,
+        slice_prep=lambda v: v.astype(jnp.float32),
+    )
     _emit(t, out_s_ref, out_i_ref, best_v, best_i)
 
 
@@ -360,6 +412,47 @@ def _matmul_topk_int8(
     return out_s[:, :k], out_i[:, :k]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret")
+)
+def _matmul_topk_int8_global(
+    queries, corpus, valid_n, *, k, tile_n, interpret
+):
+    b, d = queries.shape
+    n = corpus.shape[0]
+    grid = (n // tile_n,)
+    valid_arr = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_fast_kernel_int8_global, k=k, tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d + b * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus, valid_arr)
+    return out_s[:, :k], out_i[:, :k]
+
+
 def matmul_topk(
     queries,
     corpus,
@@ -424,17 +517,26 @@ def matmul_topk(
         qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
         qscale = jnp.maximum(qmax, 1e-12) / 127.0
         q_i8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
-        cscales = corpus_scales.astype(jnp.float32).reshape(1, n_pad)
-        s, i = _matmul_topk_int8(
-            q_i8,
-            qscale,
-            corpus,
-            cscales,
-            k=k,
-            tile_n=tile_n,
-            valid_n=valid_n,
-            interpret=interp,
-        )
+        cs = jnp.asarray(corpus_scales, jnp.float32)
+        if cs.ndim == 0:
+            # global scale (quantize_int8_global): raw int32 scores in the
+            # kernel, all scaling applied here on the tiny (B, k) output
+            s_raw, i = _matmul_topk_int8_global(
+                q_i8, corpus, valid_n, k=k, tile_n=tile_n, interpret=interp
+            )
+            s = s_raw.astype(jnp.float32) * qscale[: q_i8.shape[0]] * cs
+        else:
+            cscales = cs.reshape(1, n_pad)
+            s, i = _matmul_topk_int8(
+                q_i8,
+                qscale,
+                corpus,
+                cscales,
+                k=k,
+                tile_n=tile_n,
+                valid_n=valid_n,
+                interpret=interp,
+            )
     else:
         q = queries.astype(jnp.bfloat16)
         c = corpus if corpus.dtype == jnp.bfloat16 else corpus.astype(jnp.bfloat16)
