@@ -165,3 +165,41 @@ def test_dual_agreement_threshold():
     a2 = [[SearchResult(5, 0.1)]]
     b2 = [[SearchResult(5, 0.2)]]
     assert dual_agreement(a2, b2, threshold=0.4) == [None]
+
+
+def test_qa_pipeline_end_to_end(rng):
+    """Full system: ingest docs -> retrieve -> RAG prompt -> reader
+    generation; low-score queries get a refusal."""
+    from vietnamese_qa_system_tpu.engine import IngestPipeline, QAPipeline
+    from vietnamese_qa_system_tpu.models import causal_lm
+
+    enc_cfg = tiny_test("encoder")
+    enc_params = encoder.init_encoder(jax.random.key(0), enc_cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(1024, enc_cfg.d_model, tile_n=128)
+    docstore = DocStore()
+    pipe = IngestPipeline(enc_params, enc_cfg, tok, store, docstore,
+                          batch_size=8, max_len=48)
+    docs = [f"tài liệu {i}: thông tin về chủ đề {i}" for i in range(16)]
+    pipe.add_texts(docs)
+    retriever = Retriever(enc_params, enc_cfg, tok, store, docstore,
+                          max_len=48, query_batch=8)
+
+    reader_cfg = tiny_test("causal")
+    reader_params = causal_lm.init_causal_lm(jax.random.key(1), reader_cfg)
+    qa = QAPipeline(retriever, reader_params, reader_cfg, tok,
+                    k=2, min_score=0.2, max_prompt_len=256, max_new_tokens=4)
+    out = qa.answer([docs[3], docs[9]])
+    assert len(out) == 2
+    for ans in out:
+        assert not ans.refused
+        assert ans.contexts and ans.answer is not None
+    # exact self-match retrieves itself as the top context
+    assert out[0].contexts[0] == docs[3]
+
+    # refusal path: impossible threshold
+    qa_strict = QAPipeline(retriever, reader_params, reader_cfg, tok,
+                           k=2, min_score=10.0, max_new_tokens=4)
+    refused = qa_strict.answer(["câu hỏi nào đó"])[0]
+    assert refused.refused and refused.contexts == []
+    assert "câu hỏi nào đó" in refused.answer  # refusal names the question

@@ -389,6 +389,34 @@ def cmd_serve(args) -> int:
     store = VectorStore.load(args.index)
     docstore = DocStore(args.db)
     retriever = Retriever(params, cfg, tok, store, docstore, max_len=args.max_len)
+
+    qa = None
+    if args.reader_size:
+        # full QA loop: retrieve + generate (engine/qa.py)
+        from ..engine import QAPipeline
+        from ..models import config as mcfg
+        from ..train.trainer import init_model_params
+
+        presets_r = {
+            "tiny": lambda: mcfg.tiny_test("causal"),
+            "gpt125m": mcfg.gpt_125m_class,
+            "pythia410m": mcfg.pythia_410m_class,
+        }
+        rcfg = presets_r[args.reader_size]()
+        import dataclasses as _dc
+
+        if tok.vocab_size > rcfg.vocab_size:
+            rcfg = _dc.replace(rcfg, vocab_size=tok.vocab_size)
+        if args.reader_params:
+            rparams = load_converted_params(args.reader_params, rcfg)
+        else:
+            rparams = init_model_params(rcfg, jax.random.key(args.seed + 1))
+            dist_print("(no --reader-params: answering with RANDOM weights)")
+        qa = QAPipeline(
+            retriever, rparams, rcfg, tok,
+            k=args.k, min_score=args.min_score,
+        )
+
     dist_print(f"index: {store.size} vectors; type a query (empty line quits)")
     while True:
         try:
@@ -397,6 +425,13 @@ def cmd_serve(args) -> int:
             break
         if not query:
             break
+        if qa is not None:
+            ans = qa.answer([query])[0]
+            tag = "(refused)" if ans.refused else ""
+            print(f"answer{tag}> {ans.answer}")
+            for rank, (doc, score) in enumerate(zip(ans.contexts, ans.scores)):
+                print(f"  ctx {rank + 1}. score={score:.3f} {doc[:120]}")
+            continue
         results = retriever.search([query], k=args.k)[0]
         for rank, r in enumerate(results):
             doc = (r.doc or "")[:160].replace("\n", " ")
@@ -532,6 +567,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--k", type=int, default=5)
     ps.add_argument("--max-len", type=int, default=128)
     ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--reader-size", default=None,
+                    choices=["tiny", "gpt125m", "pythia410m"],
+                    help="enable full QA: retrieve + generate with a reader LM")
+    ps.add_argument("--reader-params", default=None)
+    ps.add_argument("--min-score", type=float, default=0.2)
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

@@ -3,6 +3,7 @@ from .docstore import DocStore
 from .chunking import chunk_text
 from .ingest import IngestPipeline
 from .query import Retriever, SearchResult, dual_agreement
+from .qa import QAAnswer, QAPipeline
 
 __all__ = [
     "VectorStore",
@@ -12,4 +13,6 @@ __all__ = [
     "Retriever",
     "SearchResult",
     "dual_agreement",
+    "QAPipeline",
+    "QAAnswer",
 ]

@@ -1,0 +1,129 @@
+"""End-to-end QA: retrieve → RAG prompt → reader generation.
+
+The reference ships the two halves separately (the retrieval pipeline in
+inference_pipeline/ and the trained reader via the chat script
+src/models/model_utils/ds_inference.py; src/test.py:106-147 sketches the
+combined loop with an mt5 reader).  This module is the assembled system:
+batched retrieval over the TPU index, prompt assembly with the template
+bank's [CTX i] format (the same format training data uses, so a model
+fine-tuned with this framework sees matching prompts), KV-cache batch
+generation, and a score threshold that routes low-confidence retrievals to
+a refusal (capability of the dual-encoder accept rule,
+heavy_ranker.py:110-115 — also available directly via
+engine.dual_agreement for two-retriever setups).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..data.schemas import QAExample, QUESTION_PREFIX, RESPONSE_PREFIX
+from ..data.templates import DEFAULT_BANK
+from ..data.tokenizer import batch_encode
+from ..models import generate as gen_mod
+from .query import Retriever
+
+
+@dataclasses.dataclass
+class QAAnswer:
+    question: str
+    answer: Optional[str]
+    contexts: list[str]
+    scores: list[float]
+    refused: bool = False
+
+
+class QAPipeline:
+    def __init__(
+        self,
+        retriever: Retriever,
+        reader_params,
+        reader_cfg,
+        reader_tokenizer,
+        *,
+        k: int = 3,
+        min_score: float = 0.2,
+        max_prompt_len: int = 512,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ):
+        self.retriever = retriever
+        self.params = reader_params
+        self.cfg = reader_cfg
+        self.tok = reader_tokenizer
+        self.k = k
+        self.min_score = min_score
+        self.max_prompt_len = max_prompt_len
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.rng = random.Random(seed)
+
+    def _build_prompt(self, question: str, contexts: Sequence[str]) -> str:
+        context = QAExample.flatten_docs(list(contexts))
+        body = DEFAULT_BANK.render_random(
+            "prompt", self.rng, question=question, context=context
+        )
+        return f"{QUESTION_PREFIX}\n{body}\n\n{RESPONSE_PREFIX}\n"
+
+    def answer(self, questions: Sequence[str]) -> list[QAAnswer]:
+        hits = self.retriever.search(questions, k=self.k)
+        prompts, metas = [], []
+        for question, row in zip(questions, hits):
+            kept = [r for r in row if r.score >= self.min_score and r.doc]
+            if not kept:
+                metas.append(
+                    QAAnswer(
+                        question,
+                        DEFAULT_BANK.render_random(
+                            "no_answer", self.rng, question=question
+                        ),
+                        [],
+                        [r.score for r in row],
+                        refused=True,
+                    )
+                )
+                prompts.append(None)
+                continue
+            metas.append(
+                QAAnswer(
+                    question,
+                    None,
+                    [r.doc for r in kept],
+                    [r.score for r in kept],
+                )
+            )
+            prompts.append(self._build_prompt(question, [r.doc for r in kept]))
+
+        live = [i for i, p in enumerate(prompts) if p is not None]
+        if live:
+            ids, mask = batch_encode(
+                self.tok,
+                [prompts[i] for i in live],
+                self.max_prompt_len,
+                pad_side="left",
+            )
+            out = gen_mod.generate(
+                self.params,
+                self.cfg,
+                np.asarray(ids),
+                np.asarray(mask),
+                max_new_tokens=self.max_new_tokens,
+                temperature=self.temperature,
+                eos_id=self.tok.eos_id,
+            )
+            out = np.asarray(out)
+            for row_idx, i in enumerate(live):
+                completion = self.tok.decode(
+                    [
+                        t
+                        for t in out[row_idx, ids.shape[1]:]
+                        if t not in (self.tok.pad_id, self.tok.eos_id)
+                    ]
+                )
+                metas[i].answer = completion.strip()
+        return metas
