@@ -101,3 +101,37 @@ def test_cli_chat_smoke(monkeypatch, capsys):
     rc = main(["chat", "--max-new-tokens", "4", "--max-len", "32"])
     assert rc == 0
     assert "model>" in capsys.readouterr().out
+
+
+def test_cli_convert_ckpt(dataset, tmp_path):
+    """train with LoRA -> convert-ckpt to HF dir -> loadable by transformers."""
+    raw, _ = dataset
+    parsed = tmp_path / "p"
+    main(["parse", "--parser", "alpaca", "--input", str(raw), "--output-dir", str(parsed)])
+    rc = main(
+        [
+            "train",
+            "--train-files", str(parsed / "AlpacaParser.jsonl"),
+            "--epochs", "1", "--batch-size", "4", "--max-steps", "2",
+            "--max-len", "256", "--use-lora",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--mesh", '{"data": 1}',
+        ]
+    )
+    assert rc == 0
+    rc = main(
+        [
+            "convert-ckpt",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--out-dir", str(tmp_path / "exported"),
+            "--use-lora", "--format", "hf",
+        ]
+    )
+    assert rc == 0
+    import transformers
+
+    model = transformers.AutoModelForCausalLM.from_pretrained(
+        str(tmp_path / "exported")
+    )
+    assert model.config.model_type == "gpt_neox"

@@ -90,3 +90,24 @@ def test_missing_weight_raises(tiny_neox):
     sd.pop("gpt_neox.embed_in.weight")
     with pytest.raises(KeyError, match="embed_in"):
         convert_gpt_neox(sd, cfg)
+
+
+def test_export_roundtrip(tiny_neox, tmp_path):
+    """our params -> HF export dir -> reload via transformers -> logits
+    match the original HF model (full round trip)."""
+    model, hf_cfg = tiny_neox
+    cfg = neox_config(hf_cfg)
+    params = convert_gpt_neox(model.state_dict(), cfg)
+
+    from vietnamese_qa_system_tpu.models.convert_hf import export_gpt_neox
+
+    out_dir = str(tmp_path / "exported")
+    export_gpt_neox(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+
+    rng = np.random.default_rng(3)
+    ids = torch.from_numpy(rng.integers(0, hf_cfg.vocab_size, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        l1 = model(ids).logits.numpy()
+        l2 = reloaded(ids).logits.numpy()
+    np.testing.assert_allclose(l1, l2, atol=1e-5)

@@ -159,6 +159,7 @@ def test_checkpoint_resume(tmp_path):
     "strategy,axes",
     [
         ("dp", {"data": 8}),
+        ("zero2", {"data": 8}),
         ("fsdp", {"data": 8}),
         ("tp", {"model": 8}),
         ("fsdp_tp", {"data": 2, "model": 4}),
@@ -182,4 +183,41 @@ def test_sharded_train_step(tmp_path, strategy, axes):
     # params remain finite under sharded update
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state["params"])
+    )
+
+
+def test_zero2_shards_optimizer_state_only(tmp_path):
+    """ZeRO-2 capability: params replicated, optimizer moments sharded."""
+    cfg = TrainConfig(
+        model=tiny_test("causal"),
+        strategy="zero2",
+        mesh_axes={"data": 8},
+        log_dir=str(tmp_path),
+    )
+    trainer = Trainer(cfg, total_steps=2)
+    for leaf in jax.tree.leaves(trainer.state["params"]):
+        assert leaf.sharding.is_fully_replicated
+    opt_leaves = [
+        x for x in jax.tree.leaves(trainer.state["opt_state"])
+        if hasattr(x, "sharding") and x.ndim >= 2 and x.shape[0] % 8 == 0
+    ]
+    assert opt_leaves, "no shardable optimizer leaves found"
+    assert any(not x.sharding.is_fully_replicated for x in opt_leaves), (
+        "zero2 must shard optimizer state across the data axis"
+    )
+
+
+def test_fsdp_shards_params(tmp_path):
+    cfg = TrainConfig(
+        model=tiny_test("causal"),
+        strategy="fsdp",
+        mesh_axes={"data": 8},
+        log_dir=str(tmp_path),
+    )
+    trainer = Trainer(cfg, total_steps=2)
+    big = [
+        x for x in jax.tree.leaves(trainer.state["params"]) if x.ndim == 2
+    ]
+    assert any(not x.sharding.is_fully_replicated for x in big), (
+        "fsdp must shard parameters"
     )

@@ -495,6 +495,58 @@ def cmd_chat(args) -> int:
     return 0
 
 
+# -------------------------------------------------------------- convert-ckpt
+
+
+def cmd_convert_ckpt(args) -> int:
+    """Restore a training checkpoint (merging any LoRA adapter) and export
+    it as an HF GPT-NeoX directory or a flat npz."""
+    from ..models import LoraConfig
+    from ..train import TrainConfig, Trainer
+
+    model = _model_config(args)
+    lora = (
+        LoraConfig(
+            r=args.lora_r,
+            alpha=args.lora_alpha,
+            targets=tuple(args.lora_targets) if args.lora_targets else LoraConfig.targets,
+        )
+        if args.use_lora
+        else None
+    )
+    cfg = TrainConfig(
+        model=model,
+        lora=lora,
+        optimizer=args.optimizer,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=True,
+        seed=args.seed,
+        mesh_axes={"data": 1},
+        log_dir=os.path.join(args.out_dir, "_logs"),
+    )
+    trainer = Trainer(cfg, total_steps=1)
+    if trainer.start_step == 0:
+        dist_print(f"no checkpoint found under {args.checkpoint_dir}", file=sys.stderr)
+        return 2
+    merged = trainer.merged_params()
+    if args.format == "hf":
+        if model.arch != "causal":
+            dist_print("hf export supports causal models only", file=sys.stderr)
+            return 2
+        from ..models.convert_hf import export_gpt_neox
+
+        export_gpt_neox(merged, model, args.out_dir)
+    else:
+        from ..train.checkpoint import save_pytree
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        save_pytree(os.path.join(args.out_dir, "params.npz"), merged)
+        with open(os.path.join(args.out_dir, "config.json"), "w") as f:
+            f.write(model.to_json())
+    dist_print(f"exported step-{trainer.start_step} model -> {args.out_dir}")
+    return 0
+
+
 # --------------------------------------------------------------------- bench
 
 
@@ -586,6 +638,27 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--temperature", type=float, default=0.0)
     pc.add_argument("--seed", type=int, default=42)
     pc.set_defaults(fn=cmd_chat)
+
+    pv = sub.add_parser(
+        "convert-ckpt",
+        help="checkpoint -> exported model (capability of the reference's "
+        "--convert_cpkt, trainer.py:772-774; HF export instead of Hub push)",
+    )
+    pv.add_argument("--checkpoint-dir", required=True)
+    pv.add_argument("--out-dir", required=True)
+    pv.add_argument("--format", default="hf", choices=["hf", "npz"])
+    pv.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
+    pv.add_argument("--model-size", default="tiny",
+                    choices=["tiny", "gpt125m", "pythia410m"])
+    pv.add_argument("--model-config", default=None)
+    pv.add_argument("--use-lora", action="store_true")
+    pv.add_argument("--lora-r", type=int, default=8)
+    pv.add_argument("--lora-alpha", type=int, default=16)
+    pv.add_argument("--lora-targets", nargs="*", default=None)
+    pv.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "lion", "adamw8bit", "lion8bit"])
+    pv.add_argument("--seed", type=int, default=42)
+    pv.set_defaults(fn=cmd_convert_ckpt)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)

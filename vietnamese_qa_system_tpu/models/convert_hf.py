@@ -126,6 +126,96 @@ def convert_gpt_neox(state_dict: Mapping, cfg: ModelConfig) -> dict:
     return params
 
 
+def to_gpt_neox_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_gpt_neox`: this framework's pytree → an HF
+    GPT-NeoX state dict (numpy), so models trained here can be exported and
+    served by any transformers stack — the capability of the reference's
+    `save_push` export (reference src/models/trainer.py:726-753) without
+    the Hub round trip."""
+    h, dh, d = cfg.n_heads, cfg.head_dim, cfg.d_model
+    out: dict = {"gpt_neox.embed_in.weight": np.asarray(params["tok_embed"], np.float32)}
+
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"gpt_neox.layers.{i}."
+        # re-fuse q/k/v into the head-interleaved layout
+        w = np.zeros((h, 3, dh, d), np.float32)
+        b = np.zeros((h, 3, dh), np.float32)
+        for j, name in enumerate(("wq", "wk", "wv")):
+            wj = np.asarray(blk["attn"][name]["w"], np.float32).T.reshape(h, dh, d)
+            bj = np.asarray(blk["attn"][name]["b"], np.float32).reshape(h, dh)
+            w[:, j] = wj
+            b[:, j] = bj
+        out[pre + "attention.query_key_value.weight"] = w.reshape(3 * d, d)
+        out[pre + "attention.query_key_value.bias"] = b.reshape(3 * d)
+        out[pre + "attention.dense.weight"] = np.asarray(
+            blk["attn"]["wo"]["w"], np.float32
+        ).T
+        out[pre + "attention.dense.bias"] = np.asarray(
+            blk["attn"]["wo"]["b"], np.float32
+        )
+        out[pre + "input_layernorm.weight"] = np.asarray(blk["ln1"]["scale"], np.float32)
+        out[pre + "input_layernorm.bias"] = np.asarray(blk["ln1"]["bias"], np.float32)
+        out[pre + "post_attention_layernorm.weight"] = np.asarray(
+            blk["ln2"]["scale"], np.float32
+        )
+        out[pre + "post_attention_layernorm.bias"] = np.asarray(
+            blk["ln2"]["bias"], np.float32
+        )
+        out[pre + "mlp.dense_h_to_4h.weight"] = np.asarray(
+            blk["mlp"]["wi"]["w"], np.float32
+        ).T
+        out[pre + "mlp.dense_h_to_4h.bias"] = np.asarray(
+            blk["mlp"]["wi"]["b"], np.float32
+        )
+        out[pre + "mlp.dense_4h_to_h.weight"] = np.asarray(
+            blk["mlp"]["wo"]["w"], np.float32
+        ).T
+        out[pre + "mlp.dense_4h_to_h.bias"] = np.asarray(
+            blk["mlp"]["wo"]["b"], np.float32
+        )
+
+    out["gpt_neox.final_layer_norm.weight"] = np.asarray(
+        params["ln_f"]["scale"], np.float32
+    )
+    out["gpt_neox.final_layer_norm.bias"] = np.asarray(
+        params["ln_f"]["bias"], np.float32
+    )
+    if "lm_head" in params:
+        out["embed_out.weight"] = np.asarray(params["lm_head"]["w"], np.float32).T
+    else:
+        out["embed_out.weight"] = out["gpt_neox.embed_in.weight"]
+    return out
+
+
+def export_gpt_neox(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable GPT-NeoX model directory."""
+    import torch
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    hf_cfg = GPTNeoXConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.d_model,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        intermediate_size=cfg.d_ff,
+        max_position_embeddings=cfg.max_seq_len,
+        rotary_pct=cfg.rope_pct,
+        rotary_emb_base=int(cfg.rope_theta),
+        use_parallel_residual=cfg.parallel_residual,
+        tie_word_embeddings=cfg.tie_embeddings,
+        layer_norm_eps=cfg.norm_eps,
+    )
+    model = GPTNeoXForCausalLM(hf_cfg)
+    sd = {k: torch.from_numpy(v.copy()) for k, v in to_gpt_neox_state_dict(params, cfg).items()}
+    # strict=False tolerates non-weight buffers (rotary tables); any truly
+    # unexpected key is a conversion bug
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
 def load_gpt_neox(model_dir: str):
     """Local transformers GPT-NeoX directory -> (params, ModelConfig)."""
     from transformers import AutoConfig, AutoModelForCausalLM  # local only
