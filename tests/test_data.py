@@ -225,3 +225,17 @@ def test_batch_encode_left_padding():
     ids, mask = batch_encode(tok, ["ab", "cdef"], 6, pad_side="left")
     assert (ids[0][:4] == tok.pad_id).all()
     assert mask[0].sum() == 2 and mask[1].sum() == 4
+
+
+def test_shard_for_process():
+    examples = [{"i": i} for i in range(10)]
+    s0 = QADataLoader.shard_for_process(examples, 0, 4)
+    s1 = QADataLoader.shard_for_process(examples, 1, 4)
+    all_back = sorted(
+        x["i"]
+        for p in range(4)
+        for x in QADataLoader.shard_for_process(examples, p, 4)
+    )
+    assert all_back == list(range(10))  # disjoint + complete
+    assert s0 == [{"i": 0}, {"i": 4}, {"i": 8}]
+    assert s1 == [{"i": 1}, {"i": 5}, {"i": 9}]

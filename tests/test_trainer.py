@@ -221,3 +221,22 @@ def test_fsdp_shards_params(tmp_path):
     assert any(not x.sharding.is_fully_replicated for x in big), (
         "fsdp must shard parameters"
     )
+
+
+def test_profiler_trace_written(tmp_path):
+    cfg = TrainConfig(
+        model=tiny_test("causal"),
+        epochs=1,
+        mesh_axes={"data": 1},
+        log_dir=str(tmp_path),
+        profile_steps=2,
+        profile_dir=str(tmp_path / "prof"),
+    )
+    trainer = Trainer(cfg, total_steps=3)
+    trainer.fit(_toy_batches(cfg.model.vocab_size, n=3))
+    import os
+
+    found = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        found += files
+    assert found, "no profiler trace files written"

@@ -199,6 +199,21 @@ class QADataLoader:
             labels[r, : len(ex["labels"])] = ex["labels"]
         return {"input_ids": ids, "attention_mask": mask, "labels": labels}
 
+    @staticmethod
+    def shard_for_process(
+        examples: list[dict],
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ) -> list[dict]:
+        """Multi-host data sharding: each host keeps its strided slice —
+        the capability accelerate's distributed sampler provides the
+        reference implicitly (each rank sees a disjoint shard)."""
+        import jax
+
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        return examples[pi::pc]
+
     def batches(
         self,
         examples: list[dict],

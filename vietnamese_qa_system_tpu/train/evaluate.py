@@ -63,24 +63,38 @@ def generative_eval(
     """Greedy/sampled generation over prompts; logs predictions to
     `{log_dir}/log_dir_e{epoch}_{run_name}_{time}.txt` like the reference
     (trainer.py:974-998).  Batches: {"input_ids","attention_mask"} with
-    LEFT-padded prompts, optional "reference" strings."""
-    assert cfg.arch == "causal", "generative eval currently drives causal LMs"
+    LEFT-padded prompts (causal) or encoder inputs (seq2seq), optional
+    "reference" strings."""
     records = []
     t0 = time.time()
     n_tokens = 0
     for batch in batches:
         ids = jnp.asarray(batch["input_ids"])
         mask = jnp.asarray(batch["attention_mask"])
-        out = gen_mod.generate(
-            params,
-            cfg,
-            ids,
-            mask,
-            max_new_tokens=max_new_tokens,
-            temperature=temperature,
-            eos_id=tokenizer.eos_id,
-        )
-        out = np.asarray(out)
+        if cfg.arch == "seq2seq":
+            gen = gen_mod.generate_seq2seq(
+                params,
+                cfg,
+                ids,
+                mask,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                eos_id=tokenizer.eos_id,
+                bos_id=tokenizer.bos_id,
+            )
+            out = np.concatenate([np.asarray(ids), np.asarray(gen)], axis=1)
+        else:
+            out = np.asarray(
+                gen_mod.generate(
+                    params,
+                    cfg,
+                    ids,
+                    mask,
+                    max_new_tokens=max_new_tokens,
+                    temperature=temperature,
+                    eos_id=tokenizer.eos_id,
+                )
+            )
         prompt_len = ids.shape[1]
         n_tokens += out[:, prompt_len:].size
         for r in range(out.shape[0]):

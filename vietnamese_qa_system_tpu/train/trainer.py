@@ -72,6 +72,11 @@ class TrainConfig:
     report_to: str = "jsonl"
     run_name: Optional[str] = None
     remat: bool = False  # jax.checkpoint the loss for memory
+    # capture a jax.profiler device trace for the first N steps after
+    # start/resume (TPU-native upgrade of the reference's wall-clock
+    # instrumentation, SURVEY §5.1)
+    profile_steps: int = 0
+    profile_dir: str = "runs/profile"
 
 
 def init_model_params(cfg: ModelConfig, key):
@@ -246,6 +251,14 @@ class Trainer:
         step = self.start_step
         last_save = time.time()
         t0 = time.time()
+        profiling = False
+        if cfg.profile_steps > 0:
+            import os
+
+            os.makedirs(cfg.profile_dir, exist_ok=True)
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+            profile_until = step + cfg.profile_steps
         for epoch in range(cfg.epochs):
             epoch_loss, epoch_tokens, epoch_steps = 0.0, 0, 0
             with MemoryTracker() as mem:
@@ -258,6 +271,10 @@ class Trainer:
                     step += 1
                     epoch_steps += 1
                     epoch_tokens += n_tok
+                    if profiling and step >= profile_until:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        dist_print(f"profiler trace written to {cfg.profile_dir}")
                     if step % cfg.log_every == 0:
                         loss = float(metrics["loss"])
                         epoch_loss += loss
@@ -287,6 +304,8 @@ class Trainer:
                 self.save(step)
             if max_steps is not None and step >= max_steps:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
         return self.state
 
     def _should_save(self, step: int, last_save: float) -> bool:
