@@ -81,13 +81,13 @@ def _scan_buckets(scores, n_slices: int, base: int, lane, slice_prep=None):
     ``slice_prep`` (e.g. an int32->f32 cast) is applied per 128-lane slice
     so it fuses with the scan instead of materializing a full-width pass.
     """
-    prep = slice_prep or (lambda v: v)
-    m1 = prep(scores[:, :LANES])
+    prep = slice_prep or (lambda v, c: v)
+    m1 = prep(scores[:, :LANES], 0)
     i1 = jnp.zeros_like(lane)
     m2 = jnp.full_like(m1, _neg(m1.dtype))
     i2 = jnp.zeros_like(lane)
     for c in range(1, n_slices):
-        v = prep(scores[:, c * LANES : (c + 1) * LANES])
+        v = prep(scores[:, c * LANES : (c + 1) * LANES], c)
         gt1 = v > m1
         gt2 = v > m2
         m2 = jnp.where(gt1, m1, jnp.where(gt2, v, m2))
@@ -196,7 +196,6 @@ def _fast_kernel_bf16(
 
 def _fast_kernel_int8(
     q_ref,
-    qscale_ref,
     c_ref,
     cscale_ref,
     valid_ref,
@@ -208,11 +207,13 @@ def _fast_kernel_int8(
     k,
     tile_n,
 ):
-    """int8×int8 MXU matmul with int32 accumulation, then per-row (query)
-    and per-column (vector) scale application.  Vector-compression capability
-    of the reference's bitsandbytes int8 path (reference
-    src/models/trainer.py:470-487) applied to the index (BASELINE config 3).
-    """
+    """int8×int8 MXU matmul with int32 accumulation; the per-column vector
+    scale is folded into the per-slice bucket scan (a full-width broadcast
+    multiply was the dominant cost), and the per-row query scale — which is
+    order-preserving — is applied by the wrapper on the (B, k) output.
+    Vector-compression capability of the reference's bitsandbytes int8 path
+    (reference src/models/trainer.py:470-487) applied to the index
+    (BASELINE config 3)."""
     t = pl.program_id(0)
     valid_n = valid_ref[0, 0]
     _init_best(t, best_v, best_i)
@@ -222,8 +223,15 @@ def _fast_kernel_int8(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    scores = acc.astype(jnp.float32) * qscale_ref[:] * cscale_ref[:]
-    _merge_tile(scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n)
+
+    def prep(v, c):
+        sc = cscale_ref[0, c * LANES : (c + 1) * LANES]
+        return v.astype(jnp.float32) * sc
+
+    _merge_tile(
+        acc, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n,
+        slice_prep=prep,
+    )
     _emit(t, out_s_ref, out_i_ref, best_v, best_i)
 
 
@@ -247,7 +255,7 @@ def _fast_kernel_int8_global(
     # naive version slow)
     _merge_tile(
         scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n,
-        slice_prep=lambda v: v.astype(jnp.float32),
+        slice_prep=lambda v, c: v.astype(jnp.float32),
     )
     _emit(t, out_s_ref, out_i_ref, best_v, best_i)
 
@@ -373,7 +381,7 @@ def _matmul_topk_bf16(queries, corpus, valid_n, *, k, tile_n, interpret, mode):
     jax.jit, static_argnames=("k", "tile_n", "interpret")
 )
 def _matmul_topk_int8(
-    queries, qscales, corpus, cscales, valid_n, *, k, tile_n, interpret
+    queries, corpus, cscales, valid_n, *, k, tile_n, interpret
 ):
     b, d = queries.shape
     n = corpus.shape[0]
@@ -385,7 +393,6 @@ def _matmul_topk_int8(
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
@@ -408,7 +415,7 @@ def _matmul_topk_int8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, qscales, corpus, cscales, valid_arr)
+    )(queries, corpus, cscales, valid_arr)
     return out_s[:, :k], out_i[:, :k]
 
 
@@ -527,9 +534,8 @@ def matmul_topk(
             s = s_raw.astype(jnp.float32) * qscale[: q_i8.shape[0]] * cs
         else:
             cscales = cs.reshape(1, n_pad)
-            s, i = _matmul_topk_int8(
+            s_raw, i = _matmul_topk_int8(
                 q_i8,
-                qscale,
                 corpus,
                 cscales,
                 k=k,
@@ -537,6 +543,7 @@ def matmul_topk(
                 valid_n=valid_n,
                 interpret=interp,
             )
+            s = s_raw * qscale[: q_i8.shape[0]]
     else:
         q = queries.astype(jnp.bfloat16)
         c = corpus if corpus.dtype == jnp.bfloat16 else corpus.astype(jnp.bfloat16)
