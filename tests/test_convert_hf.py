@@ -111,3 +111,55 @@ def test_export_roundtrip(tiny_neox, tmp_path):
         l1 = model(ids).logits.numpy()
         l2 = reloaded(ids).logits.numpy()
     np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+
+def test_bert_encoder_matches_transformers():
+    """Random tiny BertModel: our converted encoder must reproduce HF's
+    token hidden states and mean-pooled embeddings."""
+    from vietnamese_qa_system_tpu.models import encoder as enc_mod
+    from vietnamese_qa_system_tpu.models.convert_hf import bert_config, convert_bert
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=120,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        layer_norm_eps=1e-12,
+    )
+    torch.manual_seed(1)
+    model = transformers.BertModel(hf_cfg).eval()
+    cfg = bert_config(hf_cfg)
+    params = convert_bert(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 12)).astype(np.int64)
+    mask = np.ones((2, 12), np.int64)
+    mask[1, 9:] = 0
+    with torch.no_grad():
+        hf_out = model(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(
+        enc_mod.encode(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+        ),
+        np.float32,
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        ours[valid], hf_out[valid], atol=0.03, rtol=0.03
+    )
+
+    # mean-pooled sentence embeddings track the HF pooling too
+    emb = np.asarray(
+        enc_mod.sentence_embed(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+        )
+    )
+    hf_pool = (hf_out * mask[..., None]).sum(1) / mask.sum(1, keepdims=True)
+    hf_pool /= np.linalg.norm(hf_pool, axis=1, keepdims=True)
+    cos = (emb * hf_pool).sum(1)
+    assert (cos > 0.999).all(), cos

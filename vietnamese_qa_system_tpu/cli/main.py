@@ -327,22 +327,34 @@ def cmd_parse(args) -> int:
 # -------------------------------------------------------------------- ingest
 
 
-def cmd_ingest(args) -> int:
+def _encoder_from_spec(spec: str, seed: int):
+    """Encoder by preset name or LOCAL HF BERT directory (sentence-
+    transformers MiniLM-class import via models/convert_hf.py)."""
     import jax
 
-    from ..core.mesh import SHARD_AXIS, create_mesh
-    from ..engine import DocStore, IngestPipeline, VectorStore
     from ..models import minilm_class, mpnet_class, tiny_test
     from ..models.encoder import init_encoder
-    from ..etl.parser import load_json_or_jsonl
 
+    if os.path.isdir(spec):
+        from ..models.convert_hf import load_bert
+
+        return load_bert(spec)
     presets = {
         "tiny": lambda: tiny_test("encoder"),
         "minilm": minilm_class,
         "mpnet": mpnet_class,
     }
-    cfg = presets[args.encoder]()
-    params = init_encoder(jax.random.key(args.seed), cfg)
+    cfg = presets[spec]()
+    return init_encoder(jax.random.key(seed), cfg), cfg
+
+
+
+def cmd_ingest(args) -> int:
+    from ..core.mesh import SHARD_AXIS, create_mesh
+    from ..engine import DocStore, IngestPipeline, VectorStore
+    from ..etl.parser import load_json_or_jsonl
+
+    params, cfg = _encoder_from_spec(args.encoder, args.seed)
     tok = _tokenizer(args.tokenizer)
 
     mesh = create_mesh({SHARD_AXIS: args.shards}) if args.shards > 1 else None
@@ -375,16 +387,8 @@ def cmd_serve(args) -> int:
     import jax
 
     from ..engine import DocStore, Retriever, VectorStore
-    from ..models import minilm_class, mpnet_class, tiny_test
-    from ..models.encoder import init_encoder
 
-    presets = {
-        "tiny": lambda: tiny_test("encoder"),
-        "minilm": minilm_class,
-        "mpnet": mpnet_class,
-    }
-    cfg = presets[args.encoder]()
-    params = init_encoder(jax.random.key(args.seed), cfg)
+    params, cfg = _encoder_from_spec(args.encoder, args.seed)
     tok = _tokenizer(args.tokenizer)
     store = VectorStore.load(args.index)
     docstore = DocStore(args.db)
@@ -600,7 +604,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--text-field", default="doc")
     pi.add_argument("--index", required=True)
     pi.add_argument("--db", required=True)
-    pi.add_argument("--encoder", default="tiny", choices=["tiny", "minilm", "mpnet"])
+    pi.add_argument("--encoder", default="tiny",
+                    help="preset (tiny|minilm|mpnet) or local HF BERT dir")
     pi.add_argument("--tokenizer", default="byte")
     pi.add_argument("--capacity", type=int, default=1 << 20)
     pi.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
@@ -614,7 +619,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser("serve", help="interactive retrieval REPL")
     ps.add_argument("--index", required=True)
     ps.add_argument("--db", required=True)
-    ps.add_argument("--encoder", default="tiny", choices=["tiny", "minilm", "mpnet"])
+    ps.add_argument("--encoder", default="tiny",
+                    help="preset (tiny|minilm|mpnet) or local HF BERT dir")
     ps.add_argument("--tokenizer", default="byte")
     ps.add_argument("--k", type=int, default=5)
     ps.add_argument("--max-len", type=int, default=128)

@@ -48,6 +48,10 @@ class ModelConfig:
     # fraction of head_dim that RoPE rotates (NeoX rotary_pct, e.g. 0.25)
     rope_pct: float = 1.0
     norm: str = "layernorm"  # reserved for future rmsnorm variants
+    # encoder-family knobs for faithful BERT import (MiniLM-class
+    # sentence-transformers weights, models/convert_hf.py):
+    norm_position: str = "pre"  # "pre" | "post" (BERT is post-LN)
+    bert_embeddings: bool = False  # embedding LayerNorm + token-type table
 
     @property
     def head_dim(self) -> int:

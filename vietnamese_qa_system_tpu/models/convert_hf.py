@@ -228,3 +228,94 @@ def load_gpt_neox(model_dir: str):
     params = convert_gpt_neox(model.state_dict(), cfg)
     del model
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# BERT-class encoders (sentence-transformers MiniLM family)
+# ---------------------------------------------------------------------------
+
+
+def bert_config(hf_cfg) -> ModelConfig:
+    """transformers BertConfig -> ModelConfig (post-LN, BERT embeddings).
+
+    Covers BERT-architecture sentence encoders such as the MiniLM models
+    the reference indexes with (heavy_ranker.py:78-88).  MPNet uses
+    relative-position attention and is NOT covered by this importer."""
+    return ModelConfig(
+        arch="encoder",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.hidden_size,
+        n_heads=hf_cfg.num_attention_heads,
+        n_layers=hf_cfg.num_hidden_layers,
+        d_ff=hf_cfg.intermediate_size,
+        max_seq_len=hf_cfg.max_position_embeddings,
+        positional="learned",
+        norm_eps=float(getattr(hf_cfg, "layer_norm_eps", 1e-12)),
+        norm_position="post",
+        bert_embeddings=True,
+    )
+
+
+def convert_bert(state_dict: Mapping, cfg: ModelConfig, prefix: str = "") -> dict:
+    """HF BERT state dict -> this framework's encoder pytree.
+
+    Accepts raw `bert.`-prefixed keys or stripped ones (sentence-transformers
+    exports vary); pass `prefix` when keys carry an extra namespace.
+    """
+
+    def pick(name):
+        for key in (prefix + name, prefix + "bert." + name):
+            if key in state_dict:
+                return _t(state_dict[key])
+        raise KeyError(f"missing weight {name!r} in state dict")
+
+    def lin(name):
+        return {"w": pick(name + ".weight").T.copy(), "b": pick(name + ".bias")}
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"encoder.layer.{i}."
+        blocks.append(
+            {
+                "attn": {
+                    "wq": lin(pre + "attention.self.query"),
+                    "wk": lin(pre + "attention.self.key"),
+                    "wv": lin(pre + "attention.self.value"),
+                    "wo": lin(pre + "attention.output.dense"),
+                },
+                "ln1": {
+                    "scale": pick(pre + "attention.output.LayerNorm.weight"),
+                    "bias": pick(pre + "attention.output.LayerNorm.bias"),
+                },
+                "mlp": {
+                    "wi": lin(pre + "intermediate.dense"),
+                    "wo": lin(pre + "output.dense"),
+                },
+                "ln2": {
+                    "scale": pick(pre + "output.LayerNorm.weight"),
+                    "bias": pick(pre + "output.LayerNorm.bias"),
+                },
+            }
+        )
+    return {
+        "tok_embed": pick("embeddings.word_embeddings.weight"),
+        "pos_embed": pick("embeddings.position_embeddings.weight"),
+        "type_embed": pick("embeddings.token_type_embeddings.weight"),
+        "emb_ln": {
+            "scale": pick("embeddings.LayerNorm.weight"),
+            "bias": pick("embeddings.LayerNorm.bias"),
+        },
+        "blocks": blocks,
+    }
+
+
+def load_bert(model_dir: str):
+    """Local transformers BERT directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModel
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModel.from_pretrained(model_dir, torch_dtype="float32")
+    cfg = bert_config(hf_cfg)
+    params = convert_bert(model.state_dict(), cfg)
+    del model
+    return params, cfg

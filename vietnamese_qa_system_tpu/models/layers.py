@@ -205,7 +205,8 @@ def init_mlp(key, d_model: int, d_ff: int):
 
 
 def mlp(p, x):
-    return dense(p["wo"], jax.nn.gelu(dense(p["wi"], x)))
+    # exact (erf) gelu: matches HF's default "gelu" activation
+    return dense(p["wo"], jax.nn.gelu(dense(p["wi"], x), approximate=False))
 
 
 # -----------------------------------------------------------------------------
@@ -242,7 +243,20 @@ def block(
     eps: float = 1e-6,
     flash=None,
     parallel_residual: bool = False,
+    norm_position: str = "pre",
 ):
+    if norm_position == "post":
+        # BERT layout: LN after each residual add (ln1 = attention-output
+        # LN, ln2 = MLP-output LN)
+        h, new_cache = attention(
+            p["attn"], x, n_heads=n_heads, mask=mask, rope=rope,
+            positions=positions, cache=cache, cache_index=cache_index,
+            flash=flash,
+        )
+        x = layernorm(p["ln1"], x + h, eps)
+        x = layernorm(p["ln2"], x + mlp(p["mlp"], x), eps)
+        return x, new_cache
+
     h, new_cache = attention(
         p["attn"],
         layernorm(p["ln1"], x, eps),
