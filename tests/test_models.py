@@ -237,3 +237,46 @@ def test_tracing_utilities(tmp_path):
         boom()
     rec = _json.load(open(err_file))
     assert rec["type"] == "RuntimeError" and "xảy ra lỗi" in rec["message"]
+
+
+def test_resize_embeddings(causal_setup):
+    from vietnamese_qa_system_tpu.models import resize_embeddings
+
+    cfg, params = causal_setup
+    bigger = resize_embeddings(params, cfg.vocab_size + 7)
+    assert bigger["tok_embed"].shape[0] == cfg.vocab_size + 7
+    # old rows untouched, new rows = mean of old
+    np.testing.assert_array_equal(
+        np.asarray(bigger["tok_embed"][: cfg.vocab_size]),
+        np.asarray(params["tok_embed"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(bigger["tok_embed"][-1]),
+        np.asarray(params["tok_embed"]).mean(0),
+        atol=1e-6,  # fp32 reduction-order differences
+    )
+    smaller = resize_embeddings(params, cfg.vocab_size - 5)
+    assert smaller["tok_embed"].shape[0] == cfg.vocab_size - 5
+
+
+def test_generate_topk_topp(causal_setup):
+    """top-k=1 must equal greedy; top-p sampling stays in-vocab and
+    deterministic under a fixed key."""
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=2, t=8, seed=9)
+    greedy = generate.generate(params, cfg, ids, mask, max_new_tokens=4)
+    k1 = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=4,
+        temperature=1.0, top_k=1,
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(k1))
+    p1 = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=4,
+        temperature=0.8, top_p=0.9, key=jax.random.key(5),
+    )
+    p2 = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=4,
+        temperature=0.8, top_p=0.9, key=jax.random.key(5),
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.asarray(p1)[:, 8:].max() < cfg.vocab_size

@@ -6,7 +6,7 @@ from .config import (
     pythia_410m_class,
     tiny_test,
 )
-from .lora import LoraConfig, init_lora, merge_lora, count_params
+from .lora import LoraConfig, init_lora, merge_lora, count_params, resize_embeddings
 from . import causal_lm, encoder, seq2seq, generate
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "init_lora",
     "merge_lora",
     "count_params",
+    "resize_embeddings",
     "causal_lm",
     "encoder",
     "seq2seq",

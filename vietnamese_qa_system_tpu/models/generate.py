@@ -21,6 +21,32 @@ from .config import ModelConfig
 from . import causal_lm
 
 
+
+
+def _sample_logits(logits, key, *, temperature, top_k, top_p):
+    """Greedy / temperature / top-k / nucleus sampling over (B, V) logits —
+    capability of the reference's GenerationConfig surface (top_k, top_p,
+    temperature, reference src/models/trainer.py:390-413)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p < 1.0:
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until the cumulative mass first exceeds top_p
+        keep_sorted = cum - probs < top_p
+        keep = jnp.zeros_like(keep_sorted).at[
+            jnp.arange(logits.shape[0])[:, None], sort_idx
+        ].set(keep_sorted)
+        logits = jnp.where(keep, logits, -1e30)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
     shape = (b, total_len, cfg.n_heads, cfg.head_dim)
     return [
@@ -30,7 +56,10 @@ def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature", "eos_id")
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p"
+    ),
 )
 def generate(
     params,
@@ -40,6 +69,8 @@ def generate(
     *,
     max_new_tokens: int = 32,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
     eos_id: int | None = None,
     key=None,
 ):
@@ -72,10 +103,8 @@ def generate(
     last_logits = logits[:, -1]  # (B, V) — last prompt slot (right edge; left-padded)
 
     def sample(logits, k):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(k, logits / temperature, axis=-1).astype(
-            jnp.int32
+        return _sample_logits(
+            logits, k, temperature=temperature, top_k=top_k, top_p=top_p
         )
 
     done0 = jnp.zeros((b,), jnp.bool_)
@@ -108,7 +137,10 @@ def generate(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature", "eos_id")
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p"
+    ),
 )
 def generate_seq2seq(
     params,
@@ -118,6 +150,8 @@ def generate_seq2seq(
     *,
     max_new_tokens: int = 32,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
     eos_id: int | None = None,
     bos_id: int = 0,
     key=None,
@@ -138,10 +172,8 @@ def generate_seq2seq(
     jj = jnp.arange(total)[None, None, :]
 
     def sample(logits, k):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(k, logits / temperature, axis=-1).astype(
-            jnp.int32
+        return _sample_logits(
+            logits, k, temperature=temperature, top_k=top_k, top_p=top_p
         )
 
     def step(carry, step_key):

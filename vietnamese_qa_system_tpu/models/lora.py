@@ -103,3 +103,39 @@ def merge_lora(params, adapter, cfg: LoraConfig):
 
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def resize_embeddings(params, new_vocab: int, key=None):
+    """Grow (or shrink) the token embedding table + untied LM head to
+    `new_vocab` rows — capability of the reference's
+    `model.resize_token_embeddings(len(tokenizer))` after adding special
+    tokens (reference src/models/trainer.py:580-587).  New rows initialize
+    to the mean of existing embeddings (HF's default heuristic)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = dict(params)
+
+    def grow_rows(table):
+        old = table.shape[0]
+        if new_vocab == old:
+            return table
+        if new_vocab < old:
+            return table[:new_vocab]
+        mean = jnp.mean(table, axis=0, keepdims=True)
+        extra = jnp.broadcast_to(mean, (new_vocab - old, table.shape[1]))
+        return jnp.concatenate([table, extra], axis=0)
+
+    out["tok_embed"] = grow_rows(params["tok_embed"])
+    if "lm_head" in params:
+        head = dict(params["lm_head"])
+        w = head["w"]  # (d_model, vocab)
+        old = w.shape[1]
+        if new_vocab < old:
+            head["w"] = w[:, :new_vocab]
+        elif new_vocab > old:
+            mean = jnp.mean(w, axis=1, keepdims=True)
+            extra = jnp.broadcast_to(mean, (w.shape[0], new_vocab - old))
+            head["w"] = jnp.concatenate([w, extra], axis=1)
+        out["lm_head"] = head
+    return out
