@@ -47,6 +47,7 @@ def _fa_kernel(
     k_ref,  # (1, BLK_K, D)
     v_ref,  # (1, BLK_K, D)
     o_ref,  # (1, BLK_Q, D)
+    lse_ref,  # (1, 1, 8, BLK_Q) f32: logsumexp, sublane-replicated
     m_scr,  # (BLK_Q, 1) f32
     l_scr,  # (BLK_Q, 1) f32
     acc_scr,  # (BLK_Q, D) f32
@@ -116,6 +117,8 @@ def _fa_kernel(
     def _emit():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse = (m_scr[:] + jnp.log(l)).reshape(1, blk_q)  # (1, BLK_Q)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (8, blk_q))
 
 
 @functools.partial(
@@ -125,7 +128,8 @@ def _fa_kernel(
 def _flash_fwd(q, k, v, kv_lens, *, causal, blk_q, blk_k, scale, interpret):
     bh, tq, d = q.shape
     tk = k.shape[1]
-    grid = (bh, tq // blk_q, tk // blk_k)
+    nq = tq // blk_q
+    grid = (bh, nq, tk // blk_k)
     kernel = functools.partial(
         _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
     )
@@ -140,10 +144,20 @@ def _flash_fwd(q, k, v, kv_lens, *, causal, blk_q, blk_k, scale, interpret):
             pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, blk_q),
+                lambda b, i, j: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq, 8, blk_q), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 1), jnp.float32),
             pltpu.VMEM((blk_q, 1), jnp.float32),
@@ -177,29 +191,242 @@ def _reference_attention(q, k, v, kv_lens, causal, scale):
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Fused backward (FA2-style): two kernels, dK/dV then dQ
+# ---------------------------------------------------------------------------
+
+
+def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+                   iq, ik, *, blk_q, blk_k, causal, scale):
+    """Recompute P for one (q-block, k-block) pair and form dS.
+
+    Returns (p, ds) both (BLK_Q, BLK_K) f32.  lse/dd are sublane-replicated
+    (1, 1, 8, BLK_Q) blocks; row 0 carries the values.  ``cur_len`` must be
+    read at kernel top level (program_id breaks inside pl.when branches in
+    interpret mode).
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    q_pos = iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+    k_pos = ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+    mask = k_pos < cur_len
+    if causal:
+        mask &= k_pos <= q_pos
+    lse = lse_ref[0, 0, 0, :].reshape(blk_q, 1)  # (BLK_Q, 1)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # normalized probs
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLK_Q, BLK_K)
+    dd = dd_ref[0, 0, 0, :].reshape(blk_q, 1)  # rowsum(dO * O)
+    ds = p * (dp - dd) * scale
+    return p, ds
+
+
+def _fa_bwd_kv_kernel(
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, blk_q, blk_k, causal, scale,
+):
+    """grid (BH, nk, nq), q innermost: accumulate dK/dV per k-block."""
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+    cur_len = lens_ref[pl.program_id(0), 0]
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros(dk_acc.shape, jnp.float32)
+        dv_acc[:] = jnp.zeros(dv_acc.shape, jnp.float32)
+
+    def compute():
+        p, ds = _fa_bwd_common(
+            cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+            iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
+        )
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), do_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BLK_K, D)
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), q_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        # q-blocks strictly above the diagonal contribute nothing
+        @pl.when((iq + 1) * blk_q - 1 >= ik * blk_k)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(iq == nq - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _fa_bwd_q_kernel(
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+    dq_ref, dq_acc,
+    *, blk_q, blk_k, causal, scale,
+):
+    """grid (BH, nq, nk), k innermost: accumulate dQ per q-block."""
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    cur_len = lens_ref[pl.program_id(0), 0]
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros(dq_acc.shape, jnp.float32)
+
+    def compute():
+        _, ds = _fa_bwd_common(
+            cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+            iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
+        )
+        dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), k_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BLK_Q, D)
+
+    if causal:
+        @pl.when(ik * blk_k <= (iq + 1) * blk_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ik == nk - 1)
+    def _emit():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret"),
+)
+def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, *, causal, blk_q, blk_k,
+                    scale, interpret):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    nq, nk = tq // blk_q, tk // blk_k
+
+    common_in_specs = [
+        pl.BlockSpec((bh, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    def qspec(im):
+        return pl.BlockSpec((1, blk_q, d), im, memory_space=pltpu.VMEM)
+
+    def kspec(im):
+        return pl.BlockSpec((1, blk_k, d), im, memory_space=pltpu.VMEM)
+
+    def rspec(im):
+        return pl.BlockSpec((1, 1, 8, blk_q), im, memory_space=pltpu.VMEM)
+
+    # dK/dV: grid (BH, nk, nq), q innermost
+    kv_kernel = functools.partial(
+        _fa_bwd_kv_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
+    )
+    dk, dv = pl.pallas_call(
+        kv_kernel,
+        grid=(bh, nk, nq),
+        in_specs=common_in_specs + [
+            qspec(lambda b, jk, iq: (b, iq, 0)),
+            kspec(lambda b, jk, iq: (b, jk, 0)),
+            kspec(lambda b, jk, iq: (b, jk, 0)),
+            qspec(lambda b, jk, iq: (b, iq, 0)),
+            rspec(lambda b, jk, iq: (b, iq, 0, 0)),
+            rspec(lambda b, jk, iq: (b, iq, 0, 0)),
+        ],
+        out_specs=(
+            kspec(lambda b, jk, iq: (b, jk, 0)),
+            kspec(lambda b, jk, iq: (b, jk, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_k, d), jnp.float32),
+            pltpu.VMEM((blk_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kv_lens, q, k, v, do, lse4, dd4)
+
+    # dQ: grid (BH, nq, nk), k innermost
+    q_kernel = functools.partial(
+        _fa_bwd_q_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
+    )
+    dq = pl.pallas_call(
+        q_kernel,
+        grid=(bh, nq, nk),
+        in_specs=common_in_specs + [
+            qspec(lambda b, iq, jk: (b, iq, 0)),
+            kspec(lambda b, iq, jk: (b, jk, 0)),
+            kspec(lambda b, iq, jk: (b, jk, 0)),
+            qspec(lambda b, iq, jk: (b, iq, 0)),
+            rspec(lambda b, iq, jk: (b, iq, 0, 0)),
+            rspec(lambda b, iq, jk: (b, iq, 0, 0)),
+        ],
+        out_specs=qspec(lambda b, iq, jk: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+        interpret=interpret,
+    )(kv_lens, q, k, v, do, lse4, dd4)
+    return dq, dk, dv
+
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k):
-    return _flash_fwd(
+    o, _ = _flash_fwd(
         q, k, v, kv_lens,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None),
     )
+    return o
 
 
 def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k):
-    out = _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k)
-    return out, (q, k, v, kv_lens)
+    o, lse4 = _flash_fwd(
+        q, k, v, kv_lens,
+        causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        interpret=_should_interpret(None),
+    )
+    return o, (q, k, v, kv_lens, o, lse4)
 
 
 def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
-    q, k, v, kv_lens = residuals
-
-    def ref(q, k, v):
-        return _reference_attention(q, k, v, kv_lens, causal, scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g.astype(q.dtype))
-    return dq, dk, dv, None
+    """Fully fused FA2 backward: dK/dV and dQ kernels recompute P blockwise
+    from the saved logsumexp — O(T) memory, no (Tq, Tk) materialization."""
+    q, k, v, kv_lens, o, lse4 = residuals
+    bh, tq, d = q.shape
+    nq = tq // blk_q
+    do = g.astype(jnp.bfloat16)
+    # D = rowsum(dO * O), laid out like the lse residual
+    dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dd4 = jnp.broadcast_to(
+        dd.reshape(bh, nq, 1, blk_q), (bh, nq, 8, blk_q)
+    )
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, kv_lens, do, lse4, dd4,
+        causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        interpret=_should_interpret(None),
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
