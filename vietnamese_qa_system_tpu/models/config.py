@@ -102,6 +102,7 @@ def gpt_125m_class() -> ModelConfig:
     return ModelConfig(
         arch="causal", vocab_size=50304, d_model=768, n_heads=12,
         n_layers=12, d_ff=3072, max_seq_len=2048,
+        use_flash_attention=True,
     )
 
 
@@ -113,5 +114,5 @@ def pythia_410m_class() -> ModelConfig:
         arch="causal", vocab_size=50304, d_model=1024, n_heads=16,
         n_layers=24, d_ff=4096, max_seq_len=2048,
         parallel_residual=True, rope_pct=0.25, tie_embeddings=False,
-        norm_eps=1e-5,
+        norm_eps=1e-5, use_flash_attention=True,
     )
