@@ -280,3 +280,23 @@ def test_generate_topk_topp(causal_setup):
     )
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     assert np.asarray(p1)[:, 8:].max() < cfg.vocab_size
+
+
+def test_generate_repetition_penalty_and_min_tokens(causal_setup):
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=1, t=6, seed=13)
+    # find the greedy eos-equivalent: force it to be banned by min_new_tokens
+    logits = causal_lm.forward(params, cfg, ids, mask)
+    fake_eos = int(jnp.argmax(logits[0, -1]))
+    out = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=5,
+        eos_id=fake_eos, min_new_tokens=3,
+    )
+    gen = np.asarray(out[0, 6:])
+    assert gen[0] != fake_eos  # eos suppressed before min_new_tokens
+    # strong repetition penalty changes the greedy continuation
+    base = generate.generate(params, cfg, ids, mask, max_new_tokens=6)
+    pen = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=6, repetition_penalty=1e6
+    )
+    assert not np.array_equal(np.asarray(base), np.asarray(pen))

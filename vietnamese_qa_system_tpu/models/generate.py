@@ -58,7 +58,8 @@ def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p"
+        "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p",
+        "repetition_penalty", "min_new_tokens",
     ),
 )
 def generate(
@@ -71,6 +72,8 @@ def generate(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    min_new_tokens: int = 0,
     eos_id: int | None = None,
     key=None,
 ):
@@ -78,6 +81,8 @@ def generate(
 
     ids/attn_mask: (B, T) LEFT-padded prompts.  Returns (B, T+max_new)
     ids where finished rows are padded with eos after their first eos.
+    ``repetition_penalty`` / ``min_new_tokens`` follow HF semantics
+    (reference GenerationConfig fields, trainer.py:390-413).
     """
     b, t = ids.shape
     total = t + max_new_tokens
@@ -102,19 +107,41 @@ def generate(
     )
     last_logits = logits[:, -1]  # (B, V) — last prompt slot (right edge; left-padded)
 
-    def sample(logits, k):
+    def sample(logits, k, seen, step_idx):
+        logits = logits.astype(jnp.float32)
+        if repetition_penalty != 1.0:
+            # HF semantics: shrink positive logits, amplify negative ones
+            penalized = jnp.where(
+                logits > 0, logits / repetition_penalty,
+                logits * repetition_penalty,
+            )
+            logits = jnp.where(seen, penalized, logits)
+        if eos_id is not None and min_new_tokens > 0:
+            logits = jnp.where(
+                (step_idx < min_new_tokens)
+                & (jnp.arange(logits.shape[-1])[None, :] == eos_id),
+                -1e30,
+                logits,
+            )
         return _sample_logits(
             logits, k, temperature=temperature, top_k=top_k, top_p=top_p
         )
 
     done0 = jnp.zeros((b,), jnp.bool_)
+    # token-seen table for the repetition penalty (prompt tokens count)
+    seen0 = (
+        jnp.zeros((b, cfg.vocab_size), jnp.bool_)
+        .at[jnp.arange(b)[:, None], ids]
+        .max(attn_mask.astype(jnp.bool_))
+    )
 
     def step(carry, step_key):
-        cache, last_logits, done, step_idx = carry
-        tok = sample(last_logits, step_key)
+        cache, last_logits, done, step_idx, seen = carry
+        tok = sample(last_logits, step_key, seen, step_idx)
         if eos_id is not None:
             tok = jnp.where(done, eos_id, tok)
             done = done | (tok == eos_id)
+        seen = seen.at[jnp.arange(b), tok].set(True)
         # decode position: logical position = n_prompt + step_idx
         pos = (n_prompt + step_idx)[:, None]  # (B, 1)
         cache_slot = t + step_idx
@@ -126,11 +153,11 @@ def generate(
             params, cfg, tok[:, None], step_mask,
             positions=pos, cache=cache, cache_index=cache_slot,
         )
-        return (new_cache, logits[:, 0], done, step_idx + 1), tok
+        return (new_cache, logits[:, 0], done, step_idx + 1, seen), tok
 
     keys = jax.random.split(key, max_new_tokens)
-    (_, _, _, _), toks = jax.lax.scan(
-        step, (cache, last_logits, done0, jnp.int32(0)), keys
+    (_, _, _, _, _), toks = jax.lax.scan(
+        step, (cache, last_logits, done0, jnp.int32(0), seen0), keys
     )
     out = jnp.concatenate([ids, toks.T], axis=1)
     return out
