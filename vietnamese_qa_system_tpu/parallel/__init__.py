@@ -5,6 +5,8 @@ from .sharding import (
     DP_RULES,
     param_sharding,
     batch_sharding,
+    accum_batch_sharding,
+    replicated,
     shard_params,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "DP_RULES",
     "param_sharding",
     "batch_sharding",
+    "accum_batch_sharding",
+    "replicated",
     "shard_params",
 ]

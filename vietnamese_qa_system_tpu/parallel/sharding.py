@@ -145,6 +145,16 @@ def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P(axis))
 
 
+def accum_batch_sharding(mesh: Mesh):
+    """(accum, batch, ...) leaves: shard the second (batch) dim on `data`."""
+    axis = DATA_AXIS if DATA_AXIS in mesh.shape and mesh.shape[DATA_AXIS] > 1 else None
+    return NamedSharding(mesh, P(None, axis))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
 def shard_params(params, shardings):
     """Place (and lay out) params according to `shardings`."""
     return jax.device_put(params, shardings)

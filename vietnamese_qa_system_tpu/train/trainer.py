@@ -97,11 +97,18 @@ def model_loss_fn(cfg: ModelConfig) -> Callable:
     raise ValueError(f"no training loss for arch {cfg.arch!r}")
 
 
-def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
+def make_train_step(
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    *,
+    in_shardings=None,
+    out_shardings=None,
+):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
     state: {"params", "adapter", "opt_state", "step"}; batch leaves are
-    (grad_accum, microbatch, ...) shaped.
+    (grad_accum, microbatch, ...) shaped.  Pass pinned in/out shardings
+    (Trainer does) so no per-call resharding ever happens.
     """
     loss_of = model_loss_fn(cfg.model)
     use_lora = cfg.lora is not None
@@ -151,7 +158,12 @@ def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kwargs["out_shardings"] = out_shardings
+    return jax.jit(step_fn, donate_argnums=(0,), **kwargs)
 
 
 class Trainer:
@@ -173,15 +185,22 @@ class Trainer:
         key = jax.random.key(cfg.seed)
         if params is None:
             params = init_model_params(cfg.model, key)
-        # place params per strategy
+        from ..parallel.sharding import accum_batch_sharding, replicated
+
+        # Every state leaf gets an explicit NamedSharding and the step is
+        # jitted with pinned in/out shardings.  Mixing committed and
+        # uncommitted leaves makes jax convert arrays on every call — on a
+        # remote-attached TPU that per-call resharding dominated the step
+        # (observed 100ms -> 6.6s per step).
         p_shardings = param_sharding(params, self.mesh, cfg.strategy)
         self.params = jax.device_put(params, p_shardings)
 
         self.adapter = None
+        a_shardings = None
         if cfg.lora is not None:
             adapter = init_lora(jax.random.key(cfg.seed + 1), params, cfg.lora)
-            a_shard = param_sharding(adapter, self.mesh, "dp")
-            self.adapter = jax.device_put(adapter, a_shard)
+            a_shardings = param_sharding(adapter, self.mesh, "dp")
+            self.adapter = jax.device_put(adapter, a_shardings)
 
         sched = make_schedule(
             cfg.schedule, cfg.lr, total_steps or 10_000, cfg.warmup_steps
@@ -194,18 +213,36 @@ class Trainer:
         )
         trainable = self.adapter if cfg.lora is not None else self.params
         opt_state = self.tx.init(trainable)
-        if cfg.strategy in ("zero2", "fsdp", "fsdp_tp"):
-            # ZeRO-style optimizer-state sharding (reference ZeRO-2/3 configs)
-            o_shardings = param_sharding(opt_state, self.mesh, "fsdp")
-            opt_state = jax.device_put(opt_state, o_shardings)
+        # ZeRO-style optimizer-state sharding for zero2/fsdp strategies
+        # (reference ZeRO-2/3 configs); replicated otherwise.
+        opt_strategy = (
+            "fsdp" if cfg.strategy in ("zero2", "fsdp", "fsdp_tp") else "dp"
+        )
+        o_shardings = param_sharding(opt_state, self.mesh, opt_strategy)
+        opt_state = jax.device_put(opt_state, o_shardings)
+        rep = replicated(self.mesh)
+        self._state_shardings = {
+            "params": p_shardings,
+            "adapter": a_shardings,
+            "opt_state": o_shardings,
+            "step": rep,
+        }
         self.state = {
             "params": self.params,
             "adapter": self.adapter,
             "opt_state": opt_state,
-            "step": jnp.zeros([], jnp.int32),
+            "step": jax.device_put(jnp.zeros([], jnp.int32), rep),
         }
-        self._step_fn = make_train_step(cfg, self.tx)
-        self._batch_sharding = batch_sharding(self.mesh)
+        self._batch_sharding = accum_batch_sharding(self.mesh)
+        self._step_fn = make_train_step(
+            cfg,
+            self.tx,
+            in_shardings=(self._state_shardings, self._batch_sharding),
+            out_shardings=(
+                self._state_shardings,
+                {"loss": rep, "grad_norm": rep},
+            ),
+        )
         self.ckpt = (
             CheckpointManager(cfg.checkpoint_dir, cfg.keep_checkpoints)
             if cfg.checkpoint_dir
