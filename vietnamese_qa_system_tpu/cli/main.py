@@ -90,6 +90,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--do-generative-eval", action="store_true")
     g.add_argument("--max-new-tokens", type=int, default=64)
     g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--print-samples", type=int, default=0,
+                   help="decode and print N training examples before "
+                   "training (reference trainer.py:417-437 sample dump)")
+    g.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler device trace for the first "
+                   "N steps")
 
 
 def _model_config(args):
@@ -175,6 +181,7 @@ def cmd_train(args) -> int:
         report_to=args.report_to,
         run_name=args.run_name,
         remat=args.remat,
+        profile_steps=args.profile_steps,
     )
 
     dl = QADataLoader(
@@ -207,6 +214,27 @@ def cmd_train(args) -> int:
         if args.eval_files
         else []
     )
+
+    if args.print_samples:
+        # decode-and-print sample batches before training (the reference
+        # dumps rendered batches on rank 0, trainer.py:417-437)
+        from ..data.loader import IGNORE_INDEX
+
+        shown = 0
+        for batch in dl.batches(train_examples, shuffle=False):
+            for r in range(batch["input_ids"].shape[0]):
+                if shown >= args.print_samples:
+                    break
+                ids_row = batch["input_ids"][r]
+                labels_row = batch["labels"][r]
+                full = tok.decode([t for t in ids_row if t != tok.pad_id])
+                target = tok.decode(
+                    [t for t in labels_row if t not in (IGNORE_INDEX, tok.pad_id)]
+                )
+                dist_print(f"--- sample {shown} ---\n{full}\n>>> target: {target}")
+                shown += 1
+            if shown >= args.print_samples:
+                break
 
     steps_per_epoch = max(len(train_examples) // args.batch_size, 1)
     total = args.max_steps or steps_per_epoch * args.epochs
