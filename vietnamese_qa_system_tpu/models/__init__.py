@@ -4,6 +4,7 @@ from .config import (
     minilm_class,
     mpnet_class,
     pythia_410m_class,
+    mt5_small_class,
     tiny_test,
 )
 from .lora import LoraConfig, init_lora, merge_lora, count_params, resize_embeddings
@@ -16,6 +17,7 @@ __all__ = [
     "mpnet_class",
     "gpt_125m_class",
     "pythia_410m_class",
+    "mt5_small_class",
     "LoraConfig",
     "init_lora",
     "merge_lora",

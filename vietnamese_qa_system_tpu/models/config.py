@@ -116,3 +116,12 @@ def pythia_410m_class() -> ModelConfig:
         parallel_residual=True, rope_pct=0.25, tie_embeddings=False,
         norm_eps=1e-5, use_flash_attention=True,
     )
+
+
+def mt5_small_class() -> ModelConfig:
+    """mt5-small-class encoder-decoder (the reference's seq2seq experiments,
+    src/test.py:106-147 use mt5 + LoRA)."""
+    return ModelConfig(
+        arch="seq2seq", vocab_size=250112, d_model=512, n_heads=6,
+        n_layers=8, n_decoder_layers=8, d_ff=1024, max_seq_len=1024,
+    )
