@@ -22,7 +22,7 @@ from abc import ABC, abstractmethod
 from typing import Optional, Sequence
 
 from ..core.profiling import timeit
-from ..data.schemas import SCHEMAS, generate_id, parse_record
+from ..data.schemas import generate_id, parse_record
 from ..utils.contracts import BaseCallEnforcedMeta, enforce_base_call
 from ..utils.logging import get_logger
 from .filters import have_code

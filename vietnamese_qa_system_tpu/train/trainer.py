@@ -35,7 +35,7 @@ from ..models import LoraConfig, ModelConfig, causal_lm, init_lora, merge_lora, 
 from ..models.encoder import init_encoder
 from ..models.causal_lm import init_causal_lm
 from ..models.seq2seq import init_seq2seq
-from ..parallel.sharding import batch_sharding, param_sharding
+from ..parallel.sharding import param_sharding
 from ..utils.logging import dist_print, get_logger
 from ..utils.trackers import make_tracker
 from .checkpoint import CheckpointManager
@@ -297,7 +297,7 @@ class Trainer:
             profiling = True
             profile_until = step + cfg.profile_steps
         for epoch in range(cfg.epochs):
-            epoch_loss, epoch_tokens, epoch_steps = 0.0, 0, 0
+            epoch_tokens, epoch_steps = 0, 0
             with MemoryTracker() as mem:
                 for i, batch in enumerate(train_batches()):
                     if self.start_step > 0 and epoch == 0 and i < self.start_step:
@@ -314,7 +314,6 @@ class Trainer:
                         dist_print(f"profiler trace written to {cfg.profile_dir}")
                     if step % cfg.log_every == 0:
                         loss = float(metrics["loss"])
-                        epoch_loss += loss
                         elapsed = time.time() - t0
                         self.tracker.log(
                             {
