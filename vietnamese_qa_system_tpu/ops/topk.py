@@ -150,6 +150,13 @@ def _merge_tile(
         best_v_ref[:] = new_v
         best_i_ref[:] = new_i
 
+    if tile_n > 2048:
+        # the duplicated dual-path body blows VMEM at large tiles (Mosaic
+        # compile failure); mask unconditionally instead
+        col_tile = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+        merge(jnp.where(col_tile + base < valid_n, scores, _neg(scores.dtype)))
+        return
+
     is_partial = base + tile_n > valid_n
 
     @pl.when(jnp.logical_not(is_partial))
