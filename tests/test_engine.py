@@ -203,3 +203,26 @@ def test_qa_pipeline_end_to_end(rng):
     refused = qa_strict.answer(["câu hỏi nào đó"])[0]
     assert refused.refused and refused.contexts == []
     assert "câu hỏi nào đó" in refused.answer  # refusal names the question
+
+
+def test_dual_retriever_end_to_end(rng):
+    """Two independent encoders over the same corpus: identical queries
+    must agree on the top document (the reference's two-index loop)."""
+    from vietnamese_qa_system_tpu.engine import DualRetriever, IngestPipeline
+
+    tok = ByteTokenizer()
+    docs = [f"văn bản {i} về đề tài {i}" for i in range(12)]
+    retrievers = []
+    for seed in (0, 1):
+        cfg = tiny_test("encoder")
+        params = encoder.init_encoder(jax.random.key(seed), cfg)
+        store = VectorStore(512, cfg.d_model, tile_n=128)
+        ds = DocStore()
+        IngestPipeline(params, cfg, tok, store, ds, batch_size=8, max_len=48).add_texts(docs)
+        retrievers.append(Retriever(params, cfg, tok, store, ds, max_len=48, query_batch=8))
+    dual = DualRetriever(*retrievers, threshold=0.4)
+    out = dual.search([docs[5], docs[8]])
+    assert out[0] is not None and out[0].id == 5
+    assert out[1] is not None and out[1].id == 8
+    # both encoders score self-retrieval ~1.0 -> sum ~2.0 > threshold
+    assert out[0].score > 1.5

@@ -2,7 +2,7 @@ from .store import VectorStore
 from .docstore import DocStore
 from .chunking import chunk_text
 from .ingest import IngestPipeline
-from .query import Retriever, SearchResult, dual_agreement
+from .query import DualRetriever, Retriever, SearchResult, dual_agreement
 from .qa import QAAnswer, QAPipeline
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "chunk_text",
     "IngestPipeline",
     "Retriever",
+    "DualRetriever",
     "SearchResult",
     "dual_agreement",
     "QAPipeline",

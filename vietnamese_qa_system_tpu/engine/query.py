@@ -97,6 +97,26 @@ class Retriever:
         return results
 
 
+class DualRetriever:
+    """Two independent encoder+index pairs queried together with the
+    agreement accept rule — the reference's full query loop
+    (heavy_ranker.py:97-115: MiniLM + mpnet indexes, top-1 uid agreement,
+    summed-score threshold), batched."""
+
+    def __init__(self, retriever_a: Retriever, retriever_b: Retriever,
+                 *, threshold: float = 0.4):
+        self.a = retriever_a
+        self.b = retriever_b
+        self.threshold = threshold
+
+    def search(self, queries, k: int = 1):
+        """Returns a list of Optional[SearchResult]: the agreed top hit per
+        query (None when the encoders disagree or the score sum is low)."""
+        res_a = self.a.search(queries, k=max(k, 1))
+        res_b = self.b.search(queries, k=max(k, 1))
+        return dual_agreement(res_a, res_b, self.threshold)
+
+
 def dual_agreement(
     results_a: list[list[SearchResult]],
     results_b: list[list[SearchResult]],
