@@ -163,3 +163,46 @@ def test_bert_encoder_matches_transformers():
     hf_pool /= np.linalg.norm(hf_pool, axis=1, keepdims=True)
     cos = (emb * hf_pool).sum(1)
     assert (cos > 0.999).all(), cos
+
+
+def test_sentence_transformers_stack_end_to_end(tmp_path, rng):
+    """Simulates switching from the reference's sentence-transformers
+    retrieval to this framework: a LOCAL HF BERT checkpoint + HF tokenizer
+    drive ingest and search through HFTokenizer + convert_bert."""
+    from vietnamese_qa_system_tpu.data.tokenizer import HFTokenizer
+    from vietnamese_qa_system_tpu.engine import (
+        DocStore, IngestPipeline, Retriever, VectorStore,
+    )
+    from vietnamese_qa_system_tpu.models.convert_hf import bert_config, convert_bert
+
+    # build a tiny local wordpiece vocab + BERT checkpoint (no network)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        "tai", "lieu", "so", "0", "1", "2", "3", "4", "5", "6", "7",
+        "noi", "dung", "ve", "chu", "de", "cau", "hoi",
+    ]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    tok_hf = transformers.BertTokenizerFast(str(vocab_file), do_lower_case=True)
+    tok_dir = tmp_path / "tok"
+    tok_hf.save_pretrained(str(tok_dir))
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(hf_cfg)
+    cfg = bert_config(hf_cfg)
+    params = convert_bert(model.state_dict(), cfg)
+
+    tok = HFTokenizer(str(tok_dir))
+    store = VectorStore(256, cfg.d_model, tile_n=128)
+    ds = DocStore()
+    docs = [f"tai lieu so {i} noi dung ve chu de {i}" for i in range(8)]
+    pipe = IngestPipeline(params, cfg, tok, store, ds, batch_size=8, max_len=32)
+    pipe.add_texts(docs)
+    retr = Retriever(params, cfg, tok, store, ds, max_len=32, query_batch=8)
+    out = retr.search([docs[3]], k=2)[0]
+    assert out[0].id == 3 and out[0].doc == docs[3]
+    assert out[0].score > 0.99
