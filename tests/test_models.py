@@ -300,3 +300,37 @@ def test_generate_repetition_penalty_and_min_tokens(causal_setup):
         params, cfg, ids, mask, max_new_tokens=6, repetition_penalty=1e6
     )
     assert not np.array_equal(np.asarray(base), np.asarray(pen))
+
+
+def test_beam_search_w1_equals_greedy(causal_setup):
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=2, t=8, seed=17)
+    greedy = generate.generate(params, cfg, ids, mask, max_new_tokens=5)
+    beam1 = generate.beam_search(
+        params, cfg, ids, mask, max_new_tokens=5, num_beams=1
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+
+
+def test_beam_search_improves_sequence_logprob(causal_setup):
+    """The W=4 beam must score at least as high (sum log-prob) as greedy."""
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=1, t=8, seed=19)
+    n_new = 5
+
+    def seq_logprob(full):
+        lp = 0.0
+        cur = full[:, :8]
+        for i in range(n_new):
+            logits = causal_lm.forward(params, cfg, cur, jnp.ones_like(cur))
+            logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+            tok = full[:, 8 + i]
+            lp += float(logp[0, int(tok[0])])
+            cur = jnp.concatenate([cur, tok[:, None]], axis=1)
+        return lp
+
+    greedy = generate.generate(params, cfg, ids, mask, max_new_tokens=n_new)
+    beam = generate.beam_search(
+        params, cfg, ids, mask, max_new_tokens=n_new, num_beams=4
+    )
+    assert seq_logprob(np.asarray(beam)) >= seq_logprob(np.asarray(greedy)) - 1e-4

@@ -507,15 +507,26 @@ def cmd_chat(args) -> int:
             break
         prompt = f"{QUESTION_PREFIX}\n{text}\n\n{RESPONSE_PREFIX}\n"
         ids, mask = batch_encode(tok, [prompt], args.max_len, pad_side="left")
-        out = gen_mod.generate(
-            params,
-            model,
-            np.asarray(ids),
-            np.asarray(mask),
-            max_new_tokens=args.max_new_tokens,
-            temperature=args.temperature,
-            eos_id=tok.eos_id,
-        )
+        if args.num_beams > 1:
+            out = gen_mod.beam_search(
+                params,
+                model,
+                np.asarray(ids),
+                np.asarray(mask),
+                max_new_tokens=args.max_new_tokens,
+                num_beams=args.num_beams,
+                eos_id=tok.eos_id,
+            )
+        else:
+            out = gen_mod.generate(
+                params,
+                model,
+                np.asarray(ids),
+                np.asarray(mask),
+                max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature,
+                eos_id=tok.eos_id,
+            )
         completion = tok.decode(
             [
                 t
@@ -670,6 +681,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--max-len", type=int, default=256)
     pc.add_argument("--max-new-tokens", type=int, default=128)
     pc.add_argument("--temperature", type=float, default=0.0)
+    pc.add_argument("--num-beams", type=int, default=1)
     pc.add_argument("--seed", type=int, default=42)
     pc.set_defaults(fn=cmd_chat)
 

@@ -229,3 +229,132 @@ def generate_seq2seq(
     keys = jax.random.split(key, max_new_tokens)
     _, toks = jax.lax.scan(step, (cache, tok0, done0, jnp.int32(0)), keys)
     return toks.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_id",
+                     "length_penalty"),
+)
+def beam_search(
+    params,
+    cfg: ModelConfig,
+    ids,
+    attn_mask,
+    *,
+    max_new_tokens: int = 32,
+    num_beams: int = 4,
+    eos_id: int | None = None,
+    length_penalty: float = 1.0,
+):
+    """Batched beam search with a KV cache (num_beams capability of the
+    reference's GenerationConfig, trainer.py:390-413).
+
+    ids/attn_mask: (B, T) LEFT-padded prompts.  Returns (B, T+max_new) —
+    the highest-scoring beam per row (log-prob sum, divided by
+    length**length_penalty when finished).  Static shapes throughout:
+    beams are an expanded batch dimension, and the per-step cache reorder
+    is a gather over the beam axis.
+    """
+    b, t = ids.shape
+    w = num_beams
+    total = t + max_new_tokens
+    neg = -1e30
+
+    # expand prompts to (B*W, T)
+    ids_w = jnp.repeat(ids, w, axis=0)
+    mask_w = jnp.repeat(attn_mask, w, axis=0)
+    positions = jnp.maximum(jnp.cumsum(mask_w, axis=1) - 1, 0)
+    n_prompt = jnp.sum(mask_w, axis=1).reshape(b, w)
+
+    cache = _make_cache(cfg, b * w, total, cfg.n_layers)
+    j = jnp.arange(total)[None, None, :]
+    q_pos = jnp.arange(t)[None, :, None]
+    key_valid = jnp.concatenate(
+        [mask_w.astype(jnp.bool_), jnp.zeros((b * w, max_new_tokens), jnp.bool_)],
+        axis=1,
+    )
+    prefill_mask = (j <= q_pos) & key_valid[:, None, :]
+    logits, cache = causal_lm.forward(
+        params, cfg, ids_w, prefill_mask,
+        positions=positions, cache=cache, cache_index=0,
+    )
+    last_logits = logits[:, -1].astype(jnp.float32)  # (B*W, V)
+    v = last_logits.shape[-1]
+
+    # beam 0 starts live, the rest start at -inf so the first expansion
+    # picks W distinct continuations of the same prompt
+    beam_scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), neg)])[None, :],
+        (b, 1),
+    )
+    toks0 = jnp.zeros((b, w, max_new_tokens), jnp.int32)
+    done0 = jnp.zeros((b, w), jnp.bool_)
+
+    def step(carry, step_idx):
+        cache, last_logits, scores, toks, done = carry
+        logp = jax.nn.log_softmax(last_logits, axis=-1).reshape(b, w, v)
+        if eos_id is not None:
+            # finished beams may only "continue" with eos at no cost
+            eos_onehot = (
+                jnp.arange(v)[None, None, :] == eos_id
+            )
+            logp = jnp.where(
+                done[:, :, None], jnp.where(eos_onehot, 0.0, neg), logp
+            )
+        cand = scores[:, :, None] + logp  # (B, W, V)
+        flat = cand.reshape(b, w * v)
+        top_s, top_i = jax.lax.top_k(flat, w)  # (B, W)
+        parent = top_i // v  # (B, W) beam index
+        token = (top_i % v).astype(jnp.int32)
+
+        # reorder beam state by parent
+        batch_idx = jnp.arange(b)[:, None]
+        toks = toks[batch_idx, parent]  # (B, W, max_new)
+        toks = toks.at[:, :, step_idx].set(token)
+        new_done = done[batch_idx, parent]
+        if eos_id is not None:
+            new_done = new_done | (token == eos_id)
+
+        # reorder the KV cache: rows are (B*W); gather along beams
+        flat_parent = (batch_idx * w + parent).reshape(b * w)
+
+        def reorder(c):
+            return jax.tree.map(lambda x: x[flat_parent], c)
+
+        cache = [reorder(layer) for layer in cache]
+
+        # run one decode step for every beam
+        pos = (n_prompt[batch_idx, parent] + step_idx).reshape(b * w, 1)
+        cache_slot = t + step_idx
+        jj = jnp.arange(total)[None, None, :]
+        gen_valid = (jj >= t) & (jj <= cache_slot)
+        step_mask = key_valid[:, None, :] | gen_valid
+        logits, cache = causal_lm.forward(
+            params, cfg, token.reshape(b * w, 1), step_mask,
+            positions=pos, cache=cache, cache_index=cache_slot,
+        )
+        return (cache, logits[:, 0].astype(jnp.float32), top_s, toks, new_done), None
+
+    (cache, _, scores, toks, done), _ = jax.lax.scan(
+        step, (cache, last_logits, beam_scores0, toks0, done0),
+        jnp.arange(max_new_tokens),
+    )
+
+    # pick the best beam per row with HF-style length normalization
+    if eos_id is not None:
+        lengths = jnp.where(
+            done,
+            jnp.argmax(toks == eos_id, axis=-1) + 1,
+            max_new_tokens,
+        ).astype(jnp.float32)
+    else:
+        lengths = jnp.full((b, w), float(max_new_tokens))
+    norm = scores / jnp.power(jnp.maximum(lengths, 1.0), length_penalty)
+    best = jnp.argmax(norm, axis=1)  # (B,)
+    best_toks = toks[jnp.arange(b), best]  # (B, max_new)
+    if eos_id is not None:
+        # pad everything after the first eos with eos
+        seen = jnp.cumsum((best_toks == eos_id).astype(jnp.int32), axis=1)
+        best_toks = jnp.where(seen > 1, eos_id, best_toks)
+    return jnp.concatenate([ids, best_toks], axis=1)
