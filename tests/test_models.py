@@ -334,3 +334,33 @@ def test_beam_search_improves_sequence_logprob(causal_setup):
         params, cfg, ids, mask, max_new_tokens=n_new, num_beams=4
     )
     assert seq_logprob(np.asarray(beam)) >= seq_logprob(np.asarray(greedy)) - 1e-4
+
+
+def test_generate_no_repeat_ngram(causal_setup):
+    """With no_repeat_ngram_size=2, no bigram may appear twice in the
+    generated continuation (including bigrams crossing the prompt)."""
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=2, t=8, seed=23)
+    out = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=12, no_repeat_ngram_size=2
+    )
+    seq = np.asarray(out)
+    for r in range(seq.shape[0]):
+        bigrams = set()
+        row = seq[r].tolist()
+        ok = True
+        for i in range(len(row) - 1):
+            bg = (row[i], row[i + 1])
+            if bg in bigrams and i + 1 >= 8:  # only generated region enforced
+                ok = False
+            bigrams.add(bg)
+        assert ok, f"repeated bigram in row {r}: {row}"
+    # without the constraint this tiny random model loops -> verifies the
+    # test has teeth
+    base = np.asarray(
+        generate.generate(params, cfg, ids, mask, max_new_tokens=12)
+    )
+    def has_repeat(row):
+        bgs = [(row[i], row[i+1]) for i in range(len(row)-1)]
+        return len(bgs) != len(set(bgs))
+    assert any(has_repeat(base[r].tolist()) for r in range(2))

@@ -59,7 +59,7 @@ def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p",
-        "repetition_penalty", "min_new_tokens",
+        "repetition_penalty", "min_new_tokens", "no_repeat_ngram_size",
     ),
 )
 def generate(
@@ -74,6 +74,7 @@ def generate(
     top_p: float = 1.0,
     repetition_penalty: float = 1.0,
     min_new_tokens: int = 0,
+    no_repeat_ngram_size: int = 0,
     eos_id: int | None = None,
     key=None,
 ):
@@ -107,8 +108,39 @@ def generate(
     )
     last_logits = logits[:, -1]  # (B, V) — last prompt slot (right edge; left-padded)
 
-    def sample(logits, k, seen, step_idx):
+    def sample(logits, k, seen, step_idx, seq_buf, cur_end):
         logits = logits.astype(jnp.float32)
+        if no_repeat_ngram_size > 0:
+            # HF semantics: ban any token that would complete an n-gram
+            # already present in (prompt + generated).  seq_buf is the
+            # left-padded full sequence; windows that touch padding or the
+            # not-yet-generated tail are excluded.
+            n = no_repeat_ngram_size
+            L = seq_buf.shape[1]
+            # a window at position p covers seq[p : p+n-1]; it matches when
+            # it equals the last (n-1) tokens, banning seq[p+n-1]
+            pos = jnp.arange(L - n + 1)
+            windows = jnp.stack(
+                [seq_buf[:, i : L - n + 1 + i] for i in range(n - 1)], axis=-1
+            )  # (B, L-n+1, n-1)
+            cur_prefix = jax.lax.dynamic_slice(
+                seq_buf, (0, cur_end - (n - 1)), (seq_buf.shape[0], n - 1)
+            )  # (B, n-1) — last n-1 tokens of the sequence so far
+            match = jnp.all(
+                windows == cur_prefix[:, None, :], axis=-1
+            )  # (B, L-n+1)
+            # window must lie fully inside [pad_start, cur_end)
+            window_ok = (pos[None, :] + n <= cur_end) & (
+                pos[None, :] >= pad_start[:, None]
+            )
+            match &= window_ok
+            banned = seq_buf[:, n - 1 :]  # (B, L-n+1)
+            ban_mask = (
+                jnp.zeros((logits.shape[0], logits.shape[1]), jnp.bool_)
+                .at[jnp.arange(logits.shape[0])[:, None], banned]
+                .max(match)
+            )
+            logits = jnp.where(ban_mask, -1e30, logits)
         if repetition_penalty != 1.0:
             # HF semantics: shrink positive logits, amplify negative ones
             penalized = jnp.where(
@@ -134,14 +166,22 @@ def generate(
         .at[jnp.arange(b)[:, None], ids]
         .max(attn_mask.astype(jnp.bool_))
     )
+    # full left-padded sequence buffer for n-gram banning
+    seq_buf0 = jnp.concatenate(
+        [ids, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+    )
+    pad_start = t - n_prompt  # first real token per row (left padding)
 
     def step(carry, step_key):
-        cache, last_logits, done, step_idx, seen = carry
-        tok = sample(last_logits, step_key, seen, step_idx)
+        cache, last_logits, done, step_idx, seen, seq_buf = carry
+        tok = sample(last_logits, step_key, seen, step_idx, seq_buf, t + step_idx)
         if eos_id is not None:
             tok = jnp.where(done, eos_id, tok)
             done = done | (tok == eos_id)
         seen = seen.at[jnp.arange(b), tok].set(True)
+        seq_buf = jax.lax.dynamic_update_slice(
+            seq_buf, tok[:, None], (0, t + step_idx)
+        )
         # decode position: logical position = n_prompt + step_idx
         pos = (n_prompt + step_idx)[:, None]  # (B, 1)
         cache_slot = t + step_idx
@@ -153,11 +193,11 @@ def generate(
             params, cfg, tok[:, None], step_mask,
             positions=pos, cache=cache, cache_index=cache_slot,
         )
-        return (new_cache, logits[:, 0], done, step_idx + 1, seen), tok
+        return (new_cache, logits[:, 0], done, step_idx + 1, seen, seq_buf), tok
 
     keys = jax.random.split(key, max_new_tokens)
-    (_, _, _, _, _), toks = jax.lax.scan(
-        step, (cache, last_logits, done0, jnp.int32(0), seen0), keys
+    (_, _, _, _, _, _), toks = jax.lax.scan(
+        step, (cache, last_logits, done0, jnp.int32(0), seen0, seq_buf0), keys
     )
     out = jnp.concatenate([ids, toks.T], axis=1)
     return out
