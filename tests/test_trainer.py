@@ -155,6 +155,48 @@ def test_checkpoint_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+@pytest.mark.parametrize("sized", [False, True])
+def test_resume_mid_epoch(tmp_path, sized):
+    """Resuming a run that died mid-epoch-2 replays exactly the remaining
+    batches: total steps and final params match an uninterrupted run
+    (capability of the reference's resume math, trainer.py:690-713)."""
+    vocab = tiny_test("causal").vocab_size
+
+    def make_batches():
+        gen = _toy_batches(vocab, n=3)
+        if not sized:
+            return gen
+        return lambda: list(gen())  # sized iterable exercises the len() path
+
+    base = dict(
+        model=tiny_test("causal"),
+        lr=1e-3,
+        epochs=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        save_every_steps=1,
+        log_dir=str(tmp_path),
+        mesh_axes={"data": 1},
+    )
+    straight = Trainer(TrainConfig(**base), total_steps=12)
+    straight.fit(make_batches())
+    assert int(straight.state["step"]) == 12
+
+    base2 = dict(base, checkpoint_dir=str(tmp_path / "ckpt2"))
+    t1 = Trainer(TrainConfig(**base2), total_steps=12)
+    t1.fit(make_batches(), max_steps=8)  # dies mid-epoch 2 (epochs are 3 steps)
+    assert int(t1.state["step"]) == 8
+
+    t2 = Trainer(TrainConfig(**base2, resume=True), total_steps=12)
+    assert t2.start_step == 8
+    t2.fit(make_batches())
+    assert int(t2.state["step"]) == 12
+    for a, b in zip(
+        jax.tree.leaves(straight.state["params"]),
+        jax.tree.leaves(t2.state["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 @pytest.mark.parametrize(
     "strategy,axes",
     [

@@ -287,7 +287,6 @@ class Trainer:
         cfg = self.cfg
         step = self.start_step
         last_save = time.time()
-        t0 = time.time()
         profiling = False
         if cfg.profile_steps > 0:
             import os
@@ -296,12 +295,31 @@ class Trainer:
             jax.profiler.start_trace(cfg.profile_dir)
             profiling = True
             profile_until = step + cfg.profile_steps
+        # Resume: derive (completed epochs, in-epoch offset) from start_step
+        # and steps-per-epoch (capability of the reference's explicit resume
+        # math, trainer.py:690-713 + accelerate skip_first_batches).  The
+        # epoch length comes from len() when the iterable provides it;
+        # otherwise the first resumed epoch counts batches while skipping
+        # (host-side only, no device work).
+        skip = self.start_step
+        steps_per_epoch = None
+        if skip > 0:
+            probe = train_batches()
+            if hasattr(probe, "__len__"):
+                steps_per_epoch = len(probe)
         for epoch in range(cfg.epochs):
+            if steps_per_epoch is not None and skip >= steps_per_epoch:
+                skip -= steps_per_epoch
+                continue  # epoch fully trained before the restart
             epoch_tokens, epoch_steps = 0, 0
+            t0 = time.time()
+            n_batches = 0
             with MemoryTracker() as mem:
                 for i, batch in enumerate(train_batches()):
-                    if self.start_step > 0 and epoch == 0 and i < self.start_step:
-                        continue  # fast-forward after resume
+                    n_batches = i + 1
+                    if skip > 0:
+                        skip -= 1
+                        continue  # fast-forward within the resume epoch
                     dev_batch = self._device_batch(batch)
                     n_tok = int(np.prod(dev_batch["input_ids"].shape))
                     self.state, metrics = self._step_fn(self.state, dev_batch)
@@ -329,6 +347,10 @@ class Trainer:
                         last_save = time.time()
                     if max_steps is not None and step >= max_steps:
                         break
+            if steps_per_epoch is None:
+                steps_per_epoch = n_batches
+            if epoch_steps == 0 and n_batches > 0 and step == self.start_step:
+                continue  # epoch consumed entirely by fast-forward counting
             dist_print(
                 f"epoch {epoch}: steps={epoch_steps} "
                 f"device_mem_peak={mem.peaked}MB cpu_peak={mem.cpu_peaked}MB"
