@@ -8,7 +8,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measurement notes (axon tunnel): data is generated on-device, completion is
 forced by fetching the small top-k outputs; the CPU baseline is measured on
-a 100k slice and scaled linearly to 1M (brute force is O(N)).
+a 100k slice and scaled linearly to 1M (brute force is O(N)).  The recall
+gate is an independent rank-counting oracle (plain XLA einsums, none of the
+kernel's selection/tiling code) — see the inline comment.
 """
 
 from __future__ import annotations
@@ -59,14 +61,42 @@ def main() -> None:
         tpu_dt = min(tpu_dt, (time.perf_counter() - t0) / reps)
     tpu_qps = B / tpu_dt
 
-    # --- recall gate vs on-device exact oracle (64 queries) -----------------
-    # (mode="exact" is the fully exact selection path; XLA's lax.top_k sort
-    # at (64, 1M) takes minutes to compile, so it is not used here)
-    s, ids = matmul_topk(q[:64], corpus, K, tile_n=TILE)
-    _, ref_ids = matmul_topk(q[:64], corpus, K, tile_n=TILE, mode="exact")
-    ids, ref_ids = np.asarray(ids), np.asarray(ref_ids)
-    recall = float(
-        np.mean([len(set(ids[r]) & set(ref_ids[r])) / K for r in range(64)])
+    # --- recall gate vs an INDEPENDENT rank-counting oracle ------------------
+    # The oracle shares nothing with the kernel under test (no Pallas, no
+    # tiling/padding/valid_n plumbing): plain XLA einsums score the full
+    # corpus, and a kernel id counts as a true top-K member iff fewer than
+    # K corpus vectors score strictly higher — exact, tie-correct, and
+    # O(N*K) memory-light (a full lax.top_k sort at 1M compiles for
+    # minutes; counting does not).
+    n_oracle = 64
+    _, ids = matmul_topk(q[:n_oracle], corpus, K, tile_n=TILE)
+
+    @jax.jit
+    def rank_counts(q_o, corpus, ids):
+        scores = jnp.einsum(
+            "bd,nd->bn", q_o.astype(jnp.float32), corpus.astype(jnp.float32)
+        )  # (B, N) — XLA matmul, not the kernel's
+        true_s = jnp.take_along_axis(scores, ids, axis=1)  # (B, K)
+        return jnp.sum(
+            scores[:, :, None] > true_s[:, None, :], axis=1
+        )  # (B, K) strict ranks
+
+    counts = np.asarray(rank_counts(q[:n_oracle], corpus, ids))
+    recall = float(np.mean(counts < K))
+    # secondary: the fast path must also agree with the kernel's own
+    # exact-selection mode (shared-plumbing regression check)
+    e_ids = np.asarray(
+        matmul_topk(q[:n_oracle], corpus, K, tile_n=TILE, mode="exact")[1]
+    )
+    f_ids = np.asarray(ids)
+    recall_vs_exact = float(
+        np.mean(
+            [len(set(f_ids[r]) & set(e_ids[r])) / K for r in range(n_oracle)]
+        )
+    )
+    assert recall_vs_exact >= recall - 0.02, (
+        f"exact-mode selection disagrees with the independent oracle: "
+        f"{recall_vs_exact} vs {recall}"
     )
 
     # --- CPU brute-force fp32 baseline (100k slice, scaled to 1M) -----------

@@ -101,6 +101,33 @@ def test_store_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
 
 
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+def test_store_load_cross_mesh_size(rng, tmp_path, dtype):
+    """Loading onto a different mesh size must dequantize before re-adding:
+    raw int8 codes re-added as floats get re-quantized per-row, silently
+    corrupting the scales (rankings diverge)."""
+    mesh4 = create_mesh({SHARD_AXIS: 4}, devices=jax.devices()[:4])
+    store = VectorStore(512, 64, mesh=mesh4, dtype=dtype, tile_n=128)
+    # widely varying row magnitudes make scale corruption visible
+    vecs = rng.standard_normal((100, 64)).astype(np.float32)
+    vecs *= np.logspace(-2, 2, 100)[:, None]
+    store.add(vecs)
+    path = os.path.join(tmp_path, "index")
+    store.save(path)
+    mesh2 = create_mesh({SHARD_AXIS: 2}, devices=jax.devices()[:2])
+    loaded = VectorStore.load(path, mesh=mesh2)
+    assert loaded.size == 100
+    if dtype == "int8_global":
+        assert loaded.global_scale == store.global_scale
+    q = vecs[:8]
+    s1, ids1 = store.topk(q, 5)
+    s2, ids2 = loaded.topk(q, 5)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=0.05, atol=1e-3
+    )
+
+
 def test_docstore_crud(tmp_path):
     with DocStore(os.path.join(tmp_path, "docs.db")) as ds:
         ds.insert([0, 1, 2], ["tài liệu một", "doc two", "ba"], ["wiki", None, "x"])

@@ -336,6 +336,24 @@ def test_beam_search_improves_sequence_logprob(causal_setup):
     assert seq_logprob(np.asarray(beam)) >= seq_logprob(np.asarray(greedy)) - 1e-4
 
 
+def test_generate_no_repeat_ngram_size_1(causal_setup):
+    """n=1 (HF supports it: every token may appear at most once) must trace
+    and produce a continuation with no token repeated, prompt included."""
+    cfg, params = causal_setup
+    ids, mask = _batch(cfg, b=2, t=8, seed=29)
+    out = generate.generate(
+        params, cfg, ids, mask, max_new_tokens=8, no_repeat_ngram_size=1
+    )
+    seq = np.asarray(out)
+    for r in range(seq.shape[0]):
+        row = seq[r].tolist()
+        gen = row[8:]
+        prior = set(row[:8])
+        for i, tok in enumerate(gen):
+            assert tok not in prior, f"repeated token {tok} in row {r}: {row}"
+            prior.add(tok)
+
+
 def test_generate_no_repeat_ngram(causal_setup):
     """With no_repeat_ngram_size=2, no bigram may appear twice in the
     generated continuation (including bigrams crossing the prompt)."""

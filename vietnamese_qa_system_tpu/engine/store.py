@@ -265,13 +265,22 @@ class VectorStore:
         # reshard onto the (possibly different) current mesh
         flat = vecs.reshape(meta["n_shards"], -1, meta["dim"])
         if meta["n_shards"] != store.n_shards:
-            # round-robin ids are mesh-size dependent; re-add in id order
+            # Round-robin ids are mesh-size dependent; re-add in id order.
+            # vectors.npy holds *quantized codes* for the int8 dtypes, so
+            # dequantize first — re-adding raw codes would re-quantize them
+            # per-row and silently corrupt the scales.
             size = meta["size"]
             n_old = meta["n_shards"]
-            in_order = np.zeros((size, meta["dim"]), np.float32)
-            for g in range(size):
-                in_order[g] = flat[g % n_old, g // n_old]
-            store.add(in_order)
+            if meta["dtype"] == "int8":
+                scales = np.load(os.path.join(path, "scales.npy"))
+                flat = flat * scales[:, :, None]
+            elif meta["dtype"] == "int8_global":
+                # restoring the calibrated scale first makes the re-add
+                # re-quantize the dequantized codes bit-identically
+                store.global_scale = meta["global_scale"]
+                flat = flat * meta["global_scale"]
+            g = np.arange(size)
+            store.add(flat[g % n_old, g // n_old])
             return store
         store.global_scale = meta.get("global_scale")
         vec_dt = jnp.bfloat16 if meta["dtype"] == "bf16" else jnp.int8

@@ -110,7 +110,11 @@ def generate(
 
     def sample(logits, k, seen, step_idx, seq_buf, cur_end):
         logits = logits.astype(jnp.float32)
-        if no_repeat_ngram_size > 0:
+        if no_repeat_ngram_size == 1:
+            # HF semantics for n=1: ban every token already present in
+            # (prompt + generated) — exactly the `seen` table.
+            logits = jnp.where(seen, -1e30, logits)
+        elif no_repeat_ngram_size > 0:
             # HF semantics: ban any token that would complete an n-gram
             # already present in (prompt + generated).  seq_buf is the
             # left-padded full sequence; windows that touch padding or the

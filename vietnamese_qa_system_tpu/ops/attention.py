@@ -15,12 +15,12 @@ Design (standard TPU flash forward):
 - optional per-row key-padding via ``kv_lens`` (B,) for right-padded
   batches.
 
-Backward: ``flash_attention`` is wrapped in ``jax.custom_vjp`` whose
-backward recomputes attention blockwise with XLA einsums (memory O(T^2)
-only inside the bwd pass).  A fully fused Pallas backward is a known
-follow-up; at the reference's context lengths (<= ~2k,
-scripts/train*.sh --model_max_length 1024-1256) recompute-bwd is not the
-bottleneck.
+Backward: ``flash_attention`` is wrapped in ``jax.custom_vjp`` with fully
+fused FA2-style Pallas backward kernels (``_fa_bwd_kv_kernel`` /
+``_fa_bwd_q_kernel`` below): dK/dV accumulate over q-blocks and dQ over
+k-blocks, recomputing probabilities blockwise in VMEM from the saved
+softmax statistics — the (Tq, Tk) score matrix is never materialized in
+HBM in either direction.  Measured numbers in docs/BENCHMARKS.md.
 """
 
 from __future__ import annotations

@@ -29,6 +29,11 @@ def _to_savable(x):
     return x, x.dtype.name
 
 
+def _sidecar(path: str) -> str:
+    # documented layout: step_N/{state.npz, dtypes.json, meta.json}
+    return os.path.join(os.path.dirname(path) or ".", "dtypes.json")
+
+
 def save_pytree(path: str, tree) -> None:
     leaves = jax.tree.leaves(tree)
     arrays, dtypes = {}, []
@@ -37,14 +42,37 @@ def save_pytree(path: str, tree) -> None:
         arrays[f"leaf_{i}"] = arr
         dtypes.append(dt)
     np.savez(path, **arrays)
-    with open(path + ".dtypes.json", "w") as f:
+    with open(_sidecar(path), "w") as f:
         json.dump(dtypes, f)
 
 
-def load_pytree(path: str, target):
-    """Restore into the structure (and dtypes/shardings) of `target`."""
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+def load_pytree(path: str, target=None):
+    """Restore into the structure (and dtypes/shardings) of `target`.
+
+    With ``target=None`` returns the flat leaf list with the original
+    dtypes restored from the dtypes.json sidecar (inspection/conversion
+    tools have no target structure).
+    """
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    data = np.load(npz_path)
+    n = len(data.files)
+    if target is None:
+        with open(_sidecar(npz_path)) as f:
+            dtypes = json.load(f)
+        if len(dtypes) != n:
+            raise ValueError(
+                f"dtypes.json has {len(dtypes)} entries for {n} leaves"
+            )
+        return [
+            jnp.asarray(data[f"leaf_{i}"], dtype=dtypes[i]) for i in range(n)
+        ]
     t_leaves, treedef = jax.tree.flatten(target)
+    if len(t_leaves) != n:
+        raise ValueError(
+            f"checkpoint has {n} leaves but target structure has "
+            f"{len(t_leaves)} — wrong model/optimizer config for this "
+            f"checkpoint"
+        )
     leaves = []
     for i, t in enumerate(t_leaves):
         arr = data[f"leaf_{i}"]
