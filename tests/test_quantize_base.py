@@ -1,0 +1,158 @@
+"""Quantized-base (QLoRA-class) tests: round-trip accuracy, dequant-in-dense,
+LoRA-over-quantized convergence vs the bf16 base, sharded step, export.
+
+Parity target: the reference's BitsAndBytesConfig QLoRA path
+(reference src/models/trainer.py:470-487,590-605).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.models import (
+    LoraConfig,
+    dequantize_tree,
+    dequantize_weight,
+    init_lora,
+    merge_lora,
+    quantize_dense_tree,
+    quantize_weight,
+    tiny_test,
+    tree_bytes,
+    causal_lm,
+)
+from vietnamese_qa_system_tpu.models.layers import dense, init_dense
+from vietnamese_qa_system_tpu.train import TrainConfig, Trainer, perplexity_eval
+
+
+@pytest.mark.parametrize("mode,tol", [("int8", 0.01), ("nf4", 0.15)])
+def test_weight_roundtrip(rng, mode, tol):
+    w = rng.standard_normal((128, 96)).astype(np.float32) * 0.05
+    q = quantize_weight(jnp.asarray(w), mode)
+    w2 = np.asarray(dequantize_weight(q, jnp.float32))
+    assert w2.shape == w.shape
+    err = np.abs(w2 - w).max() / np.abs(w).max()
+    assert err <= tol, f"{mode} relative error {err}"
+
+
+def test_nf4_packs_two_codes_per_byte(rng):
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w), "nf4")
+    assert q["w_q"].dtype == jnp.uint8 and q["w_q"].shape == (32, 32)
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_dense_matches_float_base(rng, mode):
+    p = init_dense(jax.random.key(0), 64, 48)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    y_ref = np.asarray(dense(p, x))
+    qp = {"b": p["b"], **quantize_weight(p["w"], mode)}
+    y_q = np.asarray(dense(qp, x))
+    tol = 0.02 if mode == "int8" else 0.12
+    denom = np.abs(y_ref).max()
+    assert np.abs(y_q - y_ref).max() / denom <= tol
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_qlora_converges_close_to_bf16_base(tmp_path, mode):
+    """LoRA over a quantized base must reach an eval loss close to LoRA
+    over the bf16 base on the tiny memorization task, with the dense
+    weights at least 2x (int8) / 3.5x (nf4) smaller than f32."""
+    from tests.test_trainer import _toy_batches
+
+    model = tiny_test("causal")
+    base = dict(
+        model=model,
+        lora=LoraConfig(r=8),
+        lr=5e-3,
+        epochs=8,
+        log_dir=str(tmp_path),
+        mesh_axes={"data": 1},
+    )
+    batches = _toy_batches(model.vocab_size)
+
+    t_f = Trainer(TrainConfig(**base), total_steps=48)
+    t_f.fit(batches)
+    loss_f = perplexity_eval(t_f.merged_params(), model, batches())["eval_loss"]
+
+    t_q = Trainer(TrainConfig(**base, quantize_base=mode), total_steps=48)
+    # memory win on the quantized dense weights
+    f32_bytes = tree_bytes(t_f.state["params"])
+    q_bytes = tree_bytes(t_q.state["params"])
+    min_ratio = 1.7 if mode == "int8" else 2.2  # embeddings stay float
+    assert f32_bytes / q_bytes >= min_ratio, (f32_bytes, q_bytes)
+    t_q.fit(batches)
+    loss_q = perplexity_eval(t_q.merged_params(), model, batches())["eval_loss"]
+    assert loss_q <= loss_f + 0.35, (loss_q, loss_f)
+    # and training actually helped over the untrained quantized base
+    t_0 = Trainer(TrainConfig(**base, quantize_base=mode), total_steps=48)
+    loss_0 = perplexity_eval(t_0.merged_params(), model, batches())["eval_loss"]
+    assert loss_q < loss_0 - 0.3, (loss_q, loss_0)
+
+
+def test_quantize_base_requires_lora(tmp_path):
+    with pytest.raises(ValueError, match="quantize_base requires LoRA"):
+        Trainer(
+            TrainConfig(
+                model=tiny_test("causal"),
+                quantize_base="nf4",
+                log_dir=str(tmp_path),
+                mesh_axes={"data": 1},
+            ),
+            total_steps=1,
+        )
+
+
+def test_qlora_sharded_step_fsdp_tp(tmp_path):
+    """One real QLoRA train step with int8 base sharded over the 2x4 mesh
+    (column/row-parallel w_q/w_s TP rules + auto-fsdp)."""
+    model = tiny_test("causal")
+    cfg = TrainConfig(
+        model=model,
+        lora=LoraConfig(r=4),
+        quantize_base="int8",
+        strategy="fsdp_tp",
+        mesh_axes={"data": 2, "model": 4},
+        log_dir=str(tmp_path),
+    )
+    trainer = Trainer(cfg, total_steps=2)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, model.vocab_size, (4, 16)).astype(np.int32)
+
+    def batches():
+        for _ in range(2):
+            yield {
+                "input_ids": ids,
+                "attention_mask": np.ones_like(ids),
+                "labels": ids,
+            }
+
+    state = trainer.fit(batches)
+    assert int(state["step"]) == 2
+    for leaf in jax.tree.leaves(state["adapter"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dequantize_tree_export(rng):
+    """Export path: dequantize_tree folds the adapter back into float
+    weights; logits match the quantized+lazy-LoRA forward."""
+    model = tiny_test("causal")
+    params = causal_lm.init_causal_lm(jax.random.key(0), model)
+    qparams = quantize_dense_tree(params, "int8")
+    lcfg = LoraConfig(r=4)
+    adapter = init_lora(jax.random.key(1), qparams, lcfg)
+    # nudge the adapter off its zero init so the fold is non-trivial
+    adapter = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.key(2), x.shape),
+        adapter,
+    )
+    merged_q = merge_lora(qparams, adapter, lcfg)
+    exported = dequantize_tree(merged_q)
+    for leaf in jax.tree.leaves(exported):
+        assert leaf.dtype != jnp.int8 and leaf.dtype != jnp.uint8
+    ids = jnp.asarray(rng.integers(1, model.vocab_size, (2, 12)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    lq = np.asarray(causal_lm.forward(merged_q, model, ids, mask))
+    le = np.asarray(causal_lm.forward(exported, model, ids, mask))
+    np.testing.assert_allclose(lq, le, atol=0.05, rtol=0.05)

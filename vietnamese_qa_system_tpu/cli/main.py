@@ -37,6 +37,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--lora-r", type=int, default=8)
     g.add_argument("--lora-alpha", type=int, default=16)
     g.add_argument("--lora-targets", nargs="*", default=None)
+    g.add_argument("--quantize-base", choices=["int8", "nf4"], default=None,
+                   help="quantize the frozen base for LoRA training "
+                   "(capability of the reference's --use_8bit/--use_4bit "
+                   "BitsAndBytesConfig flags)")
 
     g = p.add_argument_group("optimization (reference bnb/training groups)")
     g.add_argument("--optimizer", default="adamw",
@@ -175,6 +179,7 @@ def cmd_train(args) -> int:
         save_every_steps=args.save_every_steps,
         save_every_seconds=args.save_every_seconds,
         resume=args.resume,
+        quantize_base=args.quantize_base,
         seed=args.seed,
         log_every=args.log_every,
         log_dir=args.log_dir,
@@ -563,6 +568,7 @@ def cmd_convert_ckpt(args) -> int:
         optimizer=args.optimizer,
         checkpoint_dir=args.checkpoint_dir,
         resume=True,
+        quantize_base=args.quantize_base,
         seed=args.seed,
         mesh_axes={"data": 1},
         log_dir=os.path.join(args.out_dir, "_logs"),
@@ -572,6 +578,10 @@ def cmd_convert_ckpt(args) -> int:
         dist_print(f"no checkpoint found under {args.checkpoint_dir}", file=sys.stderr)
         return 2
     merged = trainer.merged_params()
+    if args.quantize_base is not None:
+        from ..models import dequantize_tree
+
+        merged = dequantize_tree(merged)
     if args.format == "hf":
         if model.arch != "causal":
             dist_print("hf export supports causal models only", file=sys.stderr)
@@ -701,6 +711,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--lora-r", type=int, default=8)
     pv.add_argument("--lora-alpha", type=int, default=16)
     pv.add_argument("--lora-targets", nargs="*", default=None)
+    pv.add_argument("--quantize-base", choices=["int8", "nf4"], default=None,
+                    help="the checkpoint was trained with this base "
+                    "quantization; weights are dequantized for export")
     pv.add_argument("--optimizer", default="adamw",
                     choices=["adamw", "lion", "adamw8bit", "lion8bit"])
     pv.add_argument("--seed", type=int, default=42)

@@ -8,6 +8,13 @@ from .config import (
     tiny_test,
 )
 from .lora import LoraConfig, init_lora, merge_lora, count_params, resize_embeddings
+from .quantize import (
+    dequantize_tree,
+    dequantize_weight,
+    quantize_dense_tree,
+    quantize_weight,
+    tree_bytes,
+)
 from . import causal_lm, encoder, seq2seq, generate
 
 __all__ = [
@@ -23,6 +30,11 @@ __all__ = [
     "merge_lora",
     "count_params",
     "resize_embeddings",
+    "quantize_weight",
+    "quantize_dense_tree",
+    "dequantize_weight",
+    "dequantize_tree",
+    "tree_bytes",
     "causal_lm",
     "encoder",
     "seq2seq",

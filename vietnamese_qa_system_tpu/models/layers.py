@@ -40,9 +40,31 @@ def init_dense(key, d_in: int, d_out: int, *, use_bias: bool = True):
 
 
 def dense(p, x):
-    y = _matmul(x, p["w"])
+    if "w_q" in p:
+        # quantized base weight (models/quantize.py): dequantize at the
+        # point of use — the bf16 copy is transient and sits next to its
+        # matmul in the schedule (recomputed in the bwd under remat)
+        from .quantize import dequantize_weight
+
+        y = _matmul(x, dequantize_weight(p, COMPUTE_DTYPE))
+    else:
+        y = _matmul(x, p["w"])
     if "b" in p:
         y = y + p["b"]
+    if "lora_a" in p:
+        # lazily applied LoRA on a quantized base (merge_lora attaches the
+        # factors; lora_b already carries alpha/r): y += (x @ A) @ B — the
+        # full-rank delta is never materialized (QLoRA compute)
+        xa = jnp.dot(
+            x.astype(COMPUTE_DTYPE),
+            p["lora_a"].astype(COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jnp.dot(
+            xa.astype(COMPUTE_DTYPE),
+            p["lora_b"].astype(COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
     return y
 
 

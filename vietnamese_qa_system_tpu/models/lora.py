@@ -37,20 +37,31 @@ class LoraConfig:
 
 
 def _is_dense(node) -> bool:
-    return isinstance(node, dict) and "w" in node and hasattr(node["w"], "ndim")
+    return isinstance(node, dict) and (
+        ("w" in node and hasattr(node["w"], "ndim")) or "w_q" in node
+    )
+
+
+def _dense_rank(node) -> int:
+    if "w" in node:
+        return node["w"].ndim
+    return node["w_q"].ndim  # quantized leaves are always 2-D
 
 
 def init_lora(key, params, cfg: LoraConfig):
     """Build an adapter pytree with the same nesting as `params`, containing
     {"a","b"} factors only at targeted dense leaves (None elsewhere is
     pruned).  A ~ N(0, 1/r), B = 0 so the initial adapted model equals the
-    base model (standard LoRA init)."""
+    base model (standard LoRA init).  Works over float and quantized
+    (models/quantize.py) bases alike."""
+    from .quantize import dense_shape
+
     keys = iter(jax.random.split(key, 4096))
 
     def walk(node, name=""):
         if _is_dense(node):
-            if name in cfg.targets and node["w"].ndim == 2:
-                d_in, d_out = node["w"].shape
+            if name in cfg.targets and _dense_rank(node) == 2:
+                d_in, d_out = dense_shape(node)
                 return {
                     "a": jax.random.normal(next(keys), (d_in, cfg.r), jnp.float32)
                     / cfg.r,
@@ -83,10 +94,17 @@ def merge_lora(params, adapter, cfg: LoraConfig):
             return p
         if _is_dense(p):
             if isinstance(a, dict) and "a" in a:
+                merged = dict(p)
+                if "w_q" in p:
+                    # quantized base: attach the factors; layers.dense
+                    # applies (x@A)@B lazily (the int8/nf4 codes cannot
+                    # absorb a float delta without destroying the scales)
+                    merged["lora_a"] = a["a"]
+                    merged["lora_b"] = a["b"] * cfg.scale
+                    return merged
                 delta = jnp.dot(
                     a["a"], a["b"], preferred_element_type=jnp.float32
                 ) * cfg.scale
-                merged = dict(p)
                 merged["w"] = p["w"] + delta.astype(p["w"].dtype)
                 return merged
             return p

@@ -1,0 +1,181 @@
+"""Quantized base-model weights for LoRA training (QLoRA-class).
+
+Capability of the reference's BitsAndBytesConfig base quantization —
+``load_in_8bit`` / ``load_in_4bit`` with nf4 + double-quant LoRA training
+(reference src/models/trainer.py:470-487) and the k-bit training prep
+(reference src/models/trainer.py:590-605) — rebuilt TPU-native:
+
+- Dense weights are stored as int8 (blockwise absmax, linear) or packed
+  nf4 codes (two 4-bit codes per byte, 16-level normal-float codebook from
+  the QLoRA paper) with one fp32 scale per ``block`` input rows.
+- Dequantization happens *at the point of use* inside the jitted step
+  (``layers.dense``), so the persistent HBM copy is 2x (int8) / 4x (nf4)
+  smaller than bf16 while XLA schedules the transient bf16 weight right
+  next to its matmul (and recomputes it in the backward under remat).
+- LoRA rides on top lazily: ``merge_lora`` attaches the (a, b) factors to
+  the quantized leaf and ``dense`` adds ``(x @ a) @ b`` — the full-rank
+  delta matrix is never materialized (the exact QLoRA compute).
+
+Embeddings and the LM head stay in float — mirroring bitsandbytes'
+default ``llm_int8_skip_modules=["lm_head"]`` behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# 16-level normal-float codebook (QLoRA paper, appendix E): quantiles of a
+# standard normal, renormalized to [-1, 1], with an exact zero.
+NF4_LEVELS = jnp.array(
+    [
+        -1.0,
+        -0.6961928009986877,
+        -0.5250730514526367,
+        -0.39491748809814453,
+        -0.28444138169288635,
+        -0.18477343022823334,
+        -0.09105003625154495,
+        0.0,
+        0.07958029955625534,
+        0.16093020141124725,
+        0.24611230194568634,
+        0.33791524171829224,
+        0.44070982933044434,
+        0.5626170039176941,
+        0.7229568362236023,
+        1.0,
+    ],
+    jnp.float32,
+)
+
+
+def _pick_block(d_in: int, block: int) -> int:
+    """Largest power-of-two block <= requested that divides d_in (>= 2)."""
+    while block > 2 and (d_in % block or (block % 2)):
+        block //= 2
+    if d_in % block:
+        raise ValueError(f"no even block size divides d_in={d_in}")
+    return block
+
+
+def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
+    """(d_in, d_out) float weight -> {"w_q", "w_s"} quantized leaf.
+
+    int8: ``w_q`` int8 (d_in, d_out), ``w_s`` f32 (d_in/block, d_out) where
+    ``w = w_q * w_s`` per block.  nf4: ``w_q`` uint8 (d_in/2, d_out) with
+    two codes per byte along d_in (even row in the low nibble), ``w_s``
+    the blockwise absmax.  All shape/blocking metadata is recoverable from
+    the array shapes alone — no side-channel needed under jit.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    d_in, d_out = w.shape
+    block = _pick_block(d_in, block)
+    nb = d_in // block
+    wb = w.reshape(nb, block, d_out)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wb), axis=1), 1e-12)  # (nb, d_out)
+    if mode == "int8":
+        scale = absmax / 127.0
+        q = jnp.clip(jnp.round(wb / scale[:, None, :]), -127, 127)
+        return {
+            "w_q": q.reshape(d_in, d_out).astype(jnp.int8),
+            "w_s": scale,
+        }
+    if mode == "nf4":
+        normed = wb / absmax[:, None, :]  # [-1, 1]
+        codes = jnp.argmin(
+            jnp.abs(normed[..., None] - NF4_LEVELS), axis=-1
+        ).astype(jnp.uint8)  # (nb, block, d_out)
+        pairs = codes.reshape(d_in // 2, 2, d_out)
+        packed = pairs[:, 0] | (pairs[:, 1] << 4)
+        return {"w_q": packed, "w_s": absmax}
+    raise ValueError(f"mode must be int8 or nf4, got {mode!r}")
+
+
+def dense_shape(leaf: dict) -> tuple[int, int]:
+    """(d_in, d_out) of a float or quantized dense leaf."""
+    if "w" in leaf:
+        return tuple(leaf["w"].shape)
+    q = leaf["w_q"]
+    if q.dtype == jnp.uint8:  # packed nf4
+        return (2 * q.shape[0], q.shape[1])
+    return tuple(q.shape)
+
+
+def dequantize_weight(leaf: dict, dtype=jnp.bfloat16):
+    """Reconstruct the (d_in, d_out) weight from a quantized leaf."""
+    q, s = leaf["w_q"], leaf["w_s"]
+    nb, d_out = s.shape
+    if q.dtype == jnp.uint8:  # packed nf4
+        lo = (q & 0xF).astype(jnp.int32)
+        hi = (q >> 4).astype(jnp.int32)
+        codes = jnp.stack([lo, hi], axis=1).reshape(2 * q.shape[0], d_out)
+        w = NF4_LEVELS[codes]
+        d_in = 2 * q.shape[0]
+    else:
+        w = q.astype(jnp.float32)
+        d_in = q.shape[0]
+    block = d_in // nb
+    w = w.reshape(nb, block, d_out) * s[:, None, :]
+    return w.reshape(d_in, d_out).astype(dtype)
+
+
+def _is_quantizable(node, name: str) -> bool:
+    return (
+        isinstance(node, dict)
+        and "w" in node
+        and getattr(node["w"], "ndim", 0) == 2
+        and name != "lm_head"
+    )
+
+
+def quantize_dense_tree(params, mode: str = "nf4", block: int = 64):
+    """Quantize every 2-D dense weight in the pytree except embeddings
+    (raw arrays, skipped structurally) and the LM head (kept float for
+    logit accuracy, like bitsandbytes' llm_int8_skip_modules default).
+    Biases and norms stay float."""
+
+    def walk(node, name=""):
+        if _is_quantizable(node, name):
+            out = {k: v for k, v in node.items() if k != "w"}
+            out.update(quantize_weight(node["w"], mode, block))
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, name) for v in node]
+        return node
+
+    return walk(params)
+
+
+def dequantize_tree(params, dtype=jnp.float32):
+    """Inverse of quantize_dense_tree (for export / HF conversion).  LoRA
+    factors attached by merge_lora are folded into the dense weight."""
+
+    def walk(node):
+        if isinstance(node, dict) and "w_q" in node:
+            w = dequantize_weight(node, jnp.float32)
+            if "lora_a" in node:  # lora_b already carries alpha/r
+                w = w + jnp.dot(
+                    node["lora_a"], node["lora_b"],
+                    preferred_element_type=jnp.float32,
+                )
+            out = {
+                k: v
+                for k, v in node.items()
+                if k not in ("w_q", "w_s", "lora_a", "lora_b")
+            }
+            out["w"] = w.astype(dtype)
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def tree_bytes(params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))

@@ -51,14 +51,19 @@ class ShardingRules:
 # Tensor-parallel layout: shard the head/hidden dimension.  Column-parallel
 # for q/k/v and mlp-in (output dim on `model`), row-parallel for the output
 # projections (input dim on `model`), vocab-sharded embedding table.
+#
+# Quantized bases (models/quantize.py) follow the same layout: w_q mirrors
+# w's (d_in, d_out) (packed nf4 halves d_in — divisibility still holds for
+# power-of-two meshes) and w_s is (d_in/block, d_out), so column-parallel
+# shards both on the output dim and row-parallel on the input/block dim.
 TP_RULES = ShardingRules(
     rules=[
-        (r".*/(attn|cross_attn)/w[qkv]/w$", (None, MODEL_AXIS)),
+        (r".*/(attn|cross_attn)/w[qkv]/(w|w_q|w_s)$", (None, MODEL_AXIS)),
         (r".*/(attn|cross_attn)/w[qkv]/b$", (MODEL_AXIS,)),
-        (r".*/(attn|cross_attn)/wo/w$", (MODEL_AXIS, None)),
-        (r".*/mlp/wi/w$", (None, MODEL_AXIS)),
+        (r".*/(attn|cross_attn)/wo/(w|w_q|w_s)$", (MODEL_AXIS, None)),
+        (r".*/mlp/wi/(w|w_q|w_s)$", (None, MODEL_AXIS)),
         (r".*/mlp/wi/b$", (MODEL_AXIS,)),
-        (r".*/mlp/wo/w$", (MODEL_AXIS, None)),
+        (r".*/mlp/wo/(w|w_q|w_s)$", (MODEL_AXIS, None)),
         (r".*tok_embed$", (MODEL_AXIS, None)),
         (r".*/lm_head/w$", (None, MODEL_AXIS)),
     ]

@@ -66,6 +66,10 @@ class TrainConfig:
     save_every_seconds: Optional[float] = None
     keep_checkpoints: int = 3
     resume: bool = False
+    # quantize the frozen base to "int8" or "nf4" before sharding — LoRA
+    # trains over the quantized base (capability of the reference's
+    # BitsAndBytesConfig QLoRA path, trainer.py:470-487,590-605)
+    quantize_base: Optional[str] = None
     seed: int = 42
     log_every: int = 10
     log_dir: str = "runs/logs"
@@ -185,6 +189,16 @@ class Trainer:
         key = jax.random.key(cfg.seed)
         if params is None:
             params = init_model_params(cfg.model, key)
+        if cfg.quantize_base is not None:
+            if cfg.lora is None:
+                raise ValueError(
+                    "quantize_base requires LoRA: int8/nf4 codes cannot "
+                    "take gradient updates (the reference's QLoRA path "
+                    "likewise trains adapters only)"
+                )
+            from ..models.quantize import quantize_dense_tree
+
+            params = quantize_dense_tree(params, cfg.quantize_base)
         from ..parallel.sharding import accum_batch_sharding, replicated
 
         # Every state leaf gets an explicit NamedSharding and the step is
