@@ -165,6 +165,67 @@ def test_bert_encoder_matches_transformers():
     assert (cos > 0.999).all(), cos
 
 
+def test_mpnet_encoder_matches_transformers():
+    """Random tiny MPNetModel (relative-position attention bias, RoBERTa
+    position offset, embedding LN without token types): our converted
+    encoder must reproduce HF's hidden states — the reference's second
+    index encoder is paraphrase-mpnet-base-v2 (heavy_ranker.py:83-88)."""
+    from vietnamese_qa_system_tpu.models import encoder as enc_mod
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_mpnet,
+        mpnet_config,
+    )
+
+    hf_cfg = transformers.MPNetConfig(
+        vocab_size=120,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        relative_attention_num_buckets=32,
+        layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(2)
+    model = transformers.MPNetModel(hf_cfg).eval()
+    cfg = mpnet_config(hf_cfg)
+    assert cfg.position_offset == 2 and cfg.relative_attention_buckets == 32
+    params = convert_mpnet(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    # MPNet pad id is 1; keep real ids clear of it so HF's position ids
+    # (derived from ids != pad) match ours (derived from the mask)
+    ids = rng.integers(4, hf_cfg.vocab_size, (2, 24)).astype(np.int64)
+    mask = np.ones((2, 24), np.int64)
+    mask[1, 17:] = 0
+    ids[1, 17:] = hf_cfg.pad_token_id
+    with torch.no_grad():
+        hf_out = model(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(
+        enc_mod.encode(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+        ),
+        np.float32,
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(ours[valid], hf_out[valid], atol=0.03, rtol=0.03)
+
+    # long-range bucketing parity: sequences past max_distance buckets
+    ids2 = rng.integers(4, hf_cfg.vocab_size, (1, 48)).astype(np.int64)
+    mask2 = np.ones((1, 48), np.int64)
+    with torch.no_grad():
+        hf_out2 = model(torch.from_numpy(ids2)).last_hidden_state.numpy()
+    ours2 = np.asarray(
+        enc_mod.encode(
+            params, cfg, jnp.asarray(ids2, jnp.int32), jnp.asarray(mask2, jnp.int32)
+        )
+    )
+    np.testing.assert_allclose(ours2, hf_out2, atol=0.03, rtol=0.03)
+
+
 def test_sentence_transformers_stack_end_to_end(tmp_path, rng):
     """Simulates switching from the reference's sentence-transformers
     retrieval to this framework: a LOCAL HF BERT checkpoint + HF tokenizer
@@ -206,3 +267,58 @@ def test_sentence_transformers_stack_end_to_end(tmp_path, rng):
     out = retr.search([docs[3]], k=2)[0]
     assert out[0].id == 3 and out[0].doc == docs[3]
     assert out[0].score > 0.99
+
+
+def test_dual_retriever_true_encoder_pair(tmp_path, rng):
+    """The reference's actual index pair is MiniLM (BERT-class) + MPNet
+    (heavy_ranker.py:78-88); DualRetriever must run over one of each
+    architecture imported from local HF checkpoints."""
+    from vietnamese_qa_system_tpu.data.tokenizer import HFTokenizer
+    from vietnamese_qa_system_tpu.engine import (
+        DocStore, DualRetriever, IngestPipeline, Retriever, VectorStore,
+    )
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        bert_config, convert_bert, convert_mpnet, mpnet_config,
+    )
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        "tai", "lieu", "so", "0", "1", "2", "3", "4", "5", "6", "7",
+        "noi", "dung", "ve", "chu", "de",
+    ]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    tok_hf = transformers.BertTokenizerFast(str(vocab_file), do_lower_case=True)
+    tok_dir = tmp_path / "tok"
+    tok_hf.save_pretrained(str(tok_dir))
+    tok = HFTokenizer(str(tok_dir))
+
+    torch.manual_seed(3)
+    bert_hf = transformers.BertConfig(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    mpnet_hf = transformers.MPNetConfig(
+        vocab_size=len(vocab), hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=96,
+        max_position_embeddings=64,
+    )
+    pairs = [
+        (bert_config(bert_hf), convert_bert(
+            transformers.BertModel(bert_hf).state_dict(), bert_config(bert_hf))),
+        (mpnet_config(mpnet_hf), convert_mpnet(
+            transformers.MPNetModel(mpnet_hf).state_dict(), mpnet_config(mpnet_hf))),
+    ]
+    docs = [f"tai lieu so {i} noi dung ve chu de {i}" for i in range(8)]
+    retrievers = []
+    for cfg, params in pairs:
+        store = VectorStore(256, cfg.d_model, tile_n=128)
+        ds = DocStore()
+        IngestPipeline(params, cfg, tok, store, ds, batch_size=8, max_len=32).add_texts(docs)
+        retrievers.append(
+            Retriever(params, cfg, tok, store, ds, max_len=32, query_batch=8)
+        )
+    dual = DualRetriever(*retrievers, threshold=0.4)
+    out = dual.search([docs[2], docs[6]])
+    assert out[0] is not None and out[0].id == 2
+    assert out[1] is not None and out[1].id == 6

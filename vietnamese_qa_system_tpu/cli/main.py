@@ -369,9 +369,9 @@ def _encoder_from_spec(spec: str, seed: int):
     from ..models.encoder import init_encoder
 
     if os.path.isdir(spec):
-        from ..models.convert_hf import load_bert
+        from ..models.convert_hf import load_encoder_auto
 
-        return load_bert(spec)
+        return load_encoder_auto(spec)
     presets = {
         "tiny": lambda: tiny_test("encoder"),
         "minilm": minilm_class,

@@ -52,6 +52,14 @@ class ModelConfig:
     # sentence-transformers weights, models/convert_hf.py):
     norm_position: str = "pre"  # "pre" | "post" (BERT is post-LN)
     bert_embeddings: bool = False  # embedding LayerNorm + token-type table
+    # MPNet-family knobs (paraphrase-mpnet-base-v2, the reference's second
+    # encoder, heavy_ranker.py:83-88): embedding LayerNorm without a
+    # token-type table, RoBERTa-style position indexing (padding_idx+1
+    # offset), and a shared T5-style bucketed relative attention bias
+    embed_layernorm: bool = False
+    position_offset: int = 0  # first real token's position id (MPNet: 2)
+    relative_attention_buckets: int = 0  # 0 = absolute positions only
+    relative_attention_max_distance: int = 128
 
     @property
     def head_dim(self) -> int:
@@ -90,10 +98,15 @@ def minilm_class() -> ModelConfig:
 
 
 def mpnet_class() -> ModelConfig:
-    """~110M-param sentence encoder (mpnet-base class, 768-d)."""
+    """~110M-param sentence encoder, faithful mpnet-base layout
+    (paraphrase-mpnet-base-v2: post-LN, embedding LN, position offset 2,
+    32-bucket shared relative attention bias) so real MPNet weights
+    import via models/convert_hf.py::load_mpnet."""
     return ModelConfig(
-        arch="encoder", vocab_size=32000, d_model=768, n_heads=12,
-        n_layers=12, d_ff=3072, max_seq_len=512, positional="learned",
+        arch="encoder", vocab_size=30527, d_model=768, n_heads=12,
+        n_layers=12, d_ff=3072, max_seq_len=514, positional="learned",
+        norm_eps=1e-5, norm_position="post", embed_layernorm=True,
+        position_offset=2, relative_attention_buckets=32,
     )
 
 

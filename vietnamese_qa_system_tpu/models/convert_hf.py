@@ -239,8 +239,8 @@ def bert_config(hf_cfg) -> ModelConfig:
     """transformers BertConfig -> ModelConfig (post-LN, BERT embeddings).
 
     Covers BERT-architecture sentence encoders such as the MiniLM models
-    the reference indexes with (heavy_ranker.py:78-88).  MPNet uses
-    relative-position attention and is NOT covered by this importer."""
+    the reference indexes with (heavy_ranker.py:78-88).  MPNet (relative
+    position attention) has its own importer: :func:`load_mpnet`."""
     return ModelConfig(
         arch="encoder",
         vocab_size=hf_cfg.vocab_size,
@@ -319,3 +319,109 @@ def load_bert(model_dir: str):
     params = convert_bert(model.state_dict(), cfg)
     del model
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# MPNet encoders (paraphrase-mpnet-base-v2 — the reference's second encoder,
+# heavy_ranker.py:83-88)
+# ---------------------------------------------------------------------------
+
+
+def mpnet_config(hf_cfg) -> ModelConfig:
+    """transformers MPNetConfig -> ModelConfig (post-LN, embedding LN,
+    RoBERTa position offset, shared bucketed relative attention bias)."""
+    return ModelConfig(
+        arch="encoder",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.hidden_size,
+        n_heads=hf_cfg.num_attention_heads,
+        n_layers=hf_cfg.num_hidden_layers,
+        d_ff=hf_cfg.intermediate_size,
+        max_seq_len=hf_cfg.max_position_embeddings,
+        positional="learned",
+        norm_eps=float(getattr(hf_cfg, "layer_norm_eps", 1e-5)),
+        norm_position="post",
+        embed_layernorm=True,
+        position_offset=int(getattr(hf_cfg, "pad_token_id", 1)) + 1,
+        relative_attention_buckets=int(
+            getattr(hf_cfg, "relative_attention_num_buckets", 32)
+        ),
+    )
+
+
+def convert_mpnet(state_dict: Mapping, cfg: ModelConfig, prefix: str = "") -> dict:
+    """HF MPNet state dict -> this framework's encoder pytree.
+
+    MPNet layer naming: attention.attn.{q,k,v,o} + attention.LayerNorm,
+    then intermediate/output dense + output.LayerNorm; one shared
+    encoder.relative_attention_bias table."""
+
+    def pick(name):
+        for key in (prefix + name, prefix + "mpnet." + name):
+            if key in state_dict:
+                return _t(state_dict[key])
+        raise KeyError(f"missing weight {name!r} in state dict")
+
+    def lin(name):
+        return {"w": pick(name + ".weight").T.copy(), "b": pick(name + ".bias")}
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"encoder.layer.{i}."
+        blocks.append(
+            {
+                "attn": {
+                    "wq": lin(pre + "attention.attn.q"),
+                    "wk": lin(pre + "attention.attn.k"),
+                    "wv": lin(pre + "attention.attn.v"),
+                    "wo": lin(pre + "attention.attn.o"),
+                },
+                "ln1": {
+                    "scale": pick(pre + "attention.LayerNorm.weight"),
+                    "bias": pick(pre + "attention.LayerNorm.bias"),
+                },
+                "mlp": {
+                    "wi": lin(pre + "intermediate.dense"),
+                    "wo": lin(pre + "output.dense"),
+                },
+                "ln2": {
+                    "scale": pick(pre + "output.LayerNorm.weight"),
+                    "bias": pick(pre + "output.LayerNorm.bias"),
+                },
+            }
+        )
+    return {
+        "tok_embed": pick("embeddings.word_embeddings.weight"),
+        "pos_embed": pick("embeddings.position_embeddings.weight"),
+        "emb_ln": {
+            "scale": pick("embeddings.LayerNorm.weight"),
+            "bias": pick("embeddings.LayerNorm.bias"),
+        },
+        "rel_bias": pick("encoder.relative_attention_bias.weight"),
+        "blocks": blocks,
+    }
+
+
+def load_mpnet(model_dir: str):
+    """Local transformers MPNet directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModel
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModel.from_pretrained(model_dir, torch_dtype="float32")
+    cfg = mpnet_config(hf_cfg)
+    params = convert_mpnet(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
+def load_encoder_auto(model_dir: str):
+    """Local transformers encoder directory -> (params, ModelConfig),
+    dispatching on config model_type (bert-class vs mpnet) — so the CLI
+    can take either of the reference's two index encoders
+    (heavy_ranker.py:78-88)."""
+    from transformers import AutoConfig
+
+    model_type = getattr(AutoConfig.from_pretrained(model_dir), "model_type", "")
+    if model_type == "mpnet":
+        return load_mpnet(model_dir)
+    return load_bert(model_dir)

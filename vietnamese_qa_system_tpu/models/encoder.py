@@ -24,7 +24,7 @@ from .layers import (
 
 
 def init_encoder(key, cfg: ModelConfig):
-    ks = jax.random.split(key, cfg.n_layers + 4)
+    ks = jax.random.split(key, cfg.n_layers + 5)
     scale = 0.02
     params = {
         "tok_embed": jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_model)) * scale,
@@ -40,24 +40,84 @@ def init_encoder(key, cfg: ModelConfig):
             jax.random.normal(ks[-1], (2, cfg.d_model)) * scale
         )
         params["emb_ln"] = init_layernorm(cfg.d_model)
+    elif cfg.embed_layernorm:
+        # MPNet-style: LayerNorm over word+position, no token-type table
+        params["emb_ln"] = init_layernorm(cfg.d_model)
+    if cfg.relative_attention_buckets:
+        # one (buckets, heads) bias table shared by every layer (MPNet
+        # encoder.relative_attention_bias)
+        params["rel_bias"] = (
+            jax.random.normal(
+                ks[-2], (cfg.relative_attention_buckets, cfg.n_heads)
+            )
+            * scale
+        )
     if cfg.norm_position == "pre":
         params["ln_f"] = init_layernorm(cfg.d_model)
     return params
 
 
+def _relative_position_bucket(rel, num_buckets: int, max_distance: int):
+    """T5/MPNet bidirectional log-bucketing of relative positions.
+
+    rel = key_pos - query_pos; half the buckets cover each sign, the
+    near half of those are exact and the far half log-spaced up to
+    ``max_distance`` (matches HF MPNetEncoder.relative_position_bucket)."""
+    n = -rel
+    half = num_buckets // 2
+    ret = (n < 0).astype(jnp.int32) * half
+    n = jnp.abs(n)
+    max_exact = half // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / jnp.log(max_distance / max_exact)
+        * (half - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, half - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+def relative_attention_bias(table, t: int, cfg: ModelConfig):
+    """(buckets, H) table -> (1, H, T, T) additive attention bias."""
+    pos = jnp.arange(t)
+    rel = pos[None, :] - pos[:, None]  # key - query
+    buckets = _relative_position_bucket(
+        rel,
+        cfg.relative_attention_buckets,
+        cfg.relative_attention_max_distance,
+    )
+    bias = table[buckets]  # (T, T, H)
+    return jnp.transpose(bias, (2, 0, 1))[None]
+
+
 def encode(params, cfg: ModelConfig, ids, attn_mask):
     """ids/attn_mask: (B, T) int32 / {0,1}.  Returns (B, T, D) fp32 hidden."""
     t = ids.shape[1]
-    x = params["tok_embed"][ids] + params["pos_embed"][:t][None]
+    if cfg.position_offset:
+        # RoBERTa/MPNet indexing: the i-th real token sits at position
+        # i + offset, padding at offset - 1 (HF create_position_ids_from_
+        # input_ids with padding_idx = offset - 1)
+        pos_ids = (
+            jnp.cumsum(attn_mask, axis=1) * attn_mask + cfg.position_offset - 1
+        )
+        pos = params["pos_embed"][pos_ids]
+    else:
+        pos = params["pos_embed"][:t][None]
+    x = params["tok_embed"][ids] + pos
     if cfg.bert_embeddings:
         x = x + params["type_embed"][0][None, None, :]
+    if cfg.bert_embeddings or cfg.embed_layernorm:
         x = layernorm(params["emb_ln"], x, cfg.norm_eps)
+    bias = None
+    if cfg.relative_attention_buckets:
+        bias = relative_attention_bias(params["rel_bias"], t, cfg)
     mask = padding_mask(attn_mask)[:, None, 0, :]  # (B, 1, T) -> broadcast (B, Tq, Tk)
     mask = jnp.broadcast_to(mask, (ids.shape[0], t, t))
     for p_blk in params["blocks"]:
         x, _ = block(
             p_blk, x, n_heads=cfg.n_heads, mask=mask, eps=cfg.norm_eps,
-            norm_position=cfg.norm_position,
+            norm_position=cfg.norm_position, bias=bias,
         )
     if cfg.norm_position == "pre":
         return layernorm(params["ln_f"], x, cfg.norm_eps)

@@ -148,6 +148,7 @@ def attention(
     cache=None,
     cache_index=None,
     flash=None,
+    bias=None,
 ):
     """Multi-head attention.
 
@@ -158,6 +159,8 @@ def attention(
       autoregressive decode; new keys/values are written at
       ``cache_index`` and attention runs over the full cache.
       Returns (out, new_cache).
+    - ``bias``: optional (1|B, H, Tq, Tk) additive score bias (MPNet/T5
+      relative position bias), applied after the 1/sqrt(d) scaling.
     """
     kv_in = x if kv_x is None else kv_x
     q = _split_heads(dense(p["wq"], x), n_heads)
@@ -202,6 +205,8 @@ def attention(
         k.astype(COMPUTE_DTYPE),
         preferred_element_type=jnp.float32,
     ) / jnp.sqrt(float(head_dim))
+    if bias is not None:
+        logits = logits + bias
     if mask is not None:
         logits = jnp.where(mask[:, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -266,6 +271,7 @@ def block(
     flash=None,
     parallel_residual: bool = False,
     norm_position: str = "pre",
+    bias=None,
 ):
     if norm_position == "post":
         # BERT layout: LN after each residual add (ln1 = attention-output
@@ -273,7 +279,7 @@ def block(
         h, new_cache = attention(
             p["attn"], x, n_heads=n_heads, mask=mask, rope=rope,
             positions=positions, cache=cache, cache_index=cache_index,
-            flash=flash,
+            flash=flash, bias=bias,
         )
         x = layernorm(p["ln1"], x + h, eps)
         x = layernorm(p["ln2"], x + mlp(p["mlp"], x), eps)
@@ -289,6 +295,7 @@ def block(
         cache=cache,
         cache_index=cache_index,
         flash=flash,
+        bias=bias,
     )
     if parallel_residual:
         # GPT-NeoX style: x + attn(ln1(x)) + mlp(ln2(x))
