@@ -1,0 +1,147 @@
+"""Hybrid sparse+dense retrieval tests (capability of the reference's
+txtai.Embeddings(hybrid=True) indexes, heavy_ranker.py:78-88)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.data.tokenizer import ByteTokenizer
+from vietnamese_qa_system_tpu.engine import (
+    BM25Index,
+    DocStore,
+    IngestPipeline,
+    Retriever,
+    VectorStore,
+    fuse_scores,
+)
+from vietnamese_qa_system_tpu.models import encoder, tiny_test
+
+
+def test_bm25_ranks_keyword_matches_first():
+    idx = BM25Index()
+    docs = [
+        "mèo thích cá và sữa",
+        "chó thích xương và thịt",
+        "vịnh hạ long là di sản thiên nhiên",
+        "cá sống dưới nước cá bơi nhanh",
+    ]
+    idx.add(range(len(docs)), docs)
+    top = idx.search("cá bơi", k=3)
+    assert top[0][0] == 3  # two matching terms, higher tf
+    assert top[0][1] == 1.0  # max-normalized
+    ids = [g for g, _ in top]
+    assert 0 in ids and 1 not in ids  # "cá" matches doc 0; doc 1 never
+
+
+def test_bm25_idf_downweights_common_terms():
+    idx = BM25Index()
+    # "chung" appears everywhere; "hiếm" only in doc 2
+    docs = [f"từ chung số {i}" for i in range(6)] + ["từ chung hiếm"]
+    idx.add(range(len(docs)), docs)
+    top = idx.search("hiếm chung", k=2)
+    assert top[0][0] == 6
+
+
+def test_bm25_save_load_roundtrip(tmp_path):
+    idx = BM25Index()
+    docs = ["một hai ba", "ba bốn năm", "năm sáu bảy"]
+    idx.add([10, 20, 30], docs)
+    path = os.path.join(tmp_path, "bm25.json")
+    idx.save(path)
+    idx2 = BM25Index.load(path)
+    assert idx2.n_docs == 3
+    assert idx.search("năm", k=3) == idx2.search("năm", k=3)
+    # incremental add after load keeps working
+    idx2.add([40], ["bảy tám chín"])
+    assert idx2.search("tám", k=1)[0][0] == 40
+
+
+def test_bm25_duplicate_id_rejected():
+    idx = BM25Index()
+    idx.add([1], ["văn bản"])
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.add([1], ["văn bản khác"])
+
+
+def test_fuse_scores_weighting():
+    dense = {1: 1.0, 2: 0.5}
+    sparse = {2: 1.0, 3: 0.8}
+    fused = fuse_scores(dense, sparse, 0.5)
+    assert fused[2] == pytest.approx(0.75)
+    assert fused[1] == pytest.approx(0.5)
+    assert fused[3] == pytest.approx(0.4)
+    assert fuse_scores(dense, sparse, 1.0)[3] == 0.0
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+def test_store_get_vectors_dequantized(rng, dtype):
+    from vietnamese_qa_system_tpu.core.mesh import SHARD_AXIS, create_mesh
+
+    mesh = create_mesh({SHARD_AXIS: 4}, devices=jax.devices()[:4])
+    store = VectorStore(512, 32, mesh=mesh, dtype=dtype, tile_n=128)
+    vecs = rng.standard_normal((50, 32)).astype(np.float32)
+    store.add(vecs)
+    got = store.get_vectors([0, 7, 49])
+    tol = 0.02 if dtype == "bf16" else 0.03
+    np.testing.assert_allclose(got, vecs[[0, 7, 49]], atol=tol, rtol=tol)
+    with pytest.raises(ValueError, match="out of range"):
+        store.get_vectors([50])
+
+
+def _build(docs, *, lexical, hybrid_weight=0.5, seed=0):
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(seed), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(512, cfg.d_model, tile_n=128)
+    ds = DocStore()
+    pipe = IngestPipeline(
+        params, cfg, tok, store, ds, batch_size=8, max_len=48, lexical=lexical
+    )
+    pipe.add_texts(docs)
+    return Retriever(
+        params, cfg, tok, store, ds, max_len=48, query_batch=8,
+        lexical=lexical, hybrid_weight=hybrid_weight,
+    )
+
+
+def test_hybrid_beats_dense_on_keyword_queries():
+    """The done-criterion scenario: an untrained encoder retrieves rare
+    keywords poorly; BM25 nails them; hybrid recall@1 must beat
+    dense-only.  Queries are exact rare keywords from each doc."""
+    keywords = [
+        "zirconium", "quasar", "mitochondria", "byzantine", "fjord",
+        "algorithmic", "petrichor", "obsidian", "zephyr", "labyrinth",
+        "quartz", "nebula",
+    ]
+    docs = [
+        f"tài liệu chung về chủ đề thường gặp có từ khoá {kw} ở giữa"
+        for kw in keywords
+    ]
+    queries = [f"tìm từ khoá {kw}" for kw in keywords]
+
+    dense_only = _build(docs, lexical=None)
+    lex = BM25Index()
+    hybrid = _build(docs, lexical=lex, hybrid_weight=0.5)
+
+    def recall_at_1(retr):
+        res = retr.search(queries, k=3)
+        return np.mean([r[0].id == i for i, r in enumerate(res)])
+
+    r_dense = recall_at_1(dense_only)
+    r_hybrid = recall_at_1(hybrid)
+    assert r_hybrid == 1.0, f"hybrid recall {r_hybrid}"
+    assert r_hybrid > r_dense, (r_hybrid, r_dense)
+
+
+def test_hybrid_fetches_docs_and_obeys_weight_1():
+    docs = [f"văn bản số {i} nói về điều {i}" for i in range(8)]
+    lex = BM25Index()
+    retr = _build(docs, lexical=lex, hybrid_weight=0.5)
+    out = retr.search([docs[4]], k=2)[0]
+    assert out[0].id == 4 and out[0].doc == docs[4]
+    # weight 1.0 short-circuits to the pure dense path
+    retr.hybrid_weight = 1.0
+    out2 = retr.search([docs[4]], k=2)[0]
+    assert out2[0].id == 4

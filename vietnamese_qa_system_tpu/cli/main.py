@@ -384,7 +384,7 @@ def _encoder_from_spec(spec: str, seed: int):
 
 def cmd_ingest(args) -> int:
     from ..core.mesh import SHARD_AXIS, create_mesh
-    from ..engine import DocStore, IngestPipeline, VectorStore
+    from ..engine import BM25Index, DocStore, IngestPipeline, VectorStore
     from ..etl.parser import load_json_or_jsonl
 
     params, cfg = _encoder_from_spec(args.encoder, args.seed)
@@ -396,9 +396,15 @@ def cmd_ingest(args) -> int:
     else:
         store = VectorStore(args.capacity, cfg.d_model, mesh=mesh, dtype=args.dtype)
     docstore = DocStore(args.db)
+    lexical = None
+    if args.hybrid:
+        bm25_path = os.path.join(args.index, "bm25.json")
+        lexical = (
+            BM25Index.load(bm25_path) if os.path.exists(bm25_path) else BM25Index()
+        )
     pipe = IngestPipeline(
         params, cfg, tok, store, docstore,
-        batch_size=args.batch_size, max_len=args.max_len,
+        batch_size=args.batch_size, max_len=args.max_len, lexical=lexical,
     )
     for path in args.inputs:
         rows = load_json_or_jsonl(path)
@@ -407,6 +413,9 @@ def cmd_ingest(args) -> int:
         ids = pipe.add_documents(docs, sources, chunk_size=args.chunk_size)
         dist_print(f"{path}: ingested {len(ids)} chunks (store size {store.size})")
     store.save(args.index)
+    if lexical is not None:
+        lexical.save(os.path.join(args.index, "bm25.json"))
+        dist_print(f"bm25 term index saved ({lexical.n_docs} docs)")
     dist_print(f"index saved -> {args.index}; docs in {args.db}")
     return 0
 
@@ -419,13 +428,21 @@ def cmd_serve(args) -> int:
     path as a usable REPL)."""
     import jax
 
-    from ..engine import DocStore, Retriever, VectorStore
+    from ..engine import BM25Index, DocStore, Retriever, VectorStore
 
     params, cfg = _encoder_from_spec(args.encoder, args.seed)
     tok = _tokenizer(args.tokenizer)
     store = VectorStore.load(args.index)
     docstore = DocStore(args.db)
-    retriever = Retriever(params, cfg, tok, store, docstore, max_len=args.max_len)
+    lexical = None
+    bm25_path = os.path.join(args.index, "bm25.json")
+    if args.hybrid_weight < 1.0 and os.path.exists(bm25_path):
+        lexical = BM25Index.load(bm25_path)
+        dist_print(f"hybrid retrieval on (weight {args.hybrid_weight})")
+    retriever = Retriever(
+        params, cfg, tok, store, docstore, max_len=args.max_len,
+        lexical=lexical, hybrid_weight=args.hybrid_weight,
+    )
 
     qa = None
     if args.reader_size:
@@ -662,6 +679,9 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--chunk-size", type=int, default=512)
     pi.add_argument("--batch-size", type=int, default=256)
     pi.add_argument("--max-len", type=int, default=128)
+    pi.add_argument("--hybrid", action="store_true",
+                    help="also build a BM25 term index for hybrid retrieval "
+                    "(capability of txtai hybrid=True, heavy_ranker.py:78)")
     pi.add_argument("--seed", type=int, default=42)
     pi.set_defaults(fn=cmd_ingest)
 
@@ -679,6 +699,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
     ps.add_argument("--min-score", type=float, default=0.2)
+    ps.add_argument("--hybrid-weight", type=float, default=0.5,
+                    help="dense weight in hybrid fusion; 1.0 = dense-only "
+                    "(used only when the index has a bm25.json)")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

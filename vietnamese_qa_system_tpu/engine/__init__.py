@@ -2,11 +2,14 @@ from .store import VectorStore
 from .docstore import DocStore
 from .chunking import chunk_text
 from .ingest import IngestPipeline
+from .lexical import BM25Index, fuse_scores
 from .query import DualRetriever, Retriever, SearchResult, dual_agreement
 from .qa import QAAnswer, QAPipeline
 
 __all__ = [
     "VectorStore",
+    "BM25Index",
+    "fuse_scores",
     "DocStore",
     "chunk_text",
     "IngestPipeline",

@@ -40,6 +40,7 @@ class IngestPipeline:
         *,
         batch_size: int = 256,
         max_len: int = 128,
+        lexical=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -48,6 +49,9 @@ class IngestPipeline:
         self.docstore = docstore
         self.batch_size = batch_size
         self.max_len = max_len
+        # optional BM25Index kept in lock-step with the vector store for
+        # hybrid retrieval (txtai hybrid=True capability)
+        self.lexical = lexical
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Encode texts to (N, D) unit vectors with fixed-shape batches."""
@@ -72,6 +76,8 @@ class IngestPipeline:
         ids = self.store.add(vecs)
         if self.docstore is not None:
             self.docstore.insert(ids, list(texts), sources)
+        if self.lexical is not None:
+            self.lexical.add(ids, list(texts))
         return ids
 
     def add_documents(

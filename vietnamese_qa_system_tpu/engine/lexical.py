@@ -1,0 +1,139 @@
+"""Sparse lexical scoring (Okapi BM25) for hybrid retrieval.
+
+Capability of the reference's ``txtai.Embeddings(hybrid=True, ...)``
+indexes (reference inference_pipeline/db_utils/heavy_ranker.py:78-88) —
+a BM25 term index fused with the dense scores at a configurable weight.
+The inverted index is host-side by design (SURVEY's sqlite guidance:
+pointer-chasing postings don't map to the MXU); the dense side stays on
+TPU and the fusion happens over a small candidate union per query.
+
+Tokenization: lowercase unicode word split — Vietnamese is written as
+space-separated syllables, so word-level BM25 is the natural unit.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import math
+import os
+import re
+from typing import Iterable, Optional, Sequence
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+
+
+def tokenize(text: str) -> list[str]:
+    return _WORD.findall(text.lower())
+
+
+class BM25Index:
+    """Incremental Okapi BM25 inverted index keyed by global doc id.
+
+    Standard parameters k1=1.2, b=0.75 (txtai's scoring defaults).
+    ``search`` returns max-normalized scores so they fuse with unit-cosine
+    dense scores on a comparable [0, 1] scale.
+    """
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = k1
+        self.b = b
+        self.postings: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
+        self.doc_len: dict[int, int] = {}
+        self.total_len = 0
+
+    # ------------------------------------------------------------------ build
+
+    def add(self, ids: Sequence[int], texts: Sequence[str]) -> None:
+        if len(ids) != len(texts):
+            raise ValueError(f"{len(ids)} ids for {len(texts)} texts")
+        for gid, text in zip(ids, texts):
+            gid = int(gid)
+            if gid in self.doc_len:
+                raise ValueError(f"doc id {gid} already indexed")
+            toks = tokenize(text)
+            self.doc_len[gid] = len(toks)
+            self.total_len += len(toks)
+            for term, tf in collections.Counter(toks).items():
+                self.postings[term].append((gid, tf))
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_len)
+
+    # ----------------------------------------------------------------- query
+
+    def _idf(self, term: str) -> float:
+        df = len(self.postings.get(term, ()))
+        if not df:
+            return 0.0
+        # BM25+-style floor avoids negative idf for very common terms
+        return max(math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0), 1e-9)
+
+    def scores(self, query: str) -> dict[int, float]:
+        """Raw BM25 scores for every matching doc id."""
+        if not self.n_docs:
+            return {}
+        avg_len = self.total_len / self.n_docs
+        out: dict[int, float] = collections.defaultdict(float)
+        for term in set(tokenize(query)):
+            idf = self._idf(term)
+            if not idf:
+                continue
+            for gid, tf in self.postings[term]:
+                denom = tf + self.k1 * (
+                    1 - self.b + self.b * self.doc_len[gid] / avg_len
+                )
+                out[gid] += idf * tf * (self.k1 + 1) / denom
+        return dict(out)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (id, max-normalized score) pairs, best first."""
+        raw = self.scores(query)
+        if not raw:
+            return []
+        top = sorted(raw.items(), key=lambda kv: -kv[1])[:k]
+        peak = top[0][1]
+        return [(gid, s / peak) for gid, s in top]
+
+    # ---------------------------------------------------------------- persist
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "k1": self.k1,
+                    "b": self.b,
+                    "doc_len": list(self.doc_len.items()),
+                    "postings": {t: p for t, p in self.postings.items()},
+                },
+                f,
+                ensure_ascii=False,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BM25Index":
+        with open(path) as f:
+            data = json.load(f)
+        idx = cls(k1=data["k1"], b=data["b"])
+        idx.doc_len = {int(g): int(n) for g, n in data["doc_len"]}
+        idx.total_len = sum(idx.doc_len.values())
+        for term, plist in data["postings"].items():
+            idx.postings[term] = [(int(g), int(tf)) for g, tf in plist]
+        return idx
+
+
+def fuse_scores(
+    dense: dict[int, float],
+    sparse: dict[int, float],
+    weight: float,
+) -> dict[int, float]:
+    """weight * dense + (1 - weight) * sparse over the candidate union
+    (txtai's hybrid combination).  Missing side contributes 0."""
+    out = {}
+    for gid in set(dense) | set(sparse):
+        out[gid] = weight * dense.get(gid, 0.0) + (1 - weight) * sparse.get(
+            gid, 0.0
+        )
+    return out

@@ -36,7 +36,12 @@ def _embed(params, cfg, ids, mask):
 
 
 class Retriever:
-    """One encoder + one vector store + optional doc store."""
+    """One encoder + one vector store + optional doc store.
+
+    With ``lexical`` (a BM25Index over the same global ids) searches run
+    hybrid: dense and BM25 candidates are unioned and fused at
+    ``hybrid_weight`` (capability of the reference's
+    txtai.Embeddings(hybrid=True), heavy_ranker.py:78-88)."""
 
     def __init__(
         self,
@@ -48,6 +53,8 @@ class Retriever:
         *,
         max_len: int = 128,
         query_batch: int = 256,
+        lexical=None,
+        hybrid_weight: float = 0.5,
     ):
         self.params = params
         self.cfg = cfg
@@ -56,6 +63,8 @@ class Retriever:
         self.docstore = docstore
         self.max_len = max_len
         self.query_batch = query_batch
+        self.lexical = lexical
+        self.hybrid_weight = hybrid_weight
 
     def embed_queries(self, texts: Sequence[str]) -> np.ndarray:
         bs = self.query_batch
@@ -73,6 +82,8 @@ class Retriever:
         self, queries: Sequence[str], k: int = 10, *, fetch_docs: bool = True
     ) -> list[list[SearchResult]]:
         qvecs = self.embed_queries(queries)
+        if self.lexical is not None and self.hybrid_weight < 1.0:
+            return self._hybrid_search(queries, qvecs, k, fetch_docs)
         results: list[list[SearchResult]] = []
         bs = self.query_batch
         for i in range(0, len(qvecs), bs):
@@ -94,6 +105,56 @@ class Retriever:
                         if got is not None:
                             res.doc, res.source = got[1], got[2]
                 results.append(row)
+        return results
+
+
+    def _hybrid_search(self, queries, qvecs, k: int, fetch_docs: bool):
+        """Fuse dense and BM25 scores over the candidate union.
+
+        Dense candidates come from the TPU top-k engine; BM25 candidates
+        from the host inverted index; the union's exact dense scores are a
+        tiny gather (store.get_vectors).  Dense cosine is clamped to
+        [0, 1] and BM25 max-normalized so both sides fuse on one scale."""
+        from .lexical import fuse_scores
+
+        m = min(max(4 * k, 20), self.store.size)
+        results: list[list[SearchResult]] = []
+        bs = self.query_batch
+        dense_s = np.zeros((len(qvecs), m), np.float32)
+        dense_i = np.zeros((len(qvecs), m), np.int64)
+        for i in range(0, len(qvecs), bs):
+            block = qvecs[i : i + bs]
+            n = len(block)
+            if n < bs:
+                block = np.pad(block, ((0, bs - n), (0, 0)))
+            s, ids = self.store.topk(block, m)
+            dense_s[i : i + n] = np.asarray(s[:n])
+            dense_i[i : i + n] = np.asarray(ids[:n])
+        for r, query in enumerate(queries):
+            dense = {
+                int(g): max(float(s), 0.0)
+                for g, s in zip(dense_i[r], dense_s[r])
+                if g >= 0
+            }
+            sparse = dict(self.lexical.search(query, k=m))
+            fused = fuse_scores(dense, sparse, self.hybrid_weight)
+            # exact dense scores for BM25-only candidates
+            missing = [g for g in sparse if g not in dense]
+            if missing:
+                vecs = self.store.get_vectors(missing)
+                exact = vecs @ qvecs[r]
+                for g, s in zip(missing, exact):
+                    fused[g] = self.hybrid_weight * max(float(s), 0.0) + (
+                        1 - self.hybrid_weight
+                    ) * sparse[g]
+            top = sorted(fused.items(), key=lambda kv: -kv[1])[:k]
+            row = [SearchResult(int(g), float(s)) for g, s in top]
+            if fetch_docs and self.docstore is not None:
+                fetched = self.docstore.get_rows(int(x.id) for x in row)
+                for res, got in zip(row, fetched):
+                    if got is not None:
+                        res.doc, res.source = got[1], got[2]
+            results.append(row)
         return results
 
 

@@ -230,6 +230,23 @@ class VectorStore:
         )
         return jax.jit(lambda q, v, _s, n: mapped(q, v, n))
 
+    def get_vectors(self, ids) -> np.ndarray:
+        """Global ids -> (n, D) dequantized f32 vectors on the host.
+
+        Small-gather path (hybrid fusion / debugging): round-robin id
+        placement means id g lives at (shard g%S, slot g//S)."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.size):
+            raise ValueError(f"ids out of range [0, {self.size})")
+        shard = ids % self.n_shards
+        slot = ids // self.n_shards
+        vecs = np.asarray(self.vectors[shard, slot], np.float32)
+        if self.dtype == "int8":
+            vecs *= np.asarray(self.scales[shard, slot], np.float32)[:, None]
+        elif self.dtype == "int8_global":
+            vecs *= self.global_scale
+        return vecs
+
     # ------------------------------------------------------------ persist
 
     def save(self, path: str) -> None:
