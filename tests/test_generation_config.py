@@ -1,0 +1,97 @@
+"""GenerationConfig-driven eval (capability of the reference threading its
+HF GenerationConfig into eval generation, trainer.py:390-413,942-946)."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.data.tokenizer import ByteTokenizer
+from vietnamese_qa_system_tpu.models import generate as gen_mod
+from vietnamese_qa_system_tpu.models import tiny_test
+from vietnamese_qa_system_tpu.train import generative_eval
+from vietnamese_qa_system_tpu.train.trainer import init_model_params
+
+
+@pytest.fixture(scope="module")
+def causal():
+    cfg = tiny_test("causal")
+    return cfg, init_model_params(cfg, jax.random.key(0))
+
+
+def _prompt_batches(tok, n=1, b=2, t=12):
+    rng = np.random.default_rng(0)
+    for _ in range(n):
+        ids = rng.integers(4, 260, (b, t)).astype(np.int32)
+        mask = np.ones_like(ids)
+        ids[0, :3] = tok.pad_id  # left padding on row 0
+        mask[0, :3] = 0
+        yield {"input_ids": ids, "attention_mask": mask, "reference": ["a", "b"]}
+
+
+def test_eval_with_beam_config(causal, tmp_path):
+    cfg, params = causal
+    tok = ByteTokenizer()
+    gen = gen_mod.GenerationConfig(max_new_tokens=8, num_beams=3)
+    out = generative_eval(
+        params, cfg, tok, _prompt_batches(tok),
+        gen_config=gen, log_dir=str(tmp_path), epoch=1, run_name="beam",
+    )
+    assert out["n_examples"] == 2
+    assert all("prediction" in r and "reference" in r for r in out["records"])
+    logs = glob.glob(os.path.join(tmp_path, "log_dir_e1_beam_*.txt"))
+    assert logs and "### prediction:" in open(logs[0]).read()
+
+
+def test_eval_with_sampling_config(causal, tmp_path):
+    cfg, params = causal
+    tok = ByteTokenizer()
+    gen = gen_mod.GenerationConfig(
+        max_new_tokens=8, temperature=0.9, top_k=20, top_p=0.9,
+        repetition_penalty=1.3, no_repeat_ngram_size=2, min_new_tokens=2,
+        seed=7,
+    )
+    out = generative_eval(params, cfg, tok, _prompt_batches(tok), gen_config=gen)
+    assert out["n_examples"] == 2
+    # same seed -> identical records; different seed -> generally different
+    out2 = generative_eval(params, cfg, tok, _prompt_batches(tok), gen_config=gen)
+    assert [r["prediction"] for r in out["records"]] == [
+        r["prediction"] for r in out2["records"]
+    ]
+
+
+def test_eval_seq2seq_config(tmp_path):
+    cfg = tiny_test("seq2seq")
+    params = init_model_params(cfg, jax.random.key(1))
+    tok = ByteTokenizer()
+    gen = gen_mod.GenerationConfig(max_new_tokens=6, temperature=0.7, top_k=10)
+    out = generative_eval(params, cfg, tok, _prompt_batches(tok), gen_config=gen)
+    assert out["n_examples"] == 2
+    with pytest.raises(NotImplementedError):
+        generative_eval(
+            params, cfg, tok, _prompt_batches(tok),
+            gen_config=gen_mod.GenerationConfig(num_beams=2),
+        )
+
+
+def test_dispatch_beam_vs_greedy(causal):
+    """generate_with_config must actually route to beam search: on a
+    random model beam-3 and greedy agree on argmax step 1 but generally
+    diverge later; at minimum the call shapes match and both decode."""
+    cfg, params = causal
+    rng = np.random.default_rng(3)
+    ids = rng.integers(4, 260, (2, 10)).astype(np.int32)
+    mask = np.ones_like(ids)
+    greedy = gen_mod.generate_with_config(
+        params, cfg, ids, mask,
+        gen_mod.GenerationConfig(max_new_tokens=8), eos_id=2,
+    )
+    beam = gen_mod.generate_with_config(
+        params, cfg, ids, mask,
+        gen_mod.GenerationConfig(max_new_tokens=8, num_beams=4), eos_id=2,
+    )
+    assert greedy.shape == beam.shape == (2, 18)
+    # beam's sequence log-prob can only match or beat greedy's (asserted
+    # properly in test_models.py::test_beam_search_beats_greedy)

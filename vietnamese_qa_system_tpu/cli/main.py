@@ -94,6 +94,13 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--do-generative-eval", action="store_true")
     g.add_argument("--max-new-tokens", type=int, default=64)
     g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--repetition-penalty", type=float, default=1.0)
+    g.add_argument("--no-repeat-ngram-size", type=int, default=0)
+    g.add_argument("--min-new-tokens", type=int, default=0)
+    g.add_argument("--num-beams", type=int, default=1)
+    g.add_argument("--length-penalty", type=float, default=1.0)
     g.add_argument("--print-samples", type=int, default=0,
                    help="decode and print N training examples before "
                    "training (reference trainer.py:417-437 sample dump)")
@@ -264,13 +271,25 @@ def cmd_train(args) -> int:
                 )
             )
         if args.do_generative_eval and eval_examples:
+            from ..models.generate import GenerationConfig
+
             gm = generative_eval(
                 params,
                 model,
                 tok,
                 _gen_batches(dl, eval_examples, tok, args),
-                max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature,
+                gen_config=GenerationConfig(
+                    max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature,
+                    top_k=args.top_k,
+                    top_p=args.top_p,
+                    repetition_penalty=args.repetition_penalty,
+                    no_repeat_ngram_size=args.no_repeat_ngram_size,
+                    min_new_tokens=args.min_new_tokens,
+                    num_beams=args.num_beams,
+                    length_penalty=args.length_penalty,
+                    seed=args.seed,
+                ),
                 log_dir=os.path.join(args.log_dir, "predictions"),
                 epoch=epoch,
                 run_name=args.run_name or "model",

@@ -12,6 +12,7 @@ cumsum of the attention mask.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -19,6 +20,78 @@ import jax.numpy as jnp
 
 from .config import ModelConfig
 from . import causal_lm
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    """Typed subset of the reference's HF GenerationConfig surface
+    (reference src/models/trainer.py:390-413: the eval/generation flags
+    threaded from the ~80-flag argparse into inference_model.generate).
+    ``num_beams > 1`` switches to deterministic beam search; otherwise
+    ``temperature == 0`` is greedy and ``> 0`` samples."""
+
+    max_new_tokens: int = 32
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    min_new_tokens: int = 0
+    no_repeat_ngram_size: int = 0
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    seed: int = 0
+
+
+def generate_with_config(
+    params,
+    cfg: ModelConfig,
+    ids,
+    attn_mask,
+    gen: GenerationConfig,
+    *,
+    eos_id: int | None = None,
+    bos_id: int = 0,
+):
+    """Dispatch a GenerationConfig to the right decode loop.
+
+    Returns (B, T+max_new) for causal (prompt included) and
+    (B, max_new) for seq2seq — matching generate()/generate_seq2seq()."""
+    if cfg.arch == "seq2seq":
+        if gen.num_beams > 1:
+            raise NotImplementedError(
+                "beam search is implemented for the causal family; the "
+                "reference's seq2seq eval path decodes greedy/sampled too"
+            )
+        return generate_seq2seq(
+            params, cfg, ids, attn_mask,
+            max_new_tokens=gen.max_new_tokens,
+            temperature=gen.temperature,
+            top_k=gen.top_k,
+            top_p=gen.top_p,
+            eos_id=eos_id,
+            bos_id=bos_id,
+            key=jax.random.key(gen.seed),
+        )
+    if gen.num_beams > 1:
+        return beam_search(
+            params, cfg, ids, attn_mask,
+            max_new_tokens=gen.max_new_tokens,
+            num_beams=gen.num_beams,
+            eos_id=eos_id,
+            length_penalty=gen.length_penalty,
+        )
+    return generate(
+        params, cfg, ids, attn_mask,
+        max_new_tokens=gen.max_new_tokens,
+        temperature=gen.temperature,
+        top_k=gen.top_k,
+        top_p=gen.top_p,
+        repetition_penalty=gen.repetition_penalty,
+        min_new_tokens=gen.min_new_tokens,
+        no_repeat_ngram_size=gen.no_repeat_ngram_size,
+        eos_id=eos_id,
+        key=jax.random.key(gen.seed),
+    )
 
 
 

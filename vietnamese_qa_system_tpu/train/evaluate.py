@@ -56,45 +56,38 @@ def generative_eval(
     *,
     max_new_tokens: int = 32,
     temperature: float = 0.0,
+    gen_config: Optional[gen_mod.GenerationConfig] = None,
     log_dir: Optional[str] = None,
     epoch: int = 0,
     run_name: str = "model",
 ) -> dict:
-    """Greedy/sampled generation over prompts; logs predictions to
+    """Generation over prompts driven by a full GenerationConfig (beam /
+    top-k/p / repetition penalty / no-repeat-ngram — capability of the
+    reference threading its GenerationConfig into eval generation,
+    trainer.py:390-413,942-946); logs predictions to
     `{log_dir}/log_dir_e{epoch}_{run_name}_{time}.txt` like the reference
     (trainer.py:974-998).  Batches: {"input_ids","attention_mask"} with
     LEFT-padded prompts (causal) or encoder inputs (seq2seq), optional
-    "reference" strings."""
+    "reference" strings.  ``max_new_tokens``/``temperature`` are legacy
+    shorthands used when ``gen_config`` is not given."""
+    if gen_config is None:
+        gen_config = gen_mod.GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature
+        )
     records = []
     t0 = time.time()
     n_tokens = 0
     for batch in batches:
         ids = jnp.asarray(batch["input_ids"])
         mask = jnp.asarray(batch["attention_mask"])
+        out = gen_mod.generate_with_config(
+            params, cfg, ids, mask, gen_config,
+            eos_id=tokenizer.eos_id, bos_id=tokenizer.bos_id,
+        )
         if cfg.arch == "seq2seq":
-            gen = gen_mod.generate_seq2seq(
-                params,
-                cfg,
-                ids,
-                mask,
-                max_new_tokens=max_new_tokens,
-                temperature=temperature,
-                eos_id=tokenizer.eos_id,
-                bos_id=tokenizer.bos_id,
-            )
-            out = np.concatenate([np.asarray(ids), np.asarray(gen)], axis=1)
+            out = np.concatenate([np.asarray(ids), np.asarray(out)], axis=1)
         else:
-            out = np.asarray(
-                gen_mod.generate(
-                    params,
-                    cfg,
-                    ids,
-                    mask,
-                    max_new_tokens=max_new_tokens,
-                    temperature=temperature,
-                    eos_id=tokenizer.eos_id,
-                )
-            )
+            out = np.asarray(out)
         prompt_len = ids.shape[1]
         n_tokens += out[:, prompt_len:].size
         for r in range(out.shape[0]):
