@@ -80,12 +80,21 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
 
     g = p.add_argument_group("checkpoint / logging")
     g.add_argument("--checkpoint-dir", default=None)
+    g.add_argument("--sharded-checkpoint", action="store_true",
+                   help="per-host shard files (multi-host topologies); "
+                   "restore reassembles onto the current mesh")
     g.add_argument("--save-every-steps", type=int, default=None)
     g.add_argument("--save-every-seconds", type=float, default=None)
     g.add_argument("--resume", action="store_true")
     g.add_argument("--log-dir", default="runs/logs")
     g.add_argument("--report-to", default="jsonl", choices=["jsonl", "wandb"])
     g.add_argument("--run-name", default=None)
+    g.add_argument("--push-to-hub", default=None, metavar="REPO_ID",
+                   help="export the merged model after training and push it "
+                   "to a private Hub repo (offline-safe: records a manifest "
+                   "when no network/token; reference save_push)")
+    g.add_argument("--push-dry-run", action="store_true",
+                   help="with --push-to-hub: never upload, only manifest")
     g.add_argument("--log-every", type=int, default=10)
     g.add_argument("--seed", type=int, default=42)
 
@@ -183,6 +192,7 @@ def cmd_train(args) -> int:
         strategy=args.strategy,
         mesh_axes=mesh_axes,
         checkpoint_dir=args.checkpoint_dir,
+        sharded_checkpoint=args.sharded_checkpoint,
         save_every_steps=args.save_every_steps,
         save_every_seconds=args.save_every_seconds,
         resume=args.resume,
@@ -304,6 +314,35 @@ def cmd_train(args) -> int:
         max_steps=args.max_steps,
     )
     dist_print(f"training done at step {int(trainer.state['step'])}")
+    if args.push_to_hub:
+        # export merged weights + push (offline-safe: records a manifest
+        # when no network/token — capability of the reference's save_push,
+        # trainer.py:726-774) and log the export as a tracker artifact
+        from ..train.hub import push_to_hub
+
+        export_dir = os.path.join(args.log_dir, "export")
+        os.makedirs(export_dir, exist_ok=True)
+        merged = trainer.merged_params()
+        if args.quantize_base is not None:
+            from ..models import dequantize_tree
+
+            merged = dequantize_tree(merged)
+        from ..train.checkpoint import save_pytree
+
+        save_pytree(os.path.join(export_dir, "params.npz"), merged)
+        with open(os.path.join(export_dir, "config.json"), "w") as f:
+            f.write(model.to_json())
+        result = push_to_hub(
+            export_dir, args.push_to_hub, dry_run=args.push_dry_run
+        )
+        trainer.tracker.log_artifact(export_dir, name=args.push_to_hub)
+        if result["pushed"]:
+            dist_print(f"pushed to hub repo {args.push_to_hub}")
+        else:
+            dist_print(
+                f"hub push recorded offline ({result['reason']}) -> "
+                f"{export_dir}/push_manifest.json"
+            )
     return 0
 
 

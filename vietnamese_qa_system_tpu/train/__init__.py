@@ -1,5 +1,11 @@
 from .optim import make_optimizer, make_schedule, quantize_blockwise, dequantize_blockwise
-from .checkpoint import CheckpointManager, save_pytree, load_pytree
+from .checkpoint import (
+    CheckpointManager,
+    save_pytree,
+    load_pytree,
+    save_pytree_sharded,
+    load_pytree_sharded,
+)
 from .trainer import TrainConfig, Trainer, make_train_step, init_model_params
 from .evaluate import perplexity_eval, generative_eval
 
@@ -11,6 +17,8 @@ __all__ = [
     "CheckpointManager",
     "save_pytree",
     "load_pytree",
+    "save_pytree_sharded",
+    "load_pytree_sharded",
     "TrainConfig",
     "Trainer",
     "make_train_step",

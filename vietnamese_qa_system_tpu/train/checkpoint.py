@@ -83,14 +83,145 @@ def load_pytree(path: str, target=None):
     return jax.tree.unflatten(treedef, leaves)
 
 
+# ---------------------------------------------------------------------------
+# Multi-host sharded IO (SURVEY §5.4 TPU-equivalent row): each host writes
+# only the leaf shards its addressable devices own (orbax-style layout —
+# per-shard index metadata, replica-0 dedup), and load reassembles and
+# re-shards onto the *current* mesh, which may have a different topology.
+# ---------------------------------------------------------------------------
+
+
+def _shard_entries(leaf, host_id, host_of):
+    """Yield (index, numpy) for the shards THIS host must write.
+
+    The global replica_id == 0 rule picks exactly one writer per unique
+    shard index across all hosts (replicated leaves are written once)."""
+    if not hasattr(leaf, "addressable_shards"):
+        if host_id == 0:
+            yield (None, np.asarray(leaf))
+        return
+    for sh in leaf.addressable_shards:
+        if sh.replica_id != 0:
+            continue
+        owner = host_of(sh.device) if host_of else sh.device.process_index
+        if owner != host_id:
+            continue
+        yield (sh.index, np.asarray(sh.data))
+
+
+def _index_to_json(index, shape):
+    if index is None:
+        return [[0, int(d)] for d in shape]
+    out = []
+    for sl, d in zip(index, shape):
+        out.append([int(sl.start or 0), int(d if sl.stop is None else sl.stop)])
+    return out
+
+
+def save_pytree_sharded(
+    directory: str,
+    tree,
+    *,
+    host_id: int | None = None,
+    host_of=None,
+) -> None:
+    """Write this host's shard file: ``{directory}/host_{h}.npz`` plus a
+    ``host_{h}.layout.json`` mapping each stored array to (leaf index,
+    global shape, dtype, slice).  Every host must call this; pass
+    ``host_of`` (device -> host id) to simulate a multi-host topology in
+    a single-process test."""
+    if host_id is None:
+        host_id = jax.process_index()
+    os.makedirs(directory, exist_ok=True)
+    leaves = jax.tree.leaves(tree)
+    arrays: dict[str, np.ndarray] = {}
+    layout = []
+    for i, leaf in enumerate(leaves):
+        shape = tuple(getattr(leaf, "shape", np.shape(leaf)))
+        for j, (index, data) in enumerate(_shard_entries(leaf, host_id, host_of)):
+            key = f"l{i}_s{j}"
+            data, dt = _to_savable(data)
+            arrays[key] = data
+            layout.append(
+                {
+                    "leaf": i,
+                    "key": key,
+                    "shape": list(shape),
+                    "dtype": dt,
+                    "index": _index_to_json(index, shape),
+                }
+            )
+    np.savez(os.path.join(directory, f"host_{host_id}.npz"), **arrays)
+    with open(os.path.join(directory, f"host_{host_id}.layout.json"), "w") as f:
+        json.dump({"n_leaves": len(leaves), "entries": layout}, f)
+
+
+def load_pytree_sharded(directory: str, target):
+    """Reassemble from every host's shard file and re-shard onto `target`'s
+    shardings (the current mesh — topology changes are fine)."""
+    host_files = sorted(
+        f for f in os.listdir(directory)
+        if re.fullmatch(r"host_\d+\.layout\.json", f)
+    )
+    if not host_files:
+        raise FileNotFoundError(f"no host shard files under {directory}")
+    t_leaves, treedef = jax.tree.flatten(target)
+    buffers: dict[int, np.ndarray] = {}
+    filled: dict[int, int] = {}
+    for lf in host_files:
+        with open(os.path.join(directory, lf)) as f:
+            layout = json.load(f)
+        if layout["n_leaves"] != len(t_leaves):
+            raise ValueError(
+                f"checkpoint has {layout['n_leaves']} leaves but target has "
+                f"{len(t_leaves)}"
+            )
+        data = np.load(os.path.join(directory, lf.replace(".layout.json", ".npz")))
+        for e in layout["entries"]:
+            i = e["leaf"]
+            if i not in buffers:
+                buffers[i] = np.empty(
+                    e["shape"],
+                    np.float32 if e["dtype"] == "bfloat16" else e["dtype"],
+                )
+                filled[i] = 0
+            sl = tuple(slice(s, t) for s, t in e["index"])
+            buffers[i][sl] = data[e["key"]]
+            filled[i] += int(data[e["key"]].size)
+    leaves = []
+    for i, t in enumerate(t_leaves):
+        if i not in buffers:
+            raise ValueError(f"leaf {i} missing from every host shard file")
+        if filled[i] < buffers[i].size:
+            raise ValueError(
+                f"leaf {i} incomplete: {filled[i]}/{buffers[i].size} elements "
+                f"written (a host shard file is missing)"
+            )
+        arr = jnp.asarray(buffers[i], dtype=t.dtype)
+        if hasattr(t, "sharding"):
+            arr = jax.device_put(arr, t.sharding)
+        leaves.append(arr)
+    return jax.tree.unflatten(treedef, leaves)
+
+
 class CheckpointManager:
     """step_N directory layout with latest-checkpoint discovery
     (the reference parses epoch/step from the dir name the same way,
-    trainer.py:694-713)."""
+    trainer.py:694-713).
 
-    def __init__(self, directory: str, keep: int = 3):
+    ``sharded=True`` switches to per-host shard files (each host writes
+    its addressable shards; restore auto-detects the format and
+    reassembles onto the current mesh).  ``host_of`` simulates a host
+    topology in tests."""
+
+    def __init__(
+        self, directory: str, keep: int = 3, *, sharded: bool = False,
+        host_of=None,
+    ):
         self.directory = directory
         self.keep = keep
+        self.sharded = sharded
+        self.host_of = host_of
         os.makedirs(directory, exist_ok=True)
 
     def _step_dirs(self) -> list[tuple[int, str]]:
@@ -108,23 +239,43 @@ class CheckpointManager:
     def save(self, step: int, state, metadata: Optional[dict] = None) -> str:
         path = os.path.join(self.directory, f"step_{step}")
         os.makedirs(path, exist_ok=True)
-        save_pytree(os.path.join(path, "state.npz"), state)
-        meta: dict[str, Any] = {"step": step}
-        if metadata:
-            meta.update(metadata)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        if self.sharded:
+            if self.host_of is None:
+                save_pytree_sharded(path, state)
+            else:  # simulated topology: write every simulated host's file
+                n_hosts = max(
+                    self.host_of(d) for d in jax.devices()
+                ) + 1
+                for h in range(n_hosts):
+                    save_pytree_sharded(
+                        path, state, host_id=h, host_of=self.host_of
+                    )
+        else:
+            save_pytree(os.path.join(path, "state.npz"), state)
+        if jax.process_index() == 0:
+            meta: dict[str, Any] = {"step": step}
+            if metadata:
+                meta.update(metadata)
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
         self._gc()
         return path
 
     def restore(self, state_like, step: Optional[int] = None):
-        """Returns (state, metadata) or (None, None) when empty."""
+        """Returns (state, metadata) or (None, None) when empty.  The
+        on-disk format (monolithic vs per-host sharded) is auto-detected,
+        so runs can move between single- and multi-host topologies."""
         if step is None:
             step = self.latest_step()
         if step is None:
             return None, None
         path = os.path.join(self.directory, f"step_{step}")
-        state = load_pytree(os.path.join(path, "state.npz"), state_like)
+        if any(
+            re.fullmatch(r"host_\d+\.layout\.json", f) for f in os.listdir(path)
+        ):
+            state = load_pytree_sharded(path, state_like)
+        else:
+            state = load_pytree(os.path.join(path, "state.npz"), state_like)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         return state, meta

@@ -62,6 +62,9 @@ class TrainConfig:
     strategy: str = "dp"  # dp | zero2 | fsdp | tp | fsdp_tp
     mesh_axes: Optional[dict] = None  # e.g. {"data": -1} / {"data": 2, "model": 4}
     checkpoint_dir: Optional[str] = None
+    # per-host shard files instead of one monolithic npz (multi-host
+    # topologies; restore reassembles onto the current mesh)
+    sharded_checkpoint: bool = False
     save_every_steps: Optional[int] = None
     save_every_seconds: Optional[float] = None
     keep_checkpoints: int = 3
@@ -258,7 +261,11 @@ class Trainer:
             ),
         )
         self.ckpt = (
-            CheckpointManager(cfg.checkpoint_dir, cfg.keep_checkpoints)
+            CheckpointManager(
+                cfg.checkpoint_dir,
+                cfg.keep_checkpoints,
+                sharded=cfg.sharded_checkpoint,
+            )
             if cfg.checkpoint_dir
             else None
         )

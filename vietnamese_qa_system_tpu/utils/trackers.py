@@ -27,6 +27,14 @@ class JsonlTracker:
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
 
+    def log_artifact(self, path: str, name: Optional[str] = None,
+                     type: str = "model") -> None:
+        """Offline artifact record (capability of the reference's wandb
+        checkpoint artifacts, trainer.py:755-770): one JSONL line pointing
+        at the directory."""
+        self.log({"artifact": path, "artifact_name": name or os.path.basename(path),
+                  "artifact_type": type}, step=-1)
+
     def finish(self) -> None:
         self._f.close()
 
@@ -39,6 +47,14 @@ class WandbTracker:
 
     def log(self, metrics: dict, step: int) -> None:
         self._run.log(metrics, step=step)
+
+    def log_artifact(self, path: str, name: Optional[str] = None,
+                     type: str = "model") -> None:
+        import wandb
+
+        art = wandb.Artifact(name or os.path.basename(path), type=type)
+        art.add_dir(path) if os.path.isdir(path) else art.add_file(path)
+        self._run.log_artifact(art)
 
     def finish(self) -> None:
         self._run.finish()
