@@ -60,6 +60,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="rematerialize the loss (gradient checkpointing)")
 
     g = p.add_argument_group("distribution (replaces accelerate YAMLs)")
+    g.add_argument("--host-offload", choices=["optimizer", "params", "all"],
+                   default=None,
+                   help="keep state in host memory, streamed through HBM "
+                   "per step (capability of the reference's ZeRO-3 CPU "
+                   "offload accelerate config)")
     g.add_argument("--strategy", default="dp",
                    choices=["dp", "zero2", "fsdp", "tp", "fsdp_tp"])
     g.add_argument("--mesh", default=None,
@@ -191,6 +196,7 @@ def cmd_train(args) -> int:
         grad_accum=args.grad_accum,
         strategy=args.strategy,
         mesh_axes=mesh_axes,
+        host_offload=args.host_offload,
         checkpoint_dir=args.checkpoint_dir,
         sharded_checkpoint=args.sharded_checkpoint,
         save_every_steps=args.save_every_steps,

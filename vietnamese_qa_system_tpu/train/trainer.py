@@ -61,6 +61,11 @@ class TrainConfig:
     grad_accum: int = 1  # microbatches per step (capability of --gradient_accumulation_steps)
     strategy: str = "dp"  # dp | zero2 | fsdp | tp | fsdp_tp
     mesh_axes: Optional[dict] = None  # e.g. {"data": -1} / {"data": 2, "model": 4}
+    # ZeRO-3-offload capability (the reference's accelerate_ds_zero3_
+    # cpu_offload_config.yaml): persist state in host memory via the
+    # pinned_host memory kind and stream it through HBM inside the step.
+    # "optimizer" | "params" | "all"
+    host_offload: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     # per-host shard files instead of one monolithic npz (multi-host
     # topologies; restore reassembles onto the current mesh)
@@ -135,8 +140,8 @@ def make_train_step(
     grad_fn = jax.value_and_grad(loss_for, has_aux=True)
 
     def step_fn(state, batch):
-        trainable = state["adapter"] if use_lora else state["params"]
         base = state["params"]
+        trainable = state["adapter"] if use_lora else base
 
         def micro(carry, mb):
             g_acc, loss_acc, n_acc = carry
@@ -210,6 +215,32 @@ class Trainer:
         # remote-attached TPU that per-call resharding dominated the step
         # (observed 100ms -> 6.6s per step).
         p_shardings = param_sharding(params, self.mesh, cfg.strategy)
+        offload_params = cfg.host_offload in ("params", "all")
+        offload_opt = cfg.host_offload in ("optimizer", "all")
+        if cfg.host_offload and not (offload_params or offload_opt):
+            raise ValueError(
+                f"host_offload must be optimizer|params|all, got "
+                f"{cfg.host_offload!r}"
+            )
+
+        def to_host(shardings, values):
+            # scalar leaves stay in device memory: the SPMD partitioner
+            # rejects host-placement annotations on rank-0 side effects,
+            # and offloading scalars saves nothing anyway
+            return jax.tree.map(
+                lambda s, v: s.with_memory_kind("pinned_host")
+                if getattr(v, "ndim", 0) >= 1
+                else s,
+                shardings,
+                values,
+            )
+
+        self._offload = {}
+        if offload_params:
+            p_host = to_host(p_shardings, params)
+            self._offload["params_dev"] = p_shardings
+            self._offload["params_host"] = p_host
+            p_shardings = p_host
         self.params = jax.device_put(params, p_shardings)
 
         self.adapter = None
@@ -236,12 +267,21 @@ class Trainer:
             "fsdp" if cfg.strategy in ("zero2", "fsdp", "fsdp_tp") else "dp"
         )
         o_shardings = param_sharding(opt_state, self.mesh, opt_strategy)
+        if offload_opt:
+            o_host = to_host(o_shardings, opt_state)
+            self._offload["opt_dev"] = o_shardings
+            self._offload["opt_host"] = o_host
+            o_shardings = o_host
         opt_state = jax.device_put(opt_state, o_shardings)
         rep = replicated(self.mesh)
+        # the jitted step always sees DEVICE-memory shardings; with
+        # host_offload the persistent copy lives in pinned_host and is
+        # staged through HBM around each call (_run_step) — this JAX/XLA
+        # build cannot partition in-jit placement annotations under SPMD
         self._state_shardings = {
-            "params": p_shardings,
+            "params": self._offload.get("params_dev", p_shardings),
             "adapter": a_shardings,
-            "opt_state": o_shardings,
+            "opt_state": self._offload.get("opt_dev", o_shardings),
             "step": rep,
         }
         self.state = {
@@ -279,6 +319,34 @@ class Trainer:
                 dist_print(f"resumed from step {self.start_step}")
 
     # ------------------------------------------------------------------ fit
+
+    def _run_step(self, state, batch):
+        """One optimizer step.  With host_offload, stage the host-resident
+        components into HBM, run the jitted step (which donates and frees
+        the staged copies), and move the updated state back to pinned
+        host memory — the ZeRO-3-offload data motion, expressed as
+        explicit memory-kind transfers."""
+        if not self._offload:
+            return self._step_fn(state, batch)
+        staged = dict(state)
+        if "params_dev" in self._offload:
+            staged["params"] = jax.device_put(
+                state["params"], self._offload["params_dev"]
+            )
+        if "opt_dev" in self._offload:
+            staged["opt_state"] = jax.device_put(
+                state["opt_state"], self._offload["opt_dev"]
+            )
+        new_state, metrics = self._step_fn(staged, batch)
+        if "params_host" in self._offload:
+            new_state["params"] = jax.device_put(
+                new_state["params"], self._offload["params_host"]
+            )
+        if "opt_host" in self._offload:
+            new_state["opt_state"] = jax.device_put(
+                new_state["opt_state"], self._offload["opt_host"]
+            )
+        return new_state, metrics
 
     def _device_batch(self, batch: dict):
         """(global_b, ...) numpy → (accum, micro_b, ...) device arrays."""
@@ -343,7 +411,7 @@ class Trainer:
                         continue  # fast-forward within the resume epoch
                     dev_batch = self._device_batch(batch)
                     n_tok = int(np.prod(dev_batch["input_ids"].shape))
-                    self.state, metrics = self._step_fn(self.state, dev_batch)
+                    self.state, metrics = self._run_step(self.state, dev_batch)
                     step += 1
                     epoch_steps += 1
                     epoch_tokens += n_tok
@@ -408,6 +476,9 @@ class Trainer:
     def merged_params(self):
         """Adapter merged into the base for inference/export — capability of
         reference merge_adapter/merge_and_unload (trainer.py:84-161)."""
+        params = self.state["params"]
+        if "params_dev" in self._offload:  # host-offloaded base: bring back
+            params = jax.device_put(params, self._offload["params_dev"])
         if self.adapter is None:
-            return self.state["params"]
-        return merge_lora(self.state["params"], self.state["adapter"], self.cfg.lora)
+            return params
+        return merge_lora(params, self.state["adapter"], self.cfg.lora)
