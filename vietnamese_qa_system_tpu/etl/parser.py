@@ -61,8 +61,17 @@ class DataParser(ABC, metaclass=_ABCEnforced):
         code_threshold: int = 5,
         ctx_pool: Optional[Sequence[str]] = None,
         max_ctx_inject: int = 2,
+        source=None,
     ):
+        from .sources import parse_source_spec
+
         self.input_path = input_path
+        # pluggable raw source (etl/sources.py): explicit DataSource, an
+        # hf:// spec, or (default) the local json/jsonl path — the
+        # reference's parsers stream from the Hub the same way
+        self.source = source or (
+            parse_source_spec(input_path) if input_path is not None else None
+        )
         self.output_dir = output_dir
         self.name = name or type(self).__name__
         self.rng = random.Random(seed)
@@ -82,8 +91,14 @@ class DataParser(ABC, metaclass=_ABCEnforced):
     @abstractmethod
     def read(self) -> None:
         """Load the raw dataset into self.raw."""
-        if self.input_path is not None and not os.path.exists(self.input_path):
+        if self.source is not None and not self.source.exists():
             raise FileNotFoundError(self.input_path)
+
+    def load_raw(self, max_examples: Optional[int] = None) -> list[dict]:
+        """Materialize the source's records (hf:// specs stream)."""
+        if self.source is None:
+            raise RuntimeError(f"{self.name}: no input source configured")
+        return self.source.load(max_examples)
 
     @enforce_base_call
     @abstractmethod

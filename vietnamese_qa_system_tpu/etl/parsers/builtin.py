@@ -6,10 +6,12 @@ Capability of the reference's 16 dataset parsers
 math_qa, grade-school-math, zaloAI-math (+test), mt_eng_vietnamese, ELI5
 (train/val/custom/mult-answers), webglm-qa, Train-v2.0 (SQuAD), Train_IR,
 ctx_injector.py).  Each reference parser streams a HF dataset and maps
-fields to its record dataclass; here parsers read LOCAL json/jsonl files
-(this environment has no network egress) and map to the framework schemas
-(data/schemas.py).  Field mappings follow the public dataset formats, and
-each class notes the reference parser it mirrors.
+fields to its record dataclass; here the raw source is pluggable
+(etl/sources.py): LOCAL json/jsonl by default (this environment has no
+network egress), or an ``hf://`` spec that streams through
+``datasets.load_dataset(streaming=True)`` like the reference.  Field
+mappings follow the public dataset formats, and each class notes the
+reference parser it mirrors.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ import json
 from typing import Optional
 
 from ...data.templates import DEFAULT_BANK
-from ..parser import DataParser, load_json_or_jsonl
+from ..parser import DataParser
 
 
 class GenericInstructParser(DataParser):
@@ -35,9 +37,7 @@ class GenericInstructParser(DataParser):
 
     def read(self):
         super().read()
-        self.raw = load_json_or_jsonl(self.input_path)
-        if self.max_examples:
-            self.raw = self.raw[: self.max_examples]
+        self.raw = self.load_raw(self.max_examples)
 
     def _system_prompt(self, row: dict) -> str:
         if self.system_key and row.get(self.system_key):
@@ -164,7 +164,7 @@ class LimaViParser(GenericInstructParser):
 
     def read(self):
         super(GenericInstructParser, self).read()
-        self.raw = load_json_or_jsonl(self.input_path)
+        self.raw = self.load_raw()
 
     def convert(self):
         super(GenericInstructParser, self).convert()
@@ -206,7 +206,7 @@ class TranslationPairParser(DataParser):
 
     def read(self):
         super().read()
-        self.raw = load_json_or_jsonl(self.input_path)
+        self.raw = self.load_raw()
 
     def convert(self):
         super().convert()
@@ -246,7 +246,7 @@ class Eli5Parser(DataParser):
 
     def read(self):
         super().read()
-        self.raw = load_json_or_jsonl(self.input_path)
+        self.raw = self.load_raw()
 
     @staticmethod
     def _docs(row) -> list[str]:
@@ -292,7 +292,7 @@ class WebglmQAParser(DataParser):
 
     def read(self):
         super().read()
-        self.raw = load_json_or_jsonl(self.input_path)
+        self.raw = self.load_raw()
 
     def convert(self):
         super().convert()
@@ -350,7 +350,7 @@ class TrainIRParser(DataParser):
 
     def read(self):
         super().read()
-        self.raw = load_json_or_jsonl(self.input_path)
+        self.raw = self.load_raw()
 
     def convert(self):
         super().convert()
@@ -386,7 +386,7 @@ class CtxInjectorParser(DataParser):
 
     def read(self):
         super().read()
-        self.raw = load_json_or_jsonl(self.input_path)
+        self.raw = self.load_raw()
 
     def convert(self):
         super().convert()
