@@ -69,11 +69,35 @@ def test_eval_seq2seq_config(tmp_path):
     gen = gen_mod.GenerationConfig(max_new_tokens=6, temperature=0.7, top_k=10)
     out = generative_eval(params, cfg, tok, _prompt_batches(tok), gen_config=gen)
     assert out["n_examples"] == 2
-    with pytest.raises(NotImplementedError):
-        generative_eval(
-            params, cfg, tok, _prompt_batches(tok),
-            gen_config=gen_mod.GenerationConfig(num_beams=2),
-        )
+    out_beam = generative_eval(
+        params, cfg, tok, _prompt_batches(tok),
+        gen_config=gen_mod.GenerationConfig(max_new_tokens=6, num_beams=3),
+    )
+    assert out_beam["n_examples"] == 2
+
+
+def test_seq2seq_beam1_equals_greedy():
+    """num_beams=1 must reproduce the greedy decode exactly (same argmax
+    chain, same eos handling)."""
+    cfg = tiny_test("seq2seq")
+    params = init_model_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(5)
+    ids = rng.integers(4, 260, (3, 10)).astype(np.int32)
+    mask = np.ones_like(ids)
+    greedy = gen_mod.generate_seq2seq(
+        params, cfg, ids, mask, max_new_tokens=8, temperature=0.0, eos_id=2,
+        bos_id=1,
+    )
+    beam1 = gen_mod.beam_search_seq2seq(
+        params, cfg, ids, mask, max_new_tokens=8, num_beams=1, eos_id=2,
+        bos_id=1,
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+    beam4 = gen_mod.beam_search_seq2seq(
+        params, cfg, ids, mask, max_new_tokens=8, num_beams=4, eos_id=2,
+        bos_id=1,
+    )
+    assert beam4.shape == (3, 8)
 
 
 def test_dispatch_beam_vs_greedy(causal):

@@ -54,16 +54,27 @@ class IngestPipeline:
         self.lexical = lexical
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
-        """Encode texts to (N, D) unit vectors with fixed-shape batches."""
+        """Encode texts to (N, D) unit vectors with fixed-shape batches.
+
+        Software-pipelined: jax dispatch is async, so batch i's host
+        tokenization and batch i-1's device→host fetch both overlap the
+        encoder forward of the in-flight batch — the host never sits
+        between tokenize and fetch (round-1 profile: ingest was
+        host/device serialized and ran at half the encoder's rate)."""
         out = []
         bs = self.batch_size
+        pending = None  # (device embeddings, valid rows) still in flight
         for i in range(0, len(texts), bs):
             chunk = list(texts[i : i + bs])
             n = len(chunk)
             chunk += [""] * (bs - n)  # static batch shape
             ids, mask = batch_encode(self.tok, chunk, self.max_len)
-            emb = _embed(self.params, self.cfg, ids, mask)
-            out.append(np.asarray(emb[:n], np.float32))
+            emb = _embed(self.params, self.cfg, ids, mask)  # async
+            if pending is not None:
+                out.append(np.asarray(pending[0][: pending[1]], np.float32))
+            pending = (emb, n)
+        if pending is not None:
+            out.append(np.asarray(pending[0][: pending[1]], np.float32))
         return np.concatenate(out, axis=0) if out else np.zeros((0, self.store.dim))
 
     def add_texts(

@@ -58,9 +58,13 @@ def generate_with_config(
     (B, max_new) for seq2seq — matching generate()/generate_seq2seq()."""
     if cfg.arch == "seq2seq":
         if gen.num_beams > 1:
-            raise NotImplementedError(
-                "beam search is implemented for the causal family; the "
-                "reference's seq2seq eval path decodes greedy/sampled too"
+            return beam_search_seq2seq(
+                params, cfg, ids, attn_mask,
+                max_new_tokens=gen.max_new_tokens,
+                num_beams=gen.num_beams,
+                eos_id=eos_id,
+                bos_id=bos_id,
+                length_penalty=gen.length_penalty,
             )
         return generate_seq2seq(
             params, cfg, ids, attn_mask,
@@ -346,6 +350,109 @@ def generate_seq2seq(
     keys = jax.random.split(key, max_new_tokens)
     _, toks = jax.lax.scan(step, (cache, tok0, done0, jnp.int32(0)), keys)
     return toks.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_id",
+                     "bos_id", "length_penalty"),
+)
+def beam_search_seq2seq(
+    params,
+    cfg: ModelConfig,
+    enc_ids,
+    enc_mask,
+    *,
+    max_new_tokens: int = 32,
+    num_beams: int = 4,
+    eos_id: int | None = None,
+    bos_id: int = 0,
+    length_penalty: float = 1.0,
+):
+    """Encoder-decoder beam search (num_beams capability of the
+    reference's GenerationConfig on the seq2seq eval path,
+    trainer.py:390-413,928-949): encode once, expand beams as a batch
+    dimension over the decoder scan, reorder the self-attention cache by
+    parent beam each step.  Returns (B, max_new_tokens) — the best beam
+    per row under HF length normalization."""
+    from . import seq2seq
+
+    b = enc_ids.shape[0]
+    w = num_beams
+    neg = -1e30
+    enc_out = seq2seq.encode(params, cfg, enc_ids, enc_mask)
+    enc_out_w = jnp.repeat(enc_out, w, axis=0)  # (B*W, T, D)
+    enc_mask_w = jnp.repeat(enc_mask, w, axis=0)
+
+    total = max_new_tokens + 1  # slot 0 holds BOS
+    cache = _make_cache(cfg, b * w, total, cfg.decoder_layers)
+    jj = jnp.arange(total)[None, None, :]
+
+    def decode_step(cache, tok, idx):
+        pos = jnp.broadcast_to(idx[None, None], (b * w, 1))
+        dec_mask = jnp.broadcast_to(
+            (jj <= idx).astype(jnp.bool_), (b * w, 1, total)
+        )
+        logits, new_cache = seq2seq.decode(
+            params, cfg, tok[:, None], enc_out_w, enc_mask_w, dec_mask,
+            positions=pos, cache=cache, cache_index=idx,
+        )
+        return logits[:, 0].astype(jnp.float32), new_cache
+
+    last_logits, cache = decode_step(
+        cache, jnp.full((b * w,), bos_id, jnp.int32), jnp.int32(0)
+    )
+    v = last_logits.shape[-1]
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), neg)])[None, :],
+        (b, 1),
+    )
+    toks0 = jnp.zeros((b, w, max_new_tokens), jnp.int32)
+    done0 = jnp.zeros((b, w), jnp.bool_)
+
+    def step(carry, step_idx):
+        cache, last_logits, scores, toks, done = carry
+        logp = jax.nn.log_softmax(last_logits, axis=-1).reshape(b, w, v)
+        if eos_id is not None:
+            eos_onehot = jnp.arange(v)[None, None, :] == eos_id
+            logp = jnp.where(
+                done[:, :, None], jnp.where(eos_onehot, 0.0, neg), logp
+            )
+        flat = (scores[:, :, None] + logp).reshape(b, w * v)
+        top_s, top_i = jax.lax.top_k(flat, w)
+        parent = top_i // v
+        token = (top_i % v).astype(jnp.int32)
+        batch_idx = jnp.arange(b)[:, None]
+        toks = toks[batch_idx, parent].at[:, :, step_idx].set(token)
+        new_done = done[batch_idx, parent]
+        if eos_id is not None:
+            new_done = new_done | (token == eos_id)
+        flat_parent = (batch_idx * w + parent).reshape(b * w)
+        cache = [
+            jax.tree.map(lambda x: x[flat_parent], layer) for layer in cache
+        ]
+        logits, cache = decode_step(
+            cache, token.reshape(b * w), step_idx + 1
+        )
+        return (cache, logits, top_s, toks, new_done), None
+
+    (cache, _, scores, toks, done), _ = jax.lax.scan(
+        step, (cache, last_logits, scores0, toks0, done0),
+        jnp.arange(max_new_tokens),
+    )
+    if eos_id is not None:
+        lengths = jnp.where(
+            done, jnp.argmax(toks == eos_id, axis=-1) + 1, max_new_tokens
+        ).astype(jnp.float32)
+    else:
+        lengths = jnp.full((b, w), float(max_new_tokens))
+    norm = scores / jnp.power(jnp.maximum(lengths, 1.0), length_penalty)
+    best = jnp.argmax(norm, axis=1)
+    best_toks = toks[jnp.arange(b), best]
+    if eos_id is not None:
+        seen = jnp.cumsum((best_toks == eos_id).astype(jnp.int32), axis=1)
+        best_toks = jnp.where(seen > 1, eos_id, best_toks)
+    return best_toks
 
 
 @functools.partial(

@@ -77,29 +77,46 @@ def generative_eval(
     records = []
     t0 = time.time()
     n_tokens = 0
-    for batch in batches:
-        ids = jnp.asarray(batch["input_ids"])
-        mask = jnp.asarray(batch["attention_mask"])
-        out = gen_mod.generate_with_config(
-            params, cfg, ids, mask, gen_config,
-            eos_id=tokenizer.eos_id, bos_id=tokenizer.bos_id,
-        )
+
+    def flush(pending):
+        """Fetch + decode one finished batch (host work that overlaps the
+        in-flight decode — jax dispatch is async, so generation of batch
+        i runs while batch i-1 is fetched and detokenized here)."""
+        nonlocal n_tokens
+        batch, ids_np, gen = pending
         if cfg.arch == "seq2seq":
-            out = np.concatenate([np.asarray(ids), np.asarray(out)], axis=1)
+            out = np.concatenate([ids_np, np.asarray(gen)], axis=1)
         else:
-            out = np.asarray(out)
-        prompt_len = ids.shape[1]
+            out = np.asarray(gen)
+        prompt_len = ids_np.shape[1]
         n_tokens += out[:, prompt_len:].size
         for r in range(out.shape[0]):
-            prompt = tokenizer.decode([t for t in np.asarray(ids)[r] if t != tokenizer.pad_id])
+            prompt = tokenizer.decode(
+                [t for t in ids_np[r] if t != tokenizer.pad_id]
+            )
             completion = tokenizer.decode(
-                [t for t in out[r, prompt_len:] if t not in (tokenizer.pad_id, tokenizer.eos_id)]
+                [t for t in out[r, prompt_len:]
+                 if t not in (tokenizer.pad_id, tokenizer.eos_id)]
             )
             rec = {"prompt": prompt, "prediction": completion}
             refs = batch.get("reference")
             if refs is not None:
                 rec["reference"] = refs[r]
             records.append(rec)
+
+    pending = None
+    for batch in batches:
+        ids = jnp.asarray(batch["input_ids"])
+        mask = jnp.asarray(batch["attention_mask"])
+        gen = gen_mod.generate_with_config(
+            params, cfg, ids, mask, gen_config,
+            eos_id=tokenizer.eos_id, bos_id=tokenizer.bos_id,
+        )  # async dispatch
+        if pending is not None:
+            flush(pending)
+        pending = (batch, np.asarray(batch["input_ids"]), gen)
+    if pending is not None:
+        flush(pending)
     elapsed = time.time() - t0
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
