@@ -90,6 +90,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    "restore reassembles onto the current mesh")
     g.add_argument("--save-every-steps", type=int, default=None)
     g.add_argument("--save-every-seconds", type=float, default=None)
+    g.add_argument("--async-checkpoint", action="store_true",
+                   help="write checkpoints from a background thread "
+                   "(device-side snapshot; saves never stall the step loop)")
     g.add_argument("--resume", action="store_true")
     g.add_argument("--log-dir", default="runs/logs")
     g.add_argument("--report-to", default="jsonl", choices=["jsonl", "wandb"])
@@ -201,6 +204,7 @@ def cmd_train(args) -> int:
         sharded_checkpoint=args.sharded_checkpoint,
         save_every_steps=args.save_every_steps,
         save_every_seconds=args.save_every_seconds,
+        async_checkpoint=args.async_checkpoint,
         resume=args.resume,
         quantize_base=args.quantize_base,
         seed=args.seed,

@@ -233,6 +233,7 @@ class CheckpointManager:
         return sorted(out)
 
     def latest_step(self) -> Optional[int]:
+        self.wait()  # an in-flight async save may be creating step_N
         dirs = self._step_dirs()
         return dirs[-1][0] if dirs else None
 
@@ -279,6 +280,34 @@ class CheckpointManager:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         return state, meta
+
+    # ------------------------------------------------------------- async
+
+    def save_async(self, step: int, state, metadata: Optional[dict] = None):
+        """Non-blocking save: snapshot the state with an on-device copy
+        (donated train-step buffers mutate in place, so the live arrays
+        cannot be fetched later), then fetch + write in a background
+        thread while training continues.  At most one save is in flight;
+        a second call waits for the first (orbax-style async save —
+        matters when the device↔host link is slow)."""
+        import threading
+
+        self.wait()
+        snap = jax.tree.map(jnp.copy, state)
+
+        def _write():
+            self.save(step, snap, metadata)
+
+        self._pending = threading.Thread(target=_write, daemon=True)
+        self._pending.start()
+        return self._pending
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has finished."""
+        t = getattr(self, "_pending", None)
+        if t is not None:
+            t.join()
+            self._pending = None
 
     def _gc(self) -> None:
         dirs = self._step_dirs()

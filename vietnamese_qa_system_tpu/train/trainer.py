@@ -72,6 +72,9 @@ class TrainConfig:
     sharded_checkpoint: bool = False
     save_every_steps: Optional[int] = None
     save_every_seconds: Optional[float] = None
+    # fetch + write checkpoints in a background thread (on-device state
+    # snapshot first), so saves never stall the step loop
+    async_checkpoint: bool = False
     keep_checkpoints: int = 3
     resume: bool = False
     # quantize the frozen base to "int8" or "nf4" before sharding — LoRA
@@ -453,6 +456,8 @@ class Trainer:
                 break
         if profiling:
             jax.profiler.stop_trace()
+        if self.ckpt is not None:
+            self.ckpt.wait()  # drain any in-flight async save
         return self.state
 
     def _should_save(self, step: int, last_save: float) -> bool:
@@ -469,7 +474,11 @@ class Trainer:
 
     def save(self, step: int) -> None:
         if self.ckpt is not None:
-            self.ckpt.save(step, self.state, {"config": repr(self.cfg)})
+            meta = {"config": repr(self.cfg)}
+            if self.cfg.async_checkpoint:
+                self.ckpt.save_async(step, self.state, meta)
+            else:
+                self.ckpt.save(step, self.state, meta)
 
     # ---------------------------------------------------------------- export
 
