@@ -113,6 +113,163 @@ def test_export_roundtrip(tiny_neox, tmp_path):
     np.testing.assert_allclose(l1, l2, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def tiny_gpt_neo():
+    """2 layers alternating [global, local] with a window SMALLER than the
+    test sequence, so the sliding-window mask actually binds."""
+    cfg = transformers.GPTNeoConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_layers=2,
+        attention_types=[[["global", "local"], 1]],
+        num_heads=4,
+        intermediate_size=256,
+        max_position_embeddings=64,
+        window_size=8,
+        activation_function="gelu_new",
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(4)
+    model = transformers.GPTNeoForCausalLM(cfg).eval()
+    return model, cfg
+
+
+def test_gpt_neo_logits_match_transformers(tiny_gpt_neo):
+    """EleutherAI/gpt-neo-125m is the reference's canonical model
+    (reference scripts/train.sh:7): unscaled attention + local windows +
+    learned positions + gelu_new must reproduce HF logits."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gpt_neo,
+        gpt_neo_config,
+    )
+
+    model, hf_cfg = tiny_gpt_neo
+    cfg = gpt_neo_config(hf_cfg)
+    assert cfg.attention_scale == 1.0
+    assert cfg.attention_layers == ("global", "local")
+    assert cfg.attention_window == 8 and cfg.positional == "learned"
+    params = convert_gpt_neo(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 24)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.ones((2, 24), jnp.int32)
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_gpt_neo_generation_matches_transformers(tiny_gpt_neo):
+    """Decode path: the cached local-window mask (slot-space) must agree
+    with the uncached forward during generation past the window size, and
+    the first greedy token must match HF.  (Later greedy steps on a RANDOM
+    tiny model have near-zero top-2 margins, where bf16 matmuls routinely
+    flip the argmax vs torch f32 — the logits test above bounds the actual
+    numerical agreement.)"""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gpt_neo,
+        gpt_neo_config,
+    )
+
+    model, hf_cfg = tiny_gpt_neo
+    cfg = gpt_neo_config(hf_cfg)
+    params = convert_gpt_neo(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, hf_cfg.vocab_size, (1, 12)).astype(np.int64)
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids), max_new_tokens=6, do_sample=False
+        ).numpy()
+    ours = np.asarray(
+        generate.generate(
+            params,
+            cfg,
+            jnp.asarray(ids, jnp.int32),
+            jnp.ones((1, 12), jnp.int32),
+            max_new_tokens=6,
+            temperature=0.0,
+        )
+    )
+    assert ours[0, 12] == hf_out[0, 12]
+
+    # cached decode (sliding-window mask over cache slots) must replay the
+    # uncached forward exactly — 12-token prompt + 6 generated crosses the
+    # window_size=8 boundary, so local masking is exercised both ways
+    cur = ids.astype(np.int32)
+    for _ in range(6):
+        lg = causal_lm.forward(
+            params, cfg, jnp.asarray(cur), jnp.ones_like(jnp.asarray(cur))
+        )
+        cur = np.concatenate(
+            [cur, [[int(jnp.argmax(lg[0, -1]))]]], axis=1
+        ).astype(np.int32)
+    np.testing.assert_array_equal(ours[0], cur[0])
+
+
+def test_gpt2_logits_match_transformers():
+    """GPT-2 (special-cased by the reference at trainer.py:529): fused
+    Conv1D c_attn split + learned positions reproduce HF logits."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gpt2,
+        gpt2_config,
+    )
+
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=128,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        n_inner=256,
+        n_positions=64,
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(6)
+    model = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    cfg = gpt2_config(hf_cfg)
+    assert cfg.attention_scale is None and cfg.activation == "gelu_new"
+    params = convert_gpt2(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32)
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_causal_auto_dispatch(tiny_gpt_neo, tmp_path):
+    """load_causal_auto resolves model_type=gpt_neo from a local dir and
+    the config JSON round-trip keeps attention_layers a hashable tuple."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        gpt_neo_config,
+        load_causal_auto,
+    )
+    from vietnamese_qa_system_tpu.models import ModelConfig
+
+    model, hf_cfg = tiny_gpt_neo
+    d = str(tmp_path / "neo")
+    model.save_pretrained(d, safe_serialization=False)
+    params, cfg = load_causal_auto(d)
+    assert cfg == gpt_neo_config(hf_cfg)
+    assert "pos_embed" in params
+
+    rt = ModelConfig.from_json(cfg.to_json())
+    assert rt == cfg
+    hash(rt)  # static jit arg
+
+
 def test_bert_encoder_matches_transformers():
     """Random tiny BertModel: our converted encoder must reproduce HF's
     token hidden states and mean-pooled embeddings."""

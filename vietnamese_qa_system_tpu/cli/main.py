@@ -135,6 +135,7 @@ def _model_config(args):
     presets = {
         "tiny": lambda: mcfg.tiny_test(args.arch),
         "gpt125m": mcfg.gpt_125m_class,
+        "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
     }
     cfg = presets[args.model_size]()
@@ -382,8 +383,9 @@ def _gen_batches(dl, examples, tok, args):
 
 def load_converted_params(path: str, model_cfg):
     """Load params from a framework checkpoint dir (step_N/state.npz), a
-    flat .npz, or a LOCAL HF GPT-NeoX model directory (config.json with
-    model_type gpt_neox — converted via models/convert_hf.py)."""
+    flat .npz, or a LOCAL HF causal-LM model directory (config.json with
+    model_type gpt_neox / gpt_neo / gpt2 — converted via
+    models/convert_hf.py::load_causal_auto)."""
     from ..train.checkpoint import CheckpointManager
     from ..train.trainer import init_model_params
 
@@ -391,10 +393,10 @@ def load_converted_params(path: str, model_cfg):
 
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json")):
         with open(os.path.join(path, "config.json")) as f:
-            if json.load(f).get("model_type") == "gpt_neox":
-                from ..models.convert_hf import load_gpt_neox
+            if json.load(f).get("model_type") in ("gpt_neox", "gpt_neo", "gpt2"):
+                from ..models.convert_hf import load_causal_auto
 
-                params, _ = load_gpt_neox(path)
+                params, _ = load_causal_auto(path)
                 return params
     target = init_model_params(model_cfg, jax.random.key(0))
     if os.path.isdir(path):

@@ -1,6 +1,7 @@
 from .config import (
     ModelConfig,
     gpt_125m_class,
+    gpt_neo_125m,
     minilm_class,
     mpnet_class,
     pythia_410m_class,
@@ -23,6 +24,7 @@ __all__ = [
     "minilm_class",
     "mpnet_class",
     "gpt_125m_class",
+    "gpt_neo_125m",
     "pythia_410m_class",
     "mt5_small_class",
     "LoraConfig",

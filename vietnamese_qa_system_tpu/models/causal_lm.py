@@ -1,10 +1,16 @@
-"""Decoder-only causal LM with RoPE and tied LM head.
+"""Decoder-only causal LM (RoPE/NeoX and learned-position/GPT-Neo/GPT-2
+families, tied or untied LM head).
 
 Capability of the reference's CAUSAL_LM task path (`AutoModelForCausalLM`
-load at reference src/models/trainer.py:536-551, gpt-neo/pythia models in
-reference scripts/train*.sh), rebuilt as a functional JAX transformer:
+load at reference src/models/trainer.py:536-551; gpt-neo-125m in reference
+scripts/train.sh:7, pythia-410m in scripts/train_test.sh:9, the gpt2
+special case at trainer.py:529), rebuilt as a functional JAX transformer:
 static shapes, fp32 loss accumulation, -100 label masking identical to the
 reference collators (reference src/data/dataloader.py:397,406,456).
+GPT-Neo's alternating local attention is a static sliding-window mask in
+cache-slot space (see ``_window_mask``); real HF weights for all three
+families import via models/convert_hf.py and are verified against
+transformers logits in tests/test_convert_hf.py.
 """
 
 from __future__ import annotations
@@ -27,7 +33,7 @@ IGNORE_INDEX = -100  # label positions excluded from the loss
 
 
 def init_causal_lm(key, cfg: ModelConfig):
-    ks = jax.random.split(key, cfg.n_layers + 3)
+    ks = jax.random.split(key, cfg.n_layers + 4)
     params = {
         "tok_embed": jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_model)) * 0.02,
         "blocks": [
@@ -36,11 +42,35 @@ def init_causal_lm(key, cfg: ModelConfig):
         ],
         "ln_f": init_layernorm(cfg.d_model),
     }
+    if cfg.positional == "learned":
+        # GPT-Neo / GPT-2 family: learned absolute position table (wpe)
+        params["pos_embed"] = (
+            jax.random.normal(ks[-2], (cfg.max_seq_len, cfg.d_model)) * 0.02
+        )
     if not cfg.tie_embeddings:
         params["lm_head"] = init_dense(
             ks[-1], cfg.d_model, cfg.vocab_size, use_bias=False
         )
     return params
+
+
+def _layer_kinds(cfg: ModelConfig):
+    """Per-layer attention kind: "global" | "local" (GPT-Neo alternates;
+    everything else is all-global)."""
+    if cfg.attention_layers is None:
+        return ("global",) * cfg.n_layers
+    assert len(cfg.attention_layers) == cfg.n_layers
+    return cfg.attention_layers
+
+
+def _window_mask(q_slots, k_slots, window: int):
+    """Sliding-window constraint in cache-SLOT space: a query may see keys
+    at most ``window - 1`` slots behind it.  Slot distance equals logical
+    position distance on every path we run (right-padded training batches:
+    slot == position; left-padded decode: query and key positions shift by
+    the same per-row pad offset), so this is exact for GPT-Neo local
+    attention while staying shape-static."""
+    return (q_slots[:, None] - k_slots[None, :]) < window
 
 
 def forward(
@@ -62,9 +92,15 @@ def forward(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = params["tok_embed"][ids]
-    rot = int(cfg.head_dim * cfg.rope_pct)
-    rot -= rot % 2
-    rope = rope_frequencies(rot, cfg.max_seq_len, cfg.rope_theta)
+    if cfg.positional == "learned":
+        rope = None
+        x = x + params["pos_embed"][positions]
+    else:
+        rot = int(cfg.head_dim * cfg.rope_pct)
+        rot -= rot % 2
+        rope = rope_frequencies(rot, cfg.max_seq_len, cfg.rope_theta)
+    kinds = _layer_kinds(cfg)
+    has_local = "local" in kinds
 
     if cache is None:
         flash = None
@@ -80,23 +116,42 @@ def forward(
                 else jnp.full((b,), t, jnp.int32)
             )
             flash = {"kv_lens": lens, "causal": True}
+        local_mask = None
+        if has_local:
+            slots = jnp.arange(t)
+            local_mask = mask & _window_mask(slots, slots, cfg.attention_window)
         new_caches = None
-        for p_blk in params["blocks"]:
+        for p_blk, kind in zip(params["blocks"], kinds):
+            local = kind == "local"
             x, _ = block(
-                p_blk, x, n_heads=cfg.n_heads, mask=mask,
+                p_blk, x, n_heads=cfg.n_heads,
+                mask=local_mask if local else mask,
                 rope=rope, positions=positions, eps=cfg.norm_eps,
-                flash=flash, parallel_residual=cfg.parallel_residual,
+                # the fused kernel expresses (causal & kv_lens) only;
+                # local layers take the dense masked path
+                flash=None if local else flash,
+                parallel_residual=cfg.parallel_residual,
+                scale=cfg.attention_scale, activation=cfg.activation,
             )
     else:
         # decode step: keys live in the cache; mask is (B, T, cache_len)
         mask = attn_mask
+        local_mask = None
+        if has_local:
+            q_slots = cache_index + jnp.arange(t)
+            k_slots = jnp.arange(cache[0]["k"].shape[1])
+            local_mask = mask & _window_mask(
+                q_slots, k_slots, cfg.attention_window
+            )
         new_caches = []
-        for p_blk, layer_cache in zip(params["blocks"], cache):
+        for p_blk, layer_cache, kind in zip(params["blocks"], cache, kinds):
             x, nc = block(
-                p_blk, x, n_heads=cfg.n_heads, mask=mask,
+                p_blk, x, n_heads=cfg.n_heads,
+                mask=local_mask if kind == "local" else mask,
                 rope=rope, positions=positions,
                 cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
                 parallel_residual=cfg.parallel_residual,
+                scale=cfg.attention_scale, activation=cfg.activation,
             )
             new_caches.append(nc)
 

@@ -60,6 +60,18 @@ class ModelConfig:
     position_offset: int = 0  # first real token's position id (MPNet: 2)
     relative_attention_buckets: int = 0  # 0 = absolute positions only
     relative_attention_max_distance: int = 128
+    # GPT-Neo / GPT-2 family knobs (EleutherAI/gpt-neo-125m is the
+    # reference's canonical training model, reference scripts/train.sh:7;
+    # the reference special-cases gpt2 at src/models/trainer.py:529):
+    # - GPT-Neo attends WITHOUT the 1/sqrt(head_dim) scaling
+    #   (attention_scale=1.0); None = standard scaling.
+    # - attention_layers: per-layer "global" | "local"; GPT-Neo alternates,
+    #   local layers see a sliding window of ``attention_window`` keys.
+    # - activation "gelu_new" is the tanh approximation both families use.
+    attention_scale: float | None = None
+    attention_layers: tuple | None = None
+    attention_window: int = 256
+    activation: str = "gelu"  # "gelu" (erf, HF default) | "gelu_new" (tanh)
 
     @property
     def head_dim(self) -> int:
@@ -75,7 +87,12 @@ class ModelConfig:
 
     @classmethod
     def from_json(cls, s: str) -> "ModelConfig":
-        return cls(**json.loads(s))
+        d = json.loads(s)
+        if d.get("attention_layers") is not None:
+            # JSON has no tuples; the config must stay hashable (it is a
+            # static jit argument throughout models/generate.py)
+            d["attention_layers"] = tuple(d["attention_layers"])
+        return cls(**d)
 
 
 # Ready-made sizes, roughly matching the reference's model scale points
@@ -116,6 +133,22 @@ def gpt_125m_class() -> ModelConfig:
         arch="causal", vocab_size=50304, d_model=768, n_heads=12,
         n_layers=12, d_ff=3072, max_seq_len=2048,
         use_flash_attention=True,
+    )
+
+
+def gpt_neo_125m() -> ModelConfig:
+    """Faithful EleutherAI/gpt-neo-125m layout (the exact model in
+    reference scripts/train.sh:7): learned positions, unscaled attention,
+    alternating global/local(256) layers, gelu_new, tied head — real HF
+    weights import via models/convert_hf.py::load_gpt_neo."""
+    return ModelConfig(
+        arch="causal", vocab_size=50257, d_model=768, n_heads=12,
+        n_layers=12, d_ff=3072, max_seq_len=2048, positional="learned",
+        norm_eps=1e-5, tie_embeddings=True, attention_scale=1.0,
+        attention_layers=tuple(
+            "global" if i % 2 == 0 else "local" for i in range(12)
+        ),
+        attention_window=256, activation="gelu_new",
     )
 
 

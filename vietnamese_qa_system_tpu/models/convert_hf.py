@@ -231,6 +231,208 @@ def load_gpt_neox(model_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# GPT-Neo (EleutherAI/gpt-neo-125m — the reference's canonical training
+# model, reference scripts/train.sh:7) and GPT-2 (special-cased by the
+# reference at src/models/trainer.py:529)
+# ---------------------------------------------------------------------------
+
+
+def gpt_neo_config(hf_cfg) -> ModelConfig:
+    """transformers GPTNeoConfig -> ModelConfig.
+
+    GPT-Neo specifics: learned absolute positions (wpe), NO attention
+    scaling, per-layer global/local attention (window_size sliding window),
+    gelu_new MLPs, tied LM head."""
+    return ModelConfig(
+        arch="causal",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.hidden_size,
+        n_heads=hf_cfg.num_heads,
+        n_layers=hf_cfg.num_layers,
+        d_ff=getattr(hf_cfg, "intermediate_size", None) or 4 * hf_cfg.hidden_size,
+        max_seq_len=hf_cfg.max_position_embeddings,
+        positional="learned",
+        norm_eps=float(getattr(hf_cfg, "layer_norm_epsilon", 1e-5)),
+        tie_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", True)),
+        attention_scale=1.0,
+        attention_layers=tuple(hf_cfg.attention_layers),
+        attention_window=int(getattr(hf_cfg, "window_size", 256)),
+        activation="gelu_new",
+    )
+
+
+def convert_gpt_neo(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """HF GPT-Neo state dict -> this framework's causal-LM pytree.
+
+    q/k/v projections carry no bias (out_proj does); attention and MLP
+    weights are nn.Linear (out, in) -> transposed to (in, out)."""
+
+    def pick(name):
+        for key in (name, "transformer." + name):
+            if key in state_dict:
+                return _t(state_dict[key])
+        raise KeyError(f"missing weight {name!r} in state dict")
+
+    def lin(name, *, bias=True):
+        p = {"w": pick(name + ".weight").T.copy()}
+        if bias:
+            p["b"] = pick(name + ".bias")
+        return p
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"h.{i}."
+        blocks.append(
+            {
+                "ln1": {
+                    "scale": pick(pre + "ln_1.weight"),
+                    "bias": pick(pre + "ln_1.bias"),
+                },
+                "attn": {
+                    "wq": lin(pre + "attn.attention.q_proj", bias=False),
+                    "wk": lin(pre + "attn.attention.k_proj", bias=False),
+                    "wv": lin(pre + "attn.attention.v_proj", bias=False),
+                    "wo": lin(pre + "attn.attention.out_proj"),
+                },
+                "ln2": {
+                    "scale": pick(pre + "ln_2.weight"),
+                    "bias": pick(pre + "ln_2.bias"),
+                },
+                "mlp": {
+                    "wi": lin(pre + "mlp.c_fc"),
+                    "wo": lin(pre + "mlp.c_proj"),
+                },
+            }
+        )
+    return {
+        "tok_embed": pick("wte.weight"),
+        "pos_embed": pick("wpe.weight"),
+        "blocks": blocks,
+        "ln_f": {
+            "scale": pick("ln_f.weight"),
+            "bias": pick("ln_f.bias"),
+        },
+    }
+
+
+def load_gpt_neo(model_dir: str):
+    """Local transformers GPT-Neo directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = gpt_neo_config(hf_cfg)
+    params = convert_gpt_neo(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
+def gpt2_config(hf_cfg) -> ModelConfig:
+    """transformers GPT2Config -> ModelConfig (learned positions, scaled
+    attention, gelu_new, tied head)."""
+    return ModelConfig(
+        arch="causal",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.n_embd,
+        n_heads=hf_cfg.n_head,
+        n_layers=hf_cfg.n_layer,
+        d_ff=getattr(hf_cfg, "n_inner", None) or 4 * hf_cfg.n_embd,
+        max_seq_len=hf_cfg.n_positions,
+        positional="learned",
+        norm_eps=float(getattr(hf_cfg, "layer_norm_epsilon", 1e-5)),
+        tie_embeddings=True,
+        activation="gelu_new",
+    )
+
+
+def convert_gpt2(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """HF GPT-2 state dict -> this framework's causal-LM pytree.
+
+    GPT-2 blocks use Conv1D weights stored (in, out) — no transpose — and
+    a fused c_attn whose output columns are [q | k | v]."""
+    d = cfg.d_model
+
+    def pick(name):
+        for key in (name, "transformer." + name):
+            if key in state_dict:
+                return _t(state_dict[key])
+        raise KeyError(f"missing weight {name!r} in state dict")
+
+    def conv1d(name):
+        return {"w": pick(name + ".weight").copy(), "b": pick(name + ".bias")}
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"h.{i}."
+        w_qkv = pick(pre + "attn.c_attn.weight")  # (D, 3D)
+        b_qkv = pick(pre + "attn.c_attn.bias")  # (3D,)
+        attn = {
+            name: {"w": w_qkv[:, j * d : (j + 1) * d].copy(),
+                   "b": b_qkv[j * d : (j + 1) * d].copy()}
+            for j, name in enumerate(("wq", "wk", "wv"))
+        }
+        attn["wo"] = conv1d(pre + "attn.c_proj")
+        blocks.append(
+            {
+                "ln1": {
+                    "scale": pick(pre + "ln_1.weight"),
+                    "bias": pick(pre + "ln_1.bias"),
+                },
+                "attn": attn,
+                "ln2": {
+                    "scale": pick(pre + "ln_2.weight"),
+                    "bias": pick(pre + "ln_2.bias"),
+                },
+                "mlp": {
+                    "wi": conv1d(pre + "mlp.c_fc"),
+                    "wo": conv1d(pre + "mlp.c_proj"),
+                },
+            }
+        )
+    return {
+        "tok_embed": pick("wte.weight"),
+        "pos_embed": pick("wpe.weight"),
+        "blocks": blocks,
+        "ln_f": {
+            "scale": pick("ln_f.weight"),
+            "bias": pick("ln_f.bias"),
+        },
+    }
+
+
+def load_gpt2(model_dir: str):
+    """Local transformers GPT-2 directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = gpt2_config(hf_cfg)
+    params = convert_gpt2(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
+def load_causal_auto(model_dir: str):
+    """Local transformers causal-LM directory -> (params, ModelConfig),
+    dispatching on config model_type — the capability of the reference's
+    `AutoModelForCausalLM.from_pretrained` over its model zoo
+    (gpt-neo-125m in scripts/train.sh, pythia in scripts/train_test.sh,
+    the gpt2 special case at trainer.py:529)."""
+    from transformers import AutoConfig
+
+    model_type = getattr(AutoConfig.from_pretrained(model_dir), "model_type", "")
+    if model_type == "gpt_neo":
+        return load_gpt_neo(model_dir)
+    if model_type == "gpt2":
+        return load_gpt2(model_dir)
+    return load_gpt_neox(model_dir)
+
+
+# ---------------------------------------------------------------------------
 # BERT-class encoders (sentence-transformers MiniLM family)
 # ---------------------------------------------------------------------------
 

@@ -149,6 +149,7 @@ def attention(
     cache_index=None,
     flash=None,
     bias=None,
+    scale=None,
 ):
     """Multi-head attention.
 
@@ -161,6 +162,8 @@ def attention(
       Returns (out, new_cache).
     - ``bias``: optional (1|B, H, Tq, Tk) additive score bias (MPNet/T5
       relative position bias), applied after the 1/sqrt(d) scaling.
+    - ``scale``: score multiplier; None = 1/sqrt(head_dim).  GPT-Neo
+      attends unscaled (scale=1.0).
     """
     kv_in = x if kv_x is None else kv_x
     q = _split_heads(dense(p["wq"], x), n_heads)
@@ -194,17 +197,23 @@ def attention(
             v,
             kv_lens=flash.get("kv_lens"),
             causal=flash.get("causal", True),
+            scale=scale,
         )
         b_, t_ = out.shape[:2]
         return dense(p["wo"], out.reshape(b_, t_, -1)), None
 
     head_dim = q.shape[-1]
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk",
-        q.astype(COMPUTE_DTYPE),
-        k.astype(COMPUTE_DTYPE),
-        preferred_element_type=jnp.float32,
-    ) / jnp.sqrt(float(head_dim))
+    if scale is None:
+        scale = 1.0 / float(head_dim) ** 0.5
+    logits = (
+        jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q.astype(COMPUTE_DTYPE),
+            k.astype(COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
     if bias is not None:
         logits = logits + bias
     if mask is not None:
@@ -231,9 +240,11 @@ def init_mlp(key, d_model: int, d_ff: int):
     return {"wi": init_dense(k1, d_model, d_ff), "wo": init_dense(k2, d_ff, d_model)}
 
 
-def mlp(p, x):
-    # exact (erf) gelu: matches HF's default "gelu" activation
-    return dense(p["wo"], jax.nn.gelu(dense(p["wi"], x), approximate=False))
+def mlp(p, x, activation: str = "gelu"):
+    # "gelu" = exact (erf), HF's default; "gelu_new" = tanh approximation
+    # (GPT-Neo / GPT-2 families)
+    h = jax.nn.gelu(dense(p["wi"], x), approximate=(activation == "gelu_new"))
+    return dense(p["wo"], h)
 
 
 # -----------------------------------------------------------------------------
@@ -272,6 +283,8 @@ def block(
     parallel_residual: bool = False,
     norm_position: str = "pre",
     bias=None,
+    scale=None,
+    activation: str = "gelu",
 ):
     if norm_position == "post":
         # BERT layout: LN after each residual add (ln1 = attention-output
@@ -279,10 +292,10 @@ def block(
         h, new_cache = attention(
             p["attn"], x, n_heads=n_heads, mask=mask, rope=rope,
             positions=positions, cache=cache, cache_index=cache_index,
-            flash=flash, bias=bias,
+            flash=flash, bias=bias, scale=scale,
         )
         x = layernorm(p["ln1"], x + h, eps)
-        x = layernorm(p["ln2"], x + mlp(p["mlp"], x), eps)
+        x = layernorm(p["ln2"], x + mlp(p["mlp"], x, activation), eps)
         return x, new_cache
 
     h, new_cache = attention(
@@ -296,10 +309,11 @@ def block(
         cache_index=cache_index,
         flash=flash,
         bias=bias,
+        scale=scale,
     )
     if parallel_residual:
         # GPT-NeoX style: x + attn(ln1(x)) + mlp(ln2(x))
-        m = mlp(p["mlp"], layernorm(p["ln2"], x, eps))
+        m = mlp(p["mlp"], layernorm(p["ln2"], x, eps), activation)
         return x + h + m, new_cache
     x = x + h
     if enc_out is not None:
@@ -311,7 +325,7 @@ def block(
             kv_x=enc_out,
         )
         x = x + h
-    x = x + mlp(p["mlp"], layernorm(p["ln2"], x, eps))
+    x = x + mlp(p["mlp"], layernorm(p["ln2"], x, eps), activation)
     return x, new_cache
 
 
