@@ -152,3 +152,70 @@ def test_int8_global_scale_recall(rng):
     # scores approximate the true inner products
     s_ref, _ = matmul_topk_reference(q, c, k)
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=0.05)
+
+
+def test_bucket_collisions_within_guarantee_exact(rng):
+    """Adversarial lane-bucket collisions INSIDE the documented guarantee:
+    up to 2 of the top-k share a (tile, lane-bucket) and up to 4 share a
+    global lane bucket (index mod 128) — fast mode must stay exact.
+
+    Construction: corpus rows are multiples of one unit vector u, so the
+    score against query u is exactly the per-row coefficient."""
+    n, d, k, tile_n = 4 * 512, 32, 10, 512
+    u = np.zeros((d,), np.float32)
+    u[0] = 1.0
+    coefs = np.linspace(0.1, 0.2, n).astype(np.float32)
+    # top-10 winners: 4 in global bucket 7 (2 per tile: tiles 0 and 1),
+    # 6 spread over unique buckets in tiles 2-3
+    winners = [
+        7, 7 + 128,              # tile 0, bucket 7 (2 in one tile bucket)
+        512 + 7, 512 + 7 + 128,  # tile 1, bucket 7 (4 in global bucket 7)
+        1024 + 1, 1024 + 2, 1024 + 3,
+        1536 + 4, 1536 + 5, 1536 + 6,
+    ]
+    for rank, idx in enumerate(winners):
+        coefs[idx] = 10.0 - rank  # distinct, descending
+    c = np.outer(coefs, u)
+    q = u[None, :]
+    s, i = matmul_topk(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(c, jnp.bfloat16), k,
+        tile_n=tile_n,
+    )
+    np.testing.assert_array_equal(np.asarray(i)[0], np.asarray(winners))
+    np.testing.assert_allclose(
+        np.asarray(s)[0], [10.0 - r for r in range(k)], rtol=1e-2
+    )
+
+
+def test_bucket_collision_beyond_guarantee_recall_bounded(rng):
+    """5+ of the top-k in ONE global lane bucket exceeds the fast-mode
+    guarantee: the top-4 of that bucket must still be returned (graceful
+    recall), and mode="exact" must be fully exact on the same corpus."""
+    n, d, k, tile_n = 4 * 512, 32, 10, 512
+    u = np.zeros((d,), np.float32)
+    u[0] = 1.0
+    coefs = np.linspace(0.1, 0.2, n).astype(np.float32)
+    # 6 winners all in global bucket 3, one per tile-slice (no per-tile
+    # violation: one per (tile, slice) pair)
+    bucket3 = [3, 512 + 3, 1024 + 3, 1536 + 3, 3 + 128, 512 + 3 + 128]
+    others = [256 + 10, 256 + 11, 768 + 12, 768 + 13]
+    winners = bucket3 + others
+    for rank, idx in enumerate(winners):
+        coefs[idx] = 10.0 - rank
+    c = np.outer(coefs, u)
+    q = u[None, :]
+    s, i = matmul_topk(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(c, jnp.bfloat16), k,
+        tile_n=tile_n,
+    )
+    got = set(np.asarray(i)[0].tolist())
+    # graceful degradation: the 4 best of bucket 3 plus every
+    # non-colliding winner are present
+    assert set(bucket3[:4]) <= got
+    assert set(others) <= got
+    # exact mode has no bucket structure: fully exact
+    _, ie = matmul_topk(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(c, jnp.bfloat16), k,
+        tile_n=tile_n, mode="exact",
+    )
+    np.testing.assert_array_equal(np.asarray(ie)[0], np.asarray(winners))

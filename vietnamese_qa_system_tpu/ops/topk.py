@@ -17,23 +17,29 @@ Per tile:
    score block is viewed as ``tile_n/128`` aligned 128-lane slices.  An
    elementwise scan keeps the per-lane-bucket two largest scores and their
    slice ids — pure (8,128)-register VPU ops, no cross-lane reductions.
-3. A k-round extraction over the concatenated ``[running best (B,128) |
-   bucket maxima (B,128)]`` picks the batch top-k, restoring a winning
-   bucket with its second maximum.  The running best lives in VMEM scratch,
-   which persists across grid steps (TPU grids run sequentially per core).
-   Scores are never materialized to HBM.
+3. The tile's per-bucket top-2 is sorted-inserted into a running
+   per-bucket TOP-4 list (8 VMEM scratch registers of (B, 128); ~45
+   elementwise ops — see ``_merge_top2_into_top4``).  VMEM scratch
+   persists across grid steps (TPU grids run sequentially per core), and
+   scores are never materialized to HBM.
+4. ONE k-round extraction over the concatenated (B, 512) bucket lists
+   runs in the last grid step (``_final_extract``).  Deferring extraction
+   out of the per-tile loop is what moves the int8 path from
+   selection-bound to DMA-bound: the old per-tile extraction cost ~5M VPU
+   ops/tile, an order of magnitude more than the merge.
 
 Tie-breaking matches ``jax.lax.top_k``: equal scores resolve to the lowest
 global index (ties are broken on the true index, not the lane).
 
-Exactness: ``mode="fast"`` is exact unless **three or more** of the running
-top-k fall into the same 128-stride lane bucket within a single corpus tile
-(probability ~1e-10 per query for random corpora at 1M scale; only
-adversarially constructed corpora — e.g. >=3 identical passages placed
-exactly 128*j columns apart inside one tile — can trigger it, and then the
-result still has recall parity since such passages are duplicates).
-``mode="exact"`` runs a fully exact (but ~10x slower) k-round selection over
-the whole tile and is used as the in-repo oracle.
+Exactness: ``mode="fast"`` is exact unless **three or more** of the true
+top-k fall into the same 128-stride lane bucket within a single corpus
+tile, or **five or more** fall into the same lane bucket (global index mod
+128) across the whole corpus (probabilities ~1e-10 and ~1e-6 per query for
+random corpora at 1M scale; only adversarially constructed corpora — e.g.
+near-identical passages placed exactly 128*j columns apart — can trigger
+either, and then the result still has recall parity since such passages
+are duplicates).  ``mode="exact"`` runs a fully exact (but ~10x slower)
+k-round selection over the whole tile and is used as the in-repo oracle.
 """
 
 from __future__ import annotations
@@ -99,19 +105,67 @@ def _scan_buckets(scores, n_slices: int, base: int, lane, slice_prep=None):
     return m1, g1, m2, g2
 
 
-def _extract_rounds(best_v, best_i, m1, g1, m2, g2, k: int, col):
-    """k rounds of (max, locate-by-global-index, restore-second).
+def _merge_top2_into_top4(m1, g1, m2, g2, bv, bi):
+    """Sorted insert of a tile's per-bucket top-2 (m1 >= m2) into the
+    running per-bucket top-4 lists ``bv``/``bi`` (descending (B, 128) x 4).
 
-    best_v/best_i: running (B, 128) top list (lanes >= k are -inf / -1).
-    Returns new (B, 128) best_v/best_i with the top-k in lanes [0, k).
+    Pure elementwise compare/select on (B, 128) registers — this replaces
+    the per-tile k-round extraction (the dominant VPU cost at ~5M ops per
+    tile) with ~45 ops; the single k-round extraction now happens once, in
+    the last grid step (:func:`_final_extract`).
+
+    Strict ``>`` keeps the incumbent on ties: incumbents come from earlier
+    tiles, hence carry the lower global index (lax.top_k tie order).
     """
-    neg = _neg(best_v.dtype)
-    cand_v = jnp.concatenate([best_v, m1], axis=1)  # (B, 256)
-    cand_i = jnp.concatenate([best_i, g1], axis=1)
-    sec_v = jnp.concatenate([jnp.full_like(best_v, neg), m2], axis=1)
-    sec_i = jnp.concatenate([jnp.full_like(best_i, -1), g2], axis=1)
-    acc_v = jnp.full_like(best_v, neg)
-    acc_i = jnp.full_like(best_i, -1)
+    b1, b2, b3, b4 = bv
+    i1, i2, i3, i4 = bi
+    c1 = m1 > b1
+    c2 = m1 > b2
+    c3 = m1 > b3
+    c4 = m1 > b4
+    d2 = m2 > b1
+    d3 = m2 > b2
+    d4 = m2 > b3
+
+    def sel(c, a, b):
+        return jnp.where(c, a, b)
+
+    nb1 = sel(c1, m1, b1)
+    ni1 = sel(c1, g1, i1)
+    nb2 = sel(c1, sel(d2, m2, b1), sel(c2, m1, b2))
+    ni2 = sel(c1, sel(d2, g2, i1), sel(c2, g1, i2))
+    nb3 = sel(
+        c1, sel(d2, b1, sel(d3, m2, b2)), sel(c2, sel(d3, m2, b2), sel(c3, m1, b3))
+    )
+    ni3 = sel(
+        c1, sel(d2, i1, sel(d3, g2, i2)), sel(c2, sel(d3, g2, i2), sel(c3, g1, i3))
+    )
+    # remaining pool after [.., b1|m1, ..] placements (cases c1&!d2 / !c1&c2)
+    inner_v = sel(d3, b2, sel(d4, m2, b3))
+    inner_i = sel(d3, i2, sel(d4, g2, i3))
+    nb4 = sel(
+        c1,
+        sel(d2, b2, inner_v),
+        sel(c2, inner_v, sel(c3, sel(d4, m2, b3), sel(c4, m1, b4))),
+    )
+    ni4 = sel(
+        c1,
+        sel(d2, i2, inner_i),
+        sel(c2, inner_i, sel(c3, sel(d4, g2, i3), sel(c4, g1, i4))),
+    )
+    return (nb1, nb2, nb3, nb4), (ni1, ni2, ni3, ni4)
+
+
+def _final_extract(bv, bi, k: int, col):
+    """k rounds of (max, locate-by-lowest-global-index, mask) over the
+    concatenated (B, 512) bucket lists.  Runs ONCE, in the last grid step;
+    every bucket value is an explicit column, so no second-max restore is
+    needed.  Returns (B, 128) acc_v/acc_i with the top-k in lanes [0, k)."""
+    cand_v = jnp.concatenate(bv, axis=1)  # (B, 4*128)
+    cand_i = jnp.concatenate(bi, axis=1)
+    neg = _neg(cand_v.dtype)
+    acc_v = jnp.full(bv[0].shape, neg, cand_v.dtype)
+    acc_i = jnp.full(bi[0].shape, -1, cand_i.dtype)
     for r in range(k):
         m = jnp.max(cand_v, axis=1, keepdims=True)  # (B, 1)
         hit = cand_v == m
@@ -121,16 +175,14 @@ def _extract_rounds(best_v, best_i, m1, g1, m2, g2, k: int, col):
         chosen = hit & (cand_i == pos)
         acc_v = jnp.where(col == r, m, acc_v)
         acc_i = jnp.where(col == r, pos, acc_i)
-        cand_v = jnp.where(chosen, sec_v, cand_v)
-        cand_i = jnp.where(chosen, sec_i, cand_i)
-        sec_v = jnp.where(chosen, neg, sec_v)
+        cand_v = jnp.where(chosen, neg, cand_v)
     return acc_v, acc_i
 
 
 def _merge_tile(
-    scores, t, best_v_ref, best_i_ref, *, k, tile_n, valid_n, slice_prep=None
+    scores, t, bv_refs, bi_refs, *, k, tile_n, valid_n, slice_prep=None
 ):
-    """Shared per-tile body: mask padding, bucket-scan, k-round extraction.
+    """Shared per-tile body: mask padding, bucket-scan, top-4 bucket merge.
 
     ``valid_n`` may be a python int or a traced scalar (SMEM-prefetched), so
     the store size can change without recompiling the kernel.  Fully valid
@@ -144,11 +196,15 @@ def _merge_tile(
 
     def merge(scores_in):
         m1, g1, m2, g2 = _scan_buckets(scores_in, n_slices, base, lane, slice_prep)
-        new_v, new_i = _extract_rounds(
-            best_v_ref[:], best_i_ref[:], m1, g1, m2, g2, k, lane
+        bv, bi = _merge_top2_into_top4(
+            m1, g1, m2, g2,
+            tuple(r[:] for r in bv_refs),
+            tuple(r[:] for r in bi_refs),
         )
-        best_v_ref[:] = new_v
-        best_i_ref[:] = new_i
+        for r, v in zip(bv_refs, bv):
+            r[:] = v
+        for r, v in zip(bi_refs, bi):
+            r[:] = v
 
     if tile_n > 2048:
         # the duplicated dual-path body blows VMEM at large tiles (Mosaic
@@ -169,36 +225,42 @@ def _merge_tile(
         merge(jnp.where(col_tile + base < valid_n, scores, _neg(scores.dtype)))
 
 
-def _init_best(t, best_v_ref, best_i_ref):
+def _init_best(t, bv_refs, bi_refs):
     @pl.when(t == 0)
     def _():
-        best_v_ref[:] = jnp.full(
-            best_v_ref.shape, _neg(best_v_ref.dtype), best_v_ref.dtype
-        )
-        best_i_ref[:] = jnp.full(best_i_ref.shape, -1, best_i_ref.dtype)
+        for r in bv_refs:
+            r[:] = jnp.full(r.shape, _neg(r.dtype), r.dtype)
+        for r in bi_refs:
+            r[:] = jnp.full(r.shape, -1, r.dtype)
 
 
-def _emit(t, out_s_ref, out_i_ref, best_v_ref, best_i_ref):
+def _emit(t, out_s_ref, out_i_ref, bv_refs, bi_refs, k):
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        out_s_ref[:] = best_v_ref[:]
-        out_i_ref[:] = best_i_ref[:]
+        b = out_s_ref.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+        acc_v, acc_i = _final_extract(
+            tuple(r[:] for r in bv_refs), tuple(r[:] for r in bi_refs), k, col
+        )
+        out_s_ref[:] = acc_v
+        out_i_ref[:] = acc_i
 
 
 def _fast_kernel_bf16(
-    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, best_v, best_i, *, k, tile_n
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, *scratch, k, tile_n
 ):
     t = pl.program_id(0)
     valid_n = valid_ref[0, 0]
-    _init_best(t, best_v, best_i)
+    bv, bi = scratch[:4], scratch[4:]
+    _init_best(t, bv, bi)
     scores = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    _merge_tile(scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n)
-    _emit(t, out_s_ref, out_i_ref, best_v, best_i)
+    _merge_tile(scores, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n)
+    _emit(t, out_s_ref, out_i_ref, bv, bi, k)
 
 
 def _fast_kernel_int8(
@@ -208,9 +270,7 @@ def _fast_kernel_int8(
     valid_ref,
     out_s_ref,
     out_i_ref,
-    best_v,
-    best_i,
-    *,
+    *scratch,
     k,
     tile_n,
 ):
@@ -223,7 +283,8 @@ def _fast_kernel_int8(
     (BASELINE config 3)."""
     t = pl.program_id(0)
     valid_n = valid_ref[0, 0]
-    _init_best(t, best_v, best_i)
+    bv, bi = scratch[:4], scratch[4:]
+    _init_best(t, bv, bi)
     acc = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
@@ -236,21 +297,22 @@ def _fast_kernel_int8(
         return v.astype(jnp.float32) * sc
 
     _merge_tile(
-        acc, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n,
+        acc, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n,
         slice_prep=prep,
     )
-    _emit(t, out_s_ref, out_i_ref, best_v, best_i)
+    _emit(t, out_s_ref, out_i_ref, bv, bi, k)
 
 
 def _fast_kernel_int8_global(
-    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, best_v, best_i, *, k, tile_n
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, *scratch, k, tile_n
 ):
     """Global-scale int8: RAW int32 dot products are order-preserving when
     one scalar scale covers the corpus and query scales are per-row, so all
     scaling is deferred outside the kernel (see quantize_int8_global)."""
     t = pl.program_id(0)
     valid_n = valid_ref[0, 0]
-    _init_best(t, best_v, best_i)
+    bv, bi = scratch[:4], scratch[4:]
+    _init_best(t, bv, bi)
     scores = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
@@ -261,10 +323,10 @@ def _fast_kernel_int8_global(
     # the VPU than int32, and a full-width cast pass is what made the
     # naive version slow)
     _merge_tile(
-        scores, t, best_v, best_i, k=k, tile_n=tile_n, valid_n=valid_n,
+        scores, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n,
         slice_prep=lambda v, c: v.astype(jnp.float32),
     )
-    _emit(t, out_s_ref, out_i_ref, best_v, best_i)
+    _emit(t, out_s_ref, out_i_ref, bv, bi, k)
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +397,13 @@ def _exact_kernel_bf16(
 # ---------------------------------------------------------------------------
 
 
+def _fast_scratch(b):
+    """4 per-bucket value buffers + 4 index buffers (see _merge_top2_into_top4)."""
+    return [pltpu.VMEM((b, LANES), jnp.float32) for _ in range(4)] + [
+        pltpu.VMEM((b, LANES), jnp.int32) for _ in range(4)
+    ]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "tile_n", "interpret", "mode")
 )
@@ -346,10 +415,7 @@ def _matmul_topk_bf16(queries, corpus, valid_n, *, k, tile_n, interpret, mode):
     if mode == "fast":
         kernel = functools.partial(_fast_kernel_bf16, k=k, tile_n=tile_n)
         out_k = LANES
-        scratch = [
-            pltpu.VMEM((b, LANES), jnp.float32),
-            pltpu.VMEM((b, LANES), jnp.int32),
-        ]
+        scratch = _fast_scratch(b)
     else:
         kernel = functools.partial(_exact_kernel_bf16, k=k, tile_n=tile_n)
         out_k = k
@@ -412,10 +478,7 @@ def _matmul_topk_int8(
             jax.ShapeDtypeStruct((b, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, LANES), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((b, LANES), jnp.float32),
-            pltpu.VMEM((b, LANES), jnp.int32),
-        ],
+        scratch_shapes=_fast_scratch(b),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n,
             bytes_accessed=n * d + b * d + 4 * (n + b),
@@ -453,10 +516,7 @@ def _matmul_topk_int8_global(
             jax.ShapeDtypeStruct((b, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, LANES), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((b, LANES), jnp.float32),
-            pltpu.VMEM((b, LANES), jnp.int32),
-        ],
+        scratch_shapes=_fast_scratch(b),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n,
             bytes_accessed=n * d + b * d,
