@@ -479,3 +479,97 @@ def test_dual_retriever_true_encoder_pair(tmp_path, rng):
     out = dual.search([docs[2], docs[6]])
     assert out[0] is not None and out[0].id == 2
     assert out[1] is not None and out[1].id == 6
+
+
+def test_llama_logits_match_transformers():
+    """Llama family (RMSNorm + SwiGLU + GQA + bias-free projections +
+    full-dim RoPE): our converted pytree must reproduce HF logits,
+    including grouped-query attention (2 kv heads vs 4 q heads)."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_llama,
+        llama_config,
+    )
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=160,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    torch.manual_seed(7)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config(hf_cfg)
+    assert cfg.norm == "rmsnorm" and cfg.mlp_gated and cfg.n_kv_heads == 2
+    params = convert_llama(model.state_dict(), cfg)
+    assert "b" not in params["blocks"][0]["attn"]["wq"]
+    assert "wg" in params["blocks"][0]["mlp"]
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32)
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_llama_cached_decode_consistent():
+    """The GQA KV cache (stores only kv heads, repeats after the cache
+    write) must replay the uncached forward exactly through generate()."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_llama,
+        llama_config,
+    )
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(8)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config(hf_cfg)
+    params = convert_llama(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, hf_cfg.vocab_size, (1, 10)).astype(np.int32)
+    ours = np.asarray(
+        generate.generate(
+            params, cfg, jnp.asarray(ids), jnp.ones((1, 10), jnp.int32),
+            max_new_tokens=5, temperature=0.0,
+        )
+    )
+    cur = ids.copy()
+    for _ in range(5):
+        lg = causal_lm.forward(
+            params, cfg, jnp.asarray(cur), jnp.ones_like(jnp.asarray(cur))
+        )
+        cur = np.concatenate(
+            [cur, [[int(jnp.argmax(lg[0, -1]))]]], axis=1
+        ).astype(np.int32)
+    np.testing.assert_array_equal(ours[0], cur[0])
+
+    # first greedy token also agrees with HF
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids.astype(np.int64)), max_new_tokens=1,
+            do_sample=False,
+        ).numpy()
+    assert ours[0, 10] == hf_out[0, 10]

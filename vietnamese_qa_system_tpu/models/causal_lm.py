@@ -25,6 +25,7 @@ from .layers import (
     init_block,
     init_dense,
     init_layernorm,
+    init_rmsnorm,
     layernorm,
     rope_frequencies,
 )
@@ -37,10 +38,17 @@ def init_causal_lm(key, cfg: ModelConfig):
     params = {
         "tok_embed": jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_model)) * 0.02,
         "blocks": [
-            init_block(ks[1 + i], cfg.d_model, cfg.n_heads, cfg.d_ff)
+            init_block(
+                ks[1 + i], cfg.d_model, cfg.n_heads, cfg.d_ff,
+                norm=cfg.norm, gated_mlp=cfg.mlp_gated,
+                n_kv_heads=cfg.n_kv_heads, use_bias=cfg.attention_bias,
+            )
             for i in range(cfg.n_layers)
         ],
-        "ln_f": init_layernorm(cfg.d_model),
+        "ln_f": (
+            init_rmsnorm(cfg.d_model) if cfg.norm == "rmsnorm"
+            else init_layernorm(cfg.d_model)
+        ),
     }
     if cfg.positional == "learned":
         # GPT-Neo / GPT-2 family: learned absolute position table (wpe)
@@ -132,6 +140,7 @@ def forward(
                 flash=None if local else flash,
                 parallel_residual=cfg.parallel_residual,
                 scale=cfg.attention_scale, activation=cfg.activation,
+                n_kv_heads=cfg.n_kv_heads,
             )
     else:
         # decode step: keys live in the cache; mask is (B, T, cache_len)
@@ -152,6 +161,7 @@ def forward(
                 cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
                 parallel_residual=cfg.parallel_residual,
                 scale=cfg.attention_scale, activation=cfg.activation,
+                n_kv_heads=cfg.n_kv_heads,
             )
             new_caches.append(nc)
 

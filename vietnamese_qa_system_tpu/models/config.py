@@ -47,7 +47,7 @@ class ModelConfig:
     parallel_residual: bool = False
     # fraction of head_dim that RoPE rotates (NeoX rotary_pct, e.g. 0.25)
     rope_pct: float = 1.0
-    norm: str = "layernorm"  # reserved for future rmsnorm variants
+    norm: str = "layernorm"  # "layernorm" | "rmsnorm" (llama family)
     # encoder-family knobs for faithful BERT import (MiniLM-class
     # sentence-transformers weights, models/convert_hf.py):
     norm_position: str = "pre"  # "pre" | "post" (BERT is post-LN)
@@ -72,6 +72,16 @@ class ModelConfig:
     attention_layers: tuple | None = None
     attention_window: int = 256
     activation: str = "gelu"  # "gelu" (erf, HF default) | "gelu_new" (tanh)
+    # Llama-family knobs (beyond the reference's model zoo, included so the
+    # causal stack covers the modern open-weights family): RMSNorm blocks,
+    # SwiGLU gated MLPs, grouped-query attention, bias-free projections.
+    n_kv_heads: int | None = None  # None = multi-head (no GQA)
+    mlp_gated: bool = False
+    attention_bias: bool = True
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
 
     @property
     def head_dim(self) -> int:

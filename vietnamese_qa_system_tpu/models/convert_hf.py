@@ -416,12 +416,99 @@ def load_gpt2(model_dir: str):
     return params, cfg
 
 
+def llama_config(hf_cfg) -> ModelConfig:
+    """transformers LlamaConfig (also covers Mistral-style configs) ->
+    ModelConfig: RMSNorm, SwiGLU, GQA, full-dim RoPE, bias-free
+    projections."""
+    n_heads = hf_cfg.num_attention_heads
+    n_kv = int(getattr(hf_cfg, "num_key_value_heads", n_heads))
+    return ModelConfig(
+        arch="causal",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.hidden_size,
+        n_heads=n_heads,
+        n_layers=hf_cfg.num_hidden_layers,
+        d_ff=hf_cfg.intermediate_size,
+        max_seq_len=hf_cfg.max_position_embeddings,
+        rope_theta=float(getattr(hf_cfg, "rope_theta", 10000.0)),
+        norm="rmsnorm",
+        norm_eps=float(getattr(hf_cfg, "rms_norm_eps", 1e-6)),
+        tie_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", False)),
+        n_kv_heads=None if n_kv == n_heads else n_kv,
+        mlp_gated=True,
+        attention_bias=bool(getattr(hf_cfg, "attention_bias", False)),
+    )
+
+
+def convert_llama(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """HF Llama state dict -> this framework's causal-LM pytree.
+
+    HF llama RoPE uses the same half-split rotate convention as
+    ``apply_rope`` (models/layers.py), so q/k import untouched."""
+
+    def pick(name):
+        for key in (name, "model." + name):
+            if key in state_dict:
+                return _t(state_dict[key])
+        raise KeyError(f"missing weight {name!r} in state dict")
+
+    def lin(name):
+        p = {"w": pick(name + ".weight").T.copy()}
+        bias_key = name + ".bias"
+        if bias_key in state_dict or "model." + bias_key in state_dict:
+            p["b"] = pick(bias_key)
+        return p
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}."
+        blocks.append(
+            {
+                "ln1": {"scale": pick(pre + "input_layernorm.weight")},
+                "attn": {
+                    "wq": lin(pre + "self_attn.q_proj"),
+                    "wk": lin(pre + "self_attn.k_proj"),
+                    "wv": lin(pre + "self_attn.v_proj"),
+                    "wo": lin(pre + "self_attn.o_proj"),
+                },
+                "ln2": {"scale": pick(pre + "post_attention_layernorm.weight")},
+                "mlp": {
+                    "wg": lin(pre + "mlp.gate_proj"),
+                    "wi": lin(pre + "mlp.up_proj"),
+                    "wo": lin(pre + "mlp.down_proj"),
+                },
+            }
+        )
+    params = {
+        "tok_embed": pick("embed_tokens.weight"),
+        "blocks": blocks,
+        "ln_f": {"scale": pick("norm.weight")},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"w": pick("lm_head.weight").T.copy()}
+    return params
+
+
+def load_llama(model_dir: str):
+    """Local transformers Llama directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = llama_config(hf_cfg)
+    params = convert_llama(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
 def load_causal_auto(model_dir: str):
     """Local transformers causal-LM directory -> (params, ModelConfig),
     dispatching on config model_type — the capability of the reference's
     `AutoModelForCausalLM.from_pretrained` over its model zoo
     (gpt-neo-125m in scripts/train.sh, pythia in scripts/train_test.sh,
-    the gpt2 special case at trainer.py:529)."""
+    the gpt2 special case at trainer.py:529), plus the llama family."""
     from transformers import AutoConfig
 
     model_type = getattr(AutoConfig.from_pretrained(model_dir), "model_type", "")
@@ -429,6 +516,8 @@ def load_causal_auto(model_dir: str):
         return load_gpt_neo(model_dir)
     if model_type == "gpt2":
         return load_gpt2(model_dir)
+    if model_type in ("llama", "mistral"):
+        return load_llama(model_dir)
     return load_gpt_neox(model_dir)
 
 

@@ -125,7 +125,8 @@ def _sample_logits(logits, key, *, temperature, top_k, top_p):
 
 
 def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
-    shape = (b, total_len, cfg.n_heads, cfg.head_dim)
+    # GQA (llama family): the cache stores only the kv heads
+    shape = (b, total_len, cfg.kv_heads, cfg.head_dim)
     return [
         {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
         for _ in range(n_layers)

@@ -79,9 +79,19 @@ def init_layernorm(d: int):
 
 def layernorm(p, x, eps: float = 1e-6):
     x = x.astype(jnp.float32)
+    if "bias" not in p:
+        # RMSNorm (llama family): no mean subtraction, no bias — the param
+        # dict's shape selects the norm, keeping checkpoints self-describing
+        return x * jax.lax.rsqrt(
+            jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps
+        ) * p["scale"]
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def init_rmsnorm(d: int):
+    return {"scale": jnp.ones((d,), jnp.float32)}
 
 
 # -----------------------------------------------------------------------------
@@ -121,13 +131,15 @@ def apply_rope(x, cos, sin, positions):
 # -----------------------------------------------------------------------------
 
 
-def init_attention(key, d_model: int, n_heads: int):
+def init_attention(key, d_model: int, n_heads: int, *, n_kv_heads=None,
+                   use_bias: bool = True):
     ks = jax.random.split(key, 4)
+    kv_dim = d_model if n_kv_heads is None else d_model // n_heads * n_kv_heads
     return {
-        "wq": init_dense(ks[0], d_model, d_model),
-        "wk": init_dense(ks[1], d_model, d_model),
-        "wv": init_dense(ks[2], d_model, d_model),
-        "wo": init_dense(ks[3], d_model, d_model),
+        "wq": init_dense(ks[0], d_model, d_model, use_bias=use_bias),
+        "wk": init_dense(ks[1], d_model, kv_dim, use_bias=use_bias),
+        "wv": init_dense(ks[2], d_model, kv_dim, use_bias=use_bias),
+        "wo": init_dense(ks[3], d_model, d_model, use_bias=use_bias),
     }
 
 
@@ -150,6 +162,7 @@ def attention(
     flash=None,
     bias=None,
     scale=None,
+    n_kv_heads=None,
 ):
     """Multi-head attention.
 
@@ -164,11 +177,15 @@ def attention(
       relative position bias), applied after the 1/sqrt(d) scaling.
     - ``scale``: score multiplier; None = 1/sqrt(head_dim).  GPT-Neo
       attends unscaled (scale=1.0).
+    - ``n_kv_heads``: grouped-query attention (llama family) — k/v carry
+      fewer heads; query head h reads kv head h // (n_heads // n_kv_heads).
+      The KV cache stores the UNREPEATED heads (memory win is the point).
     """
     kv_in = x if kv_x is None else kv_x
+    kv_h = n_heads if n_kv_heads is None else n_kv_heads
     q = _split_heads(dense(p["wq"], x), n_heads)
-    k = _split_heads(dense(p["wk"], kv_in), n_heads)
-    v = _split_heads(dense(p["wv"], kv_in), n_heads)
+    k = _split_heads(dense(p["wk"], kv_in), kv_h)
+    v = _split_heads(dense(p["wv"], kv_in), kv_h)
 
     if rope is not None:
         cos, sin = rope
@@ -185,6 +202,13 @@ def attention(
             cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
         )
         new_cache = {"k": k, "v": v}
+
+    if kv_h != n_heads:
+        # repeat AFTER the cache write: query head h -> kv head h // rep
+        # (matches HF repeat_kv interleaving)
+        rep = n_heads // kv_h
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
 
     if flash is not None and cache is None and kv_x is None:
         # fused Pallas path (ops/attention.py); mask semantics are
@@ -235,12 +259,22 @@ def attention(
 # -----------------------------------------------------------------------------
 
 
-def init_mlp(key, d_model: int, d_ff: int):
-    k1, k2 = jax.random.split(key)
-    return {"wi": init_dense(k1, d_model, d_ff), "wo": init_dense(k2, d_ff, d_model)}
+def init_mlp(key, d_model: int, d_ff: int, *, gated: bool = False,
+             use_bias: bool = True):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "wi": init_dense(k1, d_model, d_ff, use_bias=use_bias),
+        "wo": init_dense(k2, d_ff, d_model, use_bias=use_bias),
+    }
+    if gated:
+        p["wg"] = init_dense(k3, d_model, d_ff, use_bias=use_bias)
+    return p
 
 
 def mlp(p, x, activation: str = "gelu"):
+    if "wg" in p:
+        # SwiGLU (llama family): silu(x @ Wg) * (x @ Wi) @ Wo
+        return dense(p["wo"], jax.nn.silu(dense(p["wg"], x)) * dense(p["wi"], x))
     # "gelu" = exact (erf), HF's default; "gelu_new" = tanh approximation
     # (GPT-Neo / GPT-2 families)
     h = jax.nn.gelu(dense(p["wi"], x), approximate=(activation == "gelu_new"))
@@ -252,16 +286,23 @@ def mlp(p, x, activation: str = "gelu"):
 # -----------------------------------------------------------------------------
 
 
-def init_block(key, d_model: int, n_heads: int, d_ff: int, *, cross: bool = False):
+def init_block(key, d_model: int, n_heads: int, d_ff: int, *,
+               cross: bool = False, norm: str = "layernorm",
+               gated_mlp: bool = False, n_kv_heads=None,
+               use_bias: bool = True):
     ks = jax.random.split(key, 5)
+    init_norm = init_rmsnorm if norm == "rmsnorm" else init_layernorm
     p = {
-        "ln1": init_layernorm(d_model),
-        "attn": init_attention(ks[0], d_model, n_heads),
-        "ln2": init_layernorm(d_model),
-        "mlp": init_mlp(ks[1], d_model, d_ff),
+        "ln1": init_norm(d_model),
+        "attn": init_attention(
+            ks[0], d_model, n_heads, n_kv_heads=n_kv_heads, use_bias=use_bias
+        ),
+        "ln2": init_norm(d_model),
+        "mlp": init_mlp(ks[1], d_model, d_ff, gated=gated_mlp,
+                        use_bias=use_bias),
     }
     if cross:
-        p["ln_cross"] = init_layernorm(d_model)
+        p["ln_cross"] = init_norm(d_model)
         p["cross_attn"] = init_attention(ks[2], d_model, n_heads)
     return p
 
@@ -285,6 +326,7 @@ def block(
     bias=None,
     scale=None,
     activation: str = "gelu",
+    n_kv_heads=None,
 ):
     if norm_position == "post":
         # BERT layout: LN after each residual add (ln1 = attention-output
@@ -310,6 +352,7 @@ def block(
         flash=flash,
         bias=bias,
         scale=scale,
+        n_kv_heads=n_kv_heads,
     )
     if parallel_residual:
         # GPT-NeoX style: x + attn(ln1(x)) + mlp(ln2(x))
