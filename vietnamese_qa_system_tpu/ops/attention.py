@@ -431,8 +431,14 @@ def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
-_BLKQ = 256
-_BLKK = 256
+# Block-size sweep on v5e at D=64 (T=2048 causal fwd, best-of-rounds):
+# 256x256 5.63 ms, 512x512 3.22, 512x1024 2.75-2.94, 1024x1024 2.57 (2.2x),
+# 1024x2048 / 2048x1024 regress.  The kernel is VPU-softmax-bound; bigger
+# blocks amortize per-block reductions and pipeline overhead until
+# diagonal-block masking waste wins.  exp2-based softmax measured neutral
+# (Mosaic already lowers exp well).  Details in docs/BENCHMARKS.md.
+_BLKQ = 1024
+_BLKK = 1024
 
 
 def flash_attention(
