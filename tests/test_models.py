@@ -382,3 +382,34 @@ def test_generate_no_repeat_ngram(causal_setup):
         bgs = [(row[i], row[i+1]) for i in range(len(row)-1)]
         return len(bgs) != len(set(bgs))
     assert any(has_repeat(base[r].tolist()) for r in range(2))
+
+
+def test_llama_tp_sharding_rules():
+    """TP rules must column-shard the SwiGLU gate (wg) like wi, shard GQA
+    kv projections only when divisible, and replicate RMSNorm scales."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    import numpy as np
+
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+    from vietnamese_qa_system_tpu.models.causal_lm import init_causal_lm
+    from vietnamese_qa_system_tpu.parallel.sharding import param_sharding
+
+    cfg = ModelConfig(
+        arch="causal", vocab_size=256, d_model=64, n_heads=8, n_layers=1,
+        d_ff=128, max_seq_len=64, norm="rmsnorm", mlp_gated=True,
+        n_kv_heads=2, attention_bias=False, tie_embeddings=False,
+    )
+    params = init_causal_lm(jax.random.key(0), cfg)
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    sh = param_sharding(params, mesh, "tp")
+    blk = sh["blocks"][0]
+    assert blk["mlp"]["wg"]["w"].spec == P(None, "model")
+    assert blk["mlp"]["wi"]["w"].spec == P(None, "model")
+    assert blk["mlp"]["wo"]["w"].spec == P("model", None)
+    assert blk["attn"]["wq"]["w"].spec == P(None, "model")
+    # kv_dim = 2 heads * 8 = 16: divisible by 4 -> sharded
+    assert blk["attn"]["wk"]["w"].spec == P(None, "model")
+    # RMSNorm scale replicated
+    assert blk["ln1"]["scale"].spec == P(None)

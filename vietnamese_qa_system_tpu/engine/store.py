@@ -57,12 +57,17 @@ class VectorStore:
         *,
         mesh: Optional[Mesh] = None,
         dtype: str = "bf16",
-        tile_n: int = 2048,
+        tile_n: int | None = None,
     ):
         if dtype not in ("bf16", "int8", "int8_global"):
             raise ValueError(
                 f"dtype must be bf16, int8 or int8_global, got {dtype!r}"
             )
+        if tile_n is None:
+            # int8 scans are selection-bound: 4096-row tiles halve the
+            # per-tile merge cost and measured ~12-20% faster than 2048
+            # (docs/BENCHMARKS.md); bf16 is DMA-bound and indifferent
+            tile_n = 4096 if dtype.startswith("int8") else 2048
         self.mesh = (
             mesh
             if mesh is not None

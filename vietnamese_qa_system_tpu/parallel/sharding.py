@@ -61,8 +61,10 @@ TP_RULES = ShardingRules(
         (r".*/(attn|cross_attn)/w[qkv]/(w|w_q|w_s)$", (None, MODEL_AXIS)),
         (r".*/(attn|cross_attn)/w[qkv]/b$", (MODEL_AXIS,)),
         (r".*/(attn|cross_attn)/wo/(w|w_q|w_s)$", (MODEL_AXIS, None)),
-        (r".*/mlp/wi/(w|w_q|w_s)$", (None, MODEL_AXIS)),
-        (r".*/mlp/wi/b$", (MODEL_AXIS,)),
+        # wi covers the plain MLP in-projection; wg is the SwiGLU gate
+        # (llama family) — both are column-parallel with wo row-parallel
+        (r".*/mlp/(wi|wg)/(w|w_q|w_s)$", (None, MODEL_AXIS)),
+        (r".*/mlp/(wi|wg)/b$", (MODEL_AXIS,)),
         (r".*/mlp/wo/(w|w_q|w_s)$", (MODEL_AXIS, None)),
         (r".*tok_embed$", (MODEL_AXIS, None)),
         (r".*/lm_head/w$", (None, MODEL_AXIS)),
