@@ -219,3 +219,47 @@ def test_bucket_collision_beyond_guarantee_recall_bounded(rng):
         tile_n=tile_n, mode="exact",
     )
     np.testing.assert_array_equal(np.asarray(ie)[0], np.asarray(winners))
+
+
+@pytest.mark.parametrize("quant", ["bf16", "int8"])
+def test_turbo_mode_recall(rng, quant):
+    """mode="turbo" (top-1 scan + global top-4 buckets) holds high recall
+    on random corpora and returns sorted scores."""
+    b, n, d, k = 32, 8192, 128, 10
+    q, c = _make(rng, b, n, d)
+    if quant == "int8":
+        cq, cs = quantize_int8(c)
+        s, i = matmul_topk(q, cq, k, corpus_scales=cs, tile_n=512,
+                           mode="turbo")
+    else:
+        s, i = matmul_topk(q.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                           k, tile_n=512, mode="turbo")
+    _, i_ref = matmul_topk_reference(
+        q.astype(jnp.bfloat16), c.astype(jnp.bfloat16), k
+    )
+    i, i_ref = np.asarray(i), np.asarray(i_ref)
+    recall = np.mean([len(set(i[r]) & set(i_ref[r])) / k for r in range(b)])
+    assert recall >= 0.95, f"turbo recall@10 too low: {recall}"
+    s = np.asarray(s)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_turbo_tile_bucket_pair_collision_graceful(rng):
+    """Two top-k items in ONE (tile, lane) bucket: turbo keeps only the
+    bucket max (documented trade); fast keeps both."""
+    n, d, k, tile_n = 2 * 512, 16, 4, 512
+    u = np.zeros((d,), np.float32)
+    u[0] = 1.0
+    coefs = np.linspace(0.1, 0.2, n).astype(np.float32)
+    winners = [5, 5 + 128, 600, 700]  # first two share tile-0 bucket 5
+    for rank, idx in enumerate(winners):
+        coefs[idx] = 10.0 - rank
+    c = np.outer(coefs, u)
+    q = u[None, :]
+    args = (jnp.asarray(q, jnp.bfloat16), jnp.asarray(c, jnp.bfloat16), k)
+    _, i_fast = matmul_topk(*args, tile_n=tile_n, mode="fast")
+    np.testing.assert_array_equal(np.asarray(i_fast)[0], winners)
+    _, i_turbo = matmul_topk(*args, tile_n=tile_n, mode="turbo")
+    got = set(np.asarray(i_turbo)[0].tolist())
+    assert 5 in got and 600 in got and 700 in got  # bucket max + the rest
+    assert 5 + 128 not in got  # the documented turbo loss

@@ -55,6 +55,7 @@ class Retriever:
         query_batch: int = 256,
         lexical=None,
         hybrid_weight: float = 0.5,
+        mode: str = "fast",
     ):
         self.params = params
         self.cfg = cfg
@@ -65,6 +66,10 @@ class Retriever:
         self.query_batch = query_batch
         self.lexical = lexical
         self.hybrid_weight = hybrid_weight
+        # "fast" (default) or "turbo" kernel selection (ops/topk.py):
+        # turbo trades the exactness guarantee for ~recall 0.999 at higher
+        # throughput — a serving-level knob
+        self.mode = mode
 
     def embed_queries(self, texts: Sequence[str]) -> np.ndarray:
         bs = self.query_batch
@@ -91,7 +96,7 @@ class Retriever:
             n = len(block)
             if n < bs:
                 block = np.pad(block, ((0, bs - n), (0, 0)))
-            scores, ids = self.store.topk(block, k)
+            scores, ids = self.store.topk(block, k, mode=self.mode)
             scores = np.asarray(scores[:n])
             ids = np.asarray(ids[:n])
             for r in range(n):
@@ -127,7 +132,7 @@ class Retriever:
             n = len(block)
             if n < bs:
                 block = np.pad(block, ((0, bs - n), (0, 0)))
-            s, ids = self.store.topk(block, m)
+            s, ids = self.store.topk(block, m, mode=self.mode)
             dense_s[i : i + n] = np.asarray(s[:n])
             dense_i[i : i + n] = np.asarray(ids[:n])
         for r, query in enumerate(queries):

@@ -164,24 +164,26 @@ class VectorStore:
 
     # ---------------------------------------------------------------- query
 
-    def topk(self, queries, k: int = 10):
+    def topk(self, queries, k: int = 10, *, mode: str = "fast"):
         """(B, D) queries → (scores (B, k), global ids (B, k)).
 
         Requires ``size >= k``.  Cross-shard score ties resolve by shard
         order (not strictly by global id) — set-level results match the
-        brute-force oracle.
+        brute-force oracle.  ``mode="turbo"`` selects the lighter kernel
+        selection (recall ~0.999 — see ops/topk.py) for
+        throughput-critical serving.
         """
         if self.size < k:
             raise ValueError(f"store has {self.size} < k={k} vectors")
         b = queries.shape[0]
-        key = (b, k, self.global_scale)
+        key = (b, k, self.global_scale, mode)
         if key not in self._query_cache:
-            self._query_cache[key] = self._build_query_fn(k)
+            self._query_cache[key] = self._build_query_fn(k, mode)
         q = jnp.asarray(queries, jnp.float32)
         return self._query_cache[key](q, self.vectors, self.scales,
                                       jnp.int32(self.size))
 
-    def _build_query_fn(self, k: int):
+    def _build_query_fn(self, k: int, mode: str = "fast"):
         s_axis = SHARD_AXIS
         n_shards = self.n_shards
         tile_n = self.tile_n
@@ -200,7 +202,8 @@ class VectorStore:
             else:
                 sc = None
             scores, slots = matmul_topk(
-                q, v, k, corpus_scales=sc, valid_n=valid, tile_n=tile_n
+                q, v, k, corpus_scales=sc, valid_n=valid, tile_n=tile_n,
+                mode=mode,
             )
             gids = slots * n_shards + shard
             gids = jnp.where(slots >= 0, gids, -1)

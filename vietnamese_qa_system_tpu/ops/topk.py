@@ -105,6 +105,49 @@ def _scan_buckets(scores, n_slices: int, base: int, lane, slice_prep=None):
     return m1, g1, m2, g2
 
 
+def _scan_buckets_top1(scores, n_slices: int, base: int, lane, slice_prep=None):
+    """Turbo-mode scan: per-lane-bucket top-1 only (3 ops/slice vs 8 for
+    the top-2 scan).  Trades the per-tile guarantee: 2+ of the true top-k
+    in one (tile, lane) bucket lose all but the max (~0.07%/query at 1M,
+    k=10 on random corpora)."""
+    prep = slice_prep or (lambda v, c: v)
+    m1 = prep(scores[:, :LANES], 0)
+    i1 = jnp.zeros_like(lane)
+    for c in range(1, n_slices):
+        v = prep(scores[:, c * LANES : (c + 1) * LANES], c)
+        gt = v > m1
+        m1 = jnp.where(gt, v, m1)
+        i1 = jnp.where(gt, c, i1)
+    return m1, base + i1 * LANES + lane
+
+
+def _merge_top1_into_top4(m1, g1, bv, bi):
+    """Sorted insert of ONE element per lane into the running top-4.
+
+    The compare chain is monotone (b1 >= b2 >= b3 >= b4 so c1 => c2 => ...),
+    which collapses each slot to two selects.  Strict > keeps incumbents on
+    ties (earlier tile = lower global index)."""
+    b1, b2, b3, b4 = bv
+    i1, i2, i3, i4 = bi
+    c1 = m1 > b1
+    c2 = m1 > b2
+    c3 = m1 > b3
+    c4 = m1 > b4
+
+    def sel(c, a, b):
+        return jnp.where(c, a, b)
+
+    nb1 = sel(c1, m1, b1)
+    ni1 = sel(c1, g1, i1)
+    nb2 = sel(c1, b1, sel(c2, m1, b2))
+    ni2 = sel(c1, i1, sel(c2, g1, i2))
+    nb3 = sel(c2, b2, sel(c3, m1, b3))
+    ni3 = sel(c2, i2, sel(c3, g1, i3))
+    nb4 = sel(c3, b3, sel(c4, m1, b4))
+    ni4 = sel(c3, i3, sel(c4, g1, i4))
+    return (nb1, nb2, nb3, nb4), (ni1, ni2, ni3, ni4)
+
+
 def _merge_top2_into_top4(m1, g1, m2, g2, bv, bi):
     """Sorted insert of a tile's per-bucket top-2 (m1 >= m2) into the
     running per-bucket top-4 lists ``bv``/``bi`` (descending (B, 128) x 4).
@@ -180,9 +223,13 @@ def _final_extract(bv, bi, k: int, col):
 
 
 def _merge_tile(
-    scores, t, bv_refs, bi_refs, *, k, tile_n, valid_n, slice_prep=None
+    scores, t, bv_refs, bi_refs, *, k, tile_n, valid_n, slice_prep=None,
+    turbo: bool = False,
 ):
     """Shared per-tile body: mask padding, bucket-scan, top-4 bucket merge.
+
+    ``turbo`` selects the top-1 scan + single-insert merge (~2x less
+    selection work; recall ~0.999 instead of the fast-mode guarantee).
 
     ``valid_n`` may be a python int or a traced scalar (SMEM-prefetched), so
     the store size can change without recompiling the kernel.  Fully valid
@@ -195,12 +242,24 @@ def _merge_tile(
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
 
     def merge(scores_in):
-        m1, g1, m2, g2 = _scan_buckets(scores_in, n_slices, base, lane, slice_prep)
-        bv, bi = _merge_top2_into_top4(
-            m1, g1, m2, g2,
-            tuple(r[:] for r in bv_refs),
-            tuple(r[:] for r in bi_refs),
-        )
+        if turbo:
+            m1, g1 = _scan_buckets_top1(
+                scores_in, n_slices, base, lane, slice_prep
+            )
+            bv, bi = _merge_top1_into_top4(
+                m1, g1,
+                tuple(r[:] for r in bv_refs),
+                tuple(r[:] for r in bi_refs),
+            )
+        else:
+            m1, g1, m2, g2 = _scan_buckets(
+                scores_in, n_slices, base, lane, slice_prep
+            )
+            bv, bi = _merge_top2_into_top4(
+                m1, g1, m2, g2,
+                tuple(r[:] for r in bv_refs),
+                tuple(r[:] for r in bi_refs),
+            )
         for r, v in zip(bv_refs, bv):
             r[:] = v
         for r, v in zip(bi_refs, bi):
@@ -247,7 +306,8 @@ def _emit(t, out_s_ref, out_i_ref, bv_refs, bi_refs, k):
 
 
 def _fast_kernel_bf16(
-    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, *scratch, k, tile_n
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, *scratch, k, tile_n,
+    turbo=False
 ):
     t = pl.program_id(0)
     valid_n = valid_ref[0, 0]
@@ -259,7 +319,8 @@ def _fast_kernel_bf16(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    _merge_tile(scores, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n)
+    _merge_tile(scores, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n,
+                turbo=turbo)
     _emit(t, out_s_ref, out_i_ref, bv, bi, k)
 
 
@@ -273,6 +334,7 @@ def _fast_kernel_int8(
     *scratch,
     k,
     tile_n,
+    turbo=False,
 ):
     """int8×int8 MXU matmul with int32 accumulation; the per-column vector
     scale is folded into the per-slice bucket scan (a full-width broadcast
@@ -298,13 +360,14 @@ def _fast_kernel_int8(
 
     _merge_tile(
         acc, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n,
-        slice_prep=prep,
+        slice_prep=prep, turbo=turbo,
     )
     _emit(t, out_s_ref, out_i_ref, bv, bi, k)
 
 
 def _fast_kernel_int8_global(
-    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, *scratch, k, tile_n
+    q_ref, c_ref, valid_ref, out_s_ref, out_i_ref, *scratch, k, tile_n,
+    turbo=False,
 ):
     """Global-scale int8: RAW int32 dot products are order-preserving when
     one scalar scale covers the corpus and query scales are per-row, so all
@@ -324,7 +387,7 @@ def _fast_kernel_int8_global(
     # naive version slow)
     _merge_tile(
         scores, t, bv, bi, k=k, tile_n=tile_n, valid_n=valid_n,
-        slice_prep=lambda v, c: v.astype(jnp.float32),
+        slice_prep=lambda v, c: v.astype(jnp.float32), turbo=turbo,
     )
     _emit(t, out_s_ref, out_i_ref, bv, bi, k)
 
@@ -412,8 +475,10 @@ def _matmul_topk_bf16(queries, corpus, valid_n, *, k, tile_n, interpret, mode):
     n = corpus.shape[0]
     grid = (n // tile_n,)
     valid_arr = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
-    if mode == "fast":
-        kernel = functools.partial(_fast_kernel_bf16, k=k, tile_n=tile_n)
+    if mode in ("fast", "turbo"):
+        kernel = functools.partial(
+            _fast_kernel_bf16, k=k, tile_n=tile_n, turbo=(mode == "turbo")
+        )
         out_k = LANES
         scratch = _fast_scratch(b)
     else:
@@ -451,16 +516,18 @@ def _matmul_topk_bf16(queries, corpus, valid_n, *, k, tile_n, interpret, mode):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "mode")
 )
 def _matmul_topk_int8(
-    queries, corpus, cscales, valid_n, *, k, tile_n, interpret
+    queries, corpus, cscales, valid_n, *, k, tile_n, interpret, mode="fast"
 ):
     b, d = queries.shape
     n = corpus.shape[0]
     grid = (n // tile_n,)
     valid_arr = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
-    kernel = functools.partial(_fast_kernel_int8, k=k, tile_n=tile_n)
+    kernel = functools.partial(
+        _fast_kernel_int8, k=k, tile_n=tile_n, turbo=(mode == "turbo")
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -490,16 +557,18 @@ def _matmul_topk_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "mode")
 )
 def _matmul_topk_int8_global(
-    queries, corpus, valid_n, *, k, tile_n, interpret
+    queries, corpus, valid_n, *, k, tile_n, interpret, mode="fast"
 ):
     b, d = queries.shape
     n = corpus.shape[0]
     grid = (n // tile_n,)
     valid_arr = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
-    kernel = functools.partial(_fast_kernel_int8_global, k=k, tile_n=tile_n)
+    kernel = functools.partial(
+        _fast_kernel_int8_global, k=k, tile_n=tile_n, turbo=(mode == "turbo")
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -548,16 +617,23 @@ def matmul_topk(
       quantized per-row on the fly; the matmul runs int8×int8→int32.
     - ``mode="fast"`` (default): bucketed selection — see module docstring
       for the exactness guarantee.  ``mode="exact"``: fully exact oracle.
+      ``mode="turbo"``: top-1-per-lane scan (~2x less selection work) —
+      additionally loses an item when 2+ of the true top-k share one
+      (tile, lane) bucket (~0.07%/query at 1M, k=10; recall@10 ~ 0.999 on
+      random corpora).  Use for throughput-critical serving where the
+      recall gate, not exactness, is the contract.
 
     ``valid_n`` masks trailing padding rows.  The corpus is padded to a
     multiple of ``tile_n`` if needed (a copy — pre-align large stores via
     ``engine.store``).  Queries are padded to the sublane multiple.  Requires
     ``k <= 128`` (fast mode) and at least k valid rows.
     """
-    if mode not in ("fast", "exact"):
-        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
-    if mode == "fast" and k > LANES:
-        raise ValueError(f"fast mode requires k <= {LANES}, got {k}")
+    if mode not in ("fast", "exact", "turbo"):
+        raise ValueError(
+            f"mode must be 'fast', 'exact' or 'turbo', got {mode!r}"
+        )
+    if mode != "exact" and k > LANES:
+        raise ValueError(f"{mode} mode requires k <= {LANES}, got {k}")
     b, d = queries.shape
     n = corpus.shape[0]
     if valid_n is None:
@@ -596,7 +672,8 @@ def matmul_topk(
             # global scale (quantize_int8_global): raw int32 scores in the
             # kernel, all scaling applied here on the tiny (B, k) output
             s_raw, i = _matmul_topk_int8_global(
-                q_i8, corpus, valid_n, k=k, tile_n=tile_n, interpret=interp
+                q_i8, corpus, valid_n, k=k, tile_n=tile_n, interpret=interp,
+                mode=("turbo" if mode == "turbo" else "fast"),
             )
             s = s_raw.astype(jnp.float32) * qscale[: q_i8.shape[0]] * cs
         else:
@@ -609,6 +686,7 @@ def matmul_topk(
                 tile_n=tile_n,
                 valid_n=valid_n,
                 interpret=interp,
+                mode=("turbo" if mode == "turbo" else "fast"),
             )
             s = s_raw * qscale[: q_i8.shape[0]]
     else:
