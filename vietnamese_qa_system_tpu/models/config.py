@@ -121,6 +121,7 @@ def minilm_class() -> ModelConfig:
     return ModelConfig(
         arch="encoder", vocab_size=32000, d_model=384, n_heads=12,
         n_layers=12, d_ff=1536, max_seq_len=512, positional="learned",
+        use_flash_attention=True,
     )
 
 
@@ -134,6 +135,7 @@ def mpnet_class() -> ModelConfig:
         n_layers=12, d_ff=3072, max_seq_len=514, positional="learned",
         norm_eps=1e-5, norm_position="post", embed_layernorm=True,
         position_offset=2, relative_attention_buckets=32,
+        use_flash_attention=True,
     )
 
 

@@ -544,6 +544,7 @@ def bert_config(hf_cfg) -> ModelConfig:
         norm_eps=float(getattr(hf_cfg, "layer_norm_eps", 1e-12)),
         norm_position="post",
         bert_embeddings=True,
+        use_flash_attention=True,
     )
 
 
@@ -637,6 +638,7 @@ def mpnet_config(hf_cfg) -> ModelConfig:
         relative_attention_buckets=int(
             getattr(hf_cfg, "relative_attention_num_buckets", 32)
         ),
+        use_flash_attention=True,
     )
 
 

@@ -114,10 +114,21 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
         bias = relative_attention_bias(params["rel_bias"], t, cfg)
     mask = padding_mask(attn_mask)[:, None, 0, :]  # (B, 1, T) -> broadcast (B, Tq, Tk)
     mask = jnp.broadcast_to(mask, (ids.shape[0], t, t))
+    flash = None
+    if cfg.use_flash_attention and t >= 256:
+        # bidirectional fused path: right-padded key masking via kv_lens,
+        # relative bias rides into the kernel (fwd-only — the retrieval
+        # encoders are inference models).  Only pays off at longer
+        # sequences: at T=128 the (BH, 1, 1) grid of tiny blocks loses to
+        # XLA's batched einsum (measured 94.9 vs 82.1 ms for mpnet-class
+        # B=256; identical outputs), while at T>=256 the O(T^2) score
+        # materialization XLA writes to HBM starts to dominate.
+        lens = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+        flash = {"kv_lens": lens, "causal": False}
     for p_blk in params["blocks"]:
         x, _ = block(
             p_blk, x, n_heads=cfg.n_heads, mask=mask, eps=cfg.norm_eps,
-            norm_position=cfg.norm_position, bias=bias,
+            norm_position=cfg.norm_position, bias=bias, flash=flash,
         )
     if cfg.norm_position == "pre":
         return layernorm(params["ln_f"], x, cfg.norm_eps)

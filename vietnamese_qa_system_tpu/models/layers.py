@@ -212,7 +212,8 @@ def attention(
 
     if flash is not None and cache is None and kv_x is None:
         # fused Pallas path (ops/attention.py); mask semantics are
-        # (causal x right-padded keys) expressed via flash["kv_lens"]
+        # ((causal?) x right-padded keys) expressed via flash["kv_lens"];
+        # an additive (1, H, Tq, Tk) score bias rides along (fwd-only path)
         from ..ops.attention import flash_attention
 
         out = flash_attention(
@@ -222,6 +223,7 @@ def attention(
             kv_lens=flash.get("kv_lens"),
             causal=flash.get("causal", True),
             scale=scale,
+            bias=None if bias is None else jnp.asarray(bias)[0],
         )
         b_, t_ = out.shape[:2]
         return dense(p["wo"], out.reshape(b_, t_, -1)), None

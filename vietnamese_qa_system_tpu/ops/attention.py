@@ -42,27 +42,30 @@ def _should_interpret(interpret: bool | None) -> bool:
 
 
 def _fa_kernel(
-    lens_ref,  # (BH, 1) int32 in SMEM: valid kv length per row
+    lens_ref,  # (1, BH) int32 in SMEM: valid kv length per row (a single
+    # row — SMEM pads each row to 512 B, so a (BH, 1) column layout blows
+    # the 1 MB SMEM budget for encoder-sized BH = batch*heads)
     q_ref,  # (1, BLK_Q, D)
     k_ref,  # (1, BLK_K, D)
     v_ref,  # (1, BLK_K, D)
-    o_ref,  # (1, BLK_Q, D)
-    lse_ref,  # (1, 1, 8, BLK_Q) f32: logsumexp, sublane-replicated
-    m_scr,  # (BLK_Q, 1) f32
-    l_scr,  # (BLK_Q, 1) f32
-    acc_scr,  # (BLK_Q, D) f32
-    *,
+    *rest,  # [bias_ref (1, BLK_Q, BLK_K)?], o_ref, lse_ref, m/l/acc scratch
     blk_q: int,
     blk_k: int,
     causal: bool,
     scale: float,
+    has_bias: bool = False,
 ):
+    if has_bias:
+        bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        bias_ref = None
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
     # hoisted out of the pl.when branch: program_id / SMEM reads must run
     # at kernel top level for interpret mode
-    cur_len = lens_ref[pl.program_id(0), 0]
+    cur_len = lens_ref[0, pl.program_id(0)]
 
     @pl.when(ik == 0)
     def _init():
@@ -79,6 +82,10 @@ def _fa_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BLK_Q, BLK_K)
+        if bias_ref is not None:
+            # additive per-head score bias (MPNet/T5 relative positions),
+            # applied after scaling — same semantics as layers.attention
+            s = s + bias_ref[0]
 
         q_pos = iq * blk_q + jax.lax.broadcasted_iota(
             jnp.int32, (blk_q, blk_k), 0
@@ -123,27 +130,42 @@ def _fa_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret"),
+    static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
+                     "n_heads"),
 )
-def _flash_fwd(q, k, v, kv_lens, *, causal, blk_q, blk_k, scale, interpret):
+def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
+               interpret, n_heads: int = 1):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq = tq // blk_q
     grid = (bh, nq, tk // blk_k)
     kernel = functools.partial(
-        _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
+        _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
+        has_bias=bias is not None,
     )
+    in_specs = [
+        # whole lens vector in SMEM (tiny); per-bh blocks would violate
+        # Mosaic's min block-shape rules
+        pl.BlockSpec((1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [kv_lens, q, k, v]
+    if bias is not None:
+        # (H, Tq, Tk) shared across the batch; grid rows are bh = b*H + h
+        in_specs.append(
+            pl.BlockSpec(
+                (1, blk_q, blk_k),
+                lambda b, i, j: (b % n_heads, i, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(bias)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # whole lens vector in SMEM (tiny); per-bh blocks would violate
-            # Mosaic's min block-shape rules
-            pl.BlockSpec((bh, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
@@ -169,12 +191,12 @@ def _flash_fwd(q, k, v, kv_lens, *, causal, blk_q, blk_k, scale, interpret):
             transcendentals=bh * tq * tk,
         ),
         interpret=interpret,
-    )(kv_lens, q, k, v)
+    )(*inputs)
 
 
 def _reference_attention(q, k, v, kv_lens, causal, scale):
     """XLA reference (used for tests and the custom-vjp backward)."""
-    kv_lens = kv_lens.reshape(kv_lens.shape[0])  # accept (BH,) or (BH, 1)
+    kv_lens = kv_lens.reshape(-1)  # accept (BH,), (BH, 1) or (1, BH)
     s = jnp.einsum(
         "bqd,bkd->bqk",
         q.astype(jnp.float32),
@@ -238,7 +260,7 @@ def _fa_bwd_kv_kernel(
     ik = pl.program_id(1)
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
-    cur_len = lens_ref[pl.program_id(0), 0]
+    cur_len = lens_ref[0, pl.program_id(0)]
 
     @pl.when(iq == 0)
     def _init():
@@ -284,7 +306,7 @@ def _fa_bwd_q_kernel(
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
-    cur_len = lens_ref[pl.program_id(0), 0]
+    cur_len = lens_ref[0, pl.program_id(0)]
 
     @pl.when(ik == 0)
     def _init():
@@ -324,7 +346,7 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, *, causal, blk_q, blk_k,
     nq, nk = tq // blk_q, tk // blk_k
 
     common_in_specs = [
-        pl.BlockSpec((bh, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
     ]
 
     def qspec(im):
@@ -449,13 +471,19 @@ def flash_attention(
     kv_lens=None,
     causal: bool = True,
     scale: float | None = None,
+    bias=None,
 ):
     """Fused attention over (B, T, H, D) tensors.
 
     - ``kv_lens`` (B,) int32: valid key length per row (right padding);
       defaults to full length.
+    - ``bias``: optional (H, Tq, Tk) additive score bias shared across the
+      batch (MPNet/T5 relative positions).  The bias path is FORWARD-ONLY
+      (no custom vjp) — it serves the inference encoders; differentiating
+      through it raises at trace time.
     - T is padded internally to the block size; outputs are sliced back.
-    Differentiable (recompute backward; see module docstring).
+    Differentiable when ``bias is None`` (recompute backward; see module
+    docstring).
     """
     b, tq, h, d = q.shape
     tk = k.shape[1]
@@ -480,9 +508,20 @@ def flash_attention(
     qb = to_bh(q, pad_q)
     kb = to_bh(k, pad_k)
     vb = to_bh(v, pad_k)
-    lens = jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(b * h, 1)
+    lens = jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(1, b * h)
 
-    out = _flash_core(qb, kb, vb, lens, causal, scale, blk_q, blk_k)
+    if bias is not None:
+        bias = jnp.pad(
+            jnp.asarray(bias, jnp.float32),
+            ((0, 0), (0, pad_q), (0, pad_k)),
+        )
+        out, _ = _flash_fwd(
+            qb, kb, vb, lens, bias,
+            causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+            interpret=_should_interpret(None), n_heads=h,
+        )
+    else:
+        out = _flash_core(qb, kb, vb, lens, causal, scale, blk_q, blk_k)
     out = out.reshape(b, h, tq + pad_q, d)[:, :, :tq]
     return jnp.transpose(out, (0, 2, 1, 3))
 
