@@ -573,3 +573,89 @@ def test_llama_cached_decode_consistent():
             do_sample=False,
         ).numpy()
     assert ours[0, 10] == hf_out[0, 10]
+
+
+def test_gpt_neo_export_roundtrip(tiny_gpt_neo, tmp_path):
+    """HF GPT-Neo -> our pytree -> export_causal_auto -> transformers
+    reload: logits match the original (full round trip incl. local
+    attention + learned positions)."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gpt_neo,
+        export_causal_auto,
+        gpt_neo_config,
+    )
+
+    model, hf_cfg = tiny_gpt_neo
+    cfg = gpt_neo_config(hf_cfg)
+    params = convert_gpt_neo(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "neo_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "gpt_neo"
+
+    rng = np.random.default_rng(3)
+    ids = torch.from_numpy(
+        rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype("int64")
+    )
+    with torch.no_grad():
+        l1 = model(ids).logits.numpy()
+        l2 = reloaded(ids).logits.numpy()
+    np.testing.assert_allclose(l1, l2, atol=1e-4)
+
+
+def test_gpt2_export_roundtrip(tmp_path):
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gpt2,
+        export_causal_auto,
+        gpt2_config,
+    )
+
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=96, n_embd=32, n_layer=2, n_head=4, n_inner=64,
+        n_positions=64,
+    )
+    torch.manual_seed(9)
+    model = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    cfg = gpt2_config(hf_cfg)
+    params = convert_gpt2(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "gpt2_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "gpt2"
+
+    rng = np.random.default_rng(4)
+    ids = torch.from_numpy(rng.integers(0, 96, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
+        )
+
+
+def test_llama_export_roundtrip(tmp_path):
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_llama,
+        export_causal_auto,
+        llama_config,
+    )
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(10)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config(hf_cfg)
+    params = convert_llama(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "llama_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "llama"
+    assert reloaded.config.num_key_value_heads == 2
+
+    rng = np.random.default_rng(5)
+    ids = torch.from_numpy(rng.integers(0, 96, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
+        )

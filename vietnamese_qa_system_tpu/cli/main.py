@@ -27,7 +27,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("model")
     g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     g.add_argument("--model-size", default="tiny",
-                   choices=["tiny", "gpt125m", "pythia410m"],
+                   choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"],
                    help="preset size (reference used gpt-neo-125m / pythia-410m)")
     g.add_argument("--model-config", help="path to a ModelConfig json (overrides preset)")
     g.add_argument("--init-params", help="checkpoint dir or converted-weights .npz to start from")
@@ -512,6 +512,7 @@ def cmd_serve(args) -> int:
     retriever = Retriever(
         params, cfg, tok, store, docstore, max_len=args.max_len,
         lexical=lexical, hybrid_weight=args.hybrid_weight,
+        mode=args.search_mode,
     )
 
     qa = None
@@ -524,6 +525,7 @@ def cmd_serve(args) -> int:
         presets_r = {
             "tiny": lambda: mcfg.tiny_test("causal"),
             "gpt125m": mcfg.gpt_125m_class,
+            "gptneo125m": mcfg.gpt_neo_125m,
             "pythia410m": mcfg.pythia_410m_class,
         }
         rcfg = presets_r[args.reader_size]()
@@ -673,9 +675,9 @@ def cmd_convert_ckpt(args) -> int:
         if model.arch != "causal":
             dist_print("hf export supports causal models only", file=sys.stderr)
             return 2
-        from ..models.convert_hf import export_gpt_neox
+        from ..models.convert_hf import export_causal_auto
 
-        export_gpt_neox(merged, model, args.out_dir)
+        export_causal_auto(merged, model, args.out_dir)
     else:
         from ..train.checkpoint import save_pytree
 
@@ -765,19 +767,23 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--max-len", type=int, default=128)
     ps.add_argument("--seed", type=int, default=42)
     ps.add_argument("--reader-size", default=None,
-                    choices=["tiny", "gpt125m", "pythia410m"],
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"],
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
     ps.add_argument("--min-score", type=float, default=0.2)
     ps.add_argument("--hybrid-weight", type=float, default=0.5,
                     help="dense weight in hybrid fusion; 1.0 = dense-only "
                     "(used only when the index has a bm25.json)")
+    ps.add_argument("--search-mode", default="fast",
+                    choices=["fast", "turbo"],
+                    help="top-k kernel selection: fast = exactness-"
+                    "guaranteed, turbo = recall ~0.999 at higher QPS")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")
     pc.add_argument("--arch", choices=["causal"], default="causal")
     pc.add_argument("--model-size", default="tiny",
-                    choices=["tiny", "gpt125m", "pythia410m"])
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"])
     pc.add_argument("--model-config", default=None)
     pc.add_argument("--init-params", default=None)
     pc.add_argument("--tokenizer", default="byte")
@@ -798,7 +804,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--format", default="hf", choices=["hf", "npz"])
     pv.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pv.add_argument("--model-size", default="tiny",
-                    choices=["tiny", "gpt125m", "pythia410m"])
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"])
     pv.add_argument("--model-config", default=None)
     pv.add_argument("--use-lora", action="store_true")
     pv.add_argument("--lora-r", type=int, default=8)

@@ -503,6 +503,208 @@ def load_llama(model_dir: str):
     return params, cfg
 
 
+def to_gpt_neo_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_gpt_neo` (numpy HF state dict)."""
+    out: dict = {
+        "transformer.wte.weight": np.asarray(params["tok_embed"], np.float32),
+        "transformer.wpe.weight": np.asarray(params["pos_embed"], np.float32),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"transformer.h.{i}."
+        out[pre + "ln_1.weight"] = np.asarray(blk["ln1"]["scale"], np.float32)
+        out[pre + "ln_1.bias"] = np.asarray(blk["ln1"]["bias"], np.float32)
+        for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"), ("wv", "v_proj")):
+            out[pre + f"attn.attention.{theirs}.weight"] = np.asarray(
+                blk["attn"][ours]["w"], np.float32
+            ).T
+        out[pre + "attn.attention.out_proj.weight"] = np.asarray(
+            blk["attn"]["wo"]["w"], np.float32
+        ).T
+        out[pre + "attn.attention.out_proj.bias"] = np.asarray(
+            blk["attn"]["wo"]["b"], np.float32
+        )
+        out[pre + "ln_2.weight"] = np.asarray(blk["ln2"]["scale"], np.float32)
+        out[pre + "ln_2.bias"] = np.asarray(blk["ln2"]["bias"], np.float32)
+        out[pre + "mlp.c_fc.weight"] = np.asarray(blk["mlp"]["wi"]["w"], np.float32).T
+        out[pre + "mlp.c_fc.bias"] = np.asarray(blk["mlp"]["wi"]["b"], np.float32)
+        out[pre + "mlp.c_proj.weight"] = np.asarray(blk["mlp"]["wo"]["w"], np.float32).T
+        out[pre + "mlp.c_proj.bias"] = np.asarray(blk["mlp"]["wo"]["b"], np.float32)
+    out["transformer.ln_f.weight"] = np.asarray(params["ln_f"]["scale"], np.float32)
+    out["transformer.ln_f.bias"] = np.asarray(params["ln_f"]["bias"], np.float32)
+    out["lm_head.weight"] = out["transformer.wte.weight"]
+    return out
+
+
+def export_gpt_neo(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable GPT-Neo model directory."""
+    import torch
+    from transformers import GPTNeoConfig, GPTNeoForCausalLM
+
+    kinds = cfg.attention_layers or ("global",) * cfg.n_layers
+    hf_cfg = GPTNeoConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.d_model,
+        num_layers=cfg.n_layers,
+        attention_types=[[[k], 1] for k in kinds],
+        num_heads=cfg.n_heads,
+        intermediate_size=cfg.d_ff,
+        max_position_embeddings=cfg.max_seq_len,
+        window_size=cfg.attention_window,
+        activation_function="gelu_new",
+        layer_norm_epsilon=cfg.norm_eps,
+        tie_word_embeddings=True,
+    )
+    model = GPTNeoForCausalLM(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_gpt_neo_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
+def to_llama_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_llama` (numpy HF state dict)."""
+    out: dict = {
+        "model.embed_tokens.weight": np.asarray(params["tok_embed"], np.float32)
+    }
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"model.layers.{i}."
+        out[pre + "input_layernorm.weight"] = np.asarray(
+            blk["ln1"]["scale"], np.float32
+        )
+        for ours, theirs in (
+            ("wq", "q_proj"), ("wk", "k_proj"), ("wv", "v_proj"), ("wo", "o_proj")
+        ):
+            out[pre + f"self_attn.{theirs}.weight"] = np.asarray(
+                blk["attn"][ours]["w"], np.float32
+            ).T
+        out[pre + "post_attention_layernorm.weight"] = np.asarray(
+            blk["ln2"]["scale"], np.float32
+        )
+        for ours, theirs in (("wg", "gate_proj"), ("wi", "up_proj"), ("wo", "down_proj")):
+            out[pre + f"mlp.{theirs}.weight"] = np.asarray(
+                blk["mlp"][ours]["w"], np.float32
+            ).T
+    out["model.norm.weight"] = np.asarray(params["ln_f"]["scale"], np.float32)
+    if "lm_head" in params:
+        out["lm_head.weight"] = np.asarray(params["lm_head"]["w"], np.float32).T
+    else:
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    return out
+
+
+def export_llama(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable Llama model directory."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.d_model,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.kv_heads,
+        intermediate_size=cfg.d_ff,
+        max_position_embeddings=cfg.max_seq_len,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        tie_word_embeddings=cfg.tie_embeddings,
+        attention_bias=False,
+    )
+    model = LlamaForCausalLM(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_llama_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
+def to_gpt2_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_gpt2` (numpy HF state dict; Conv1D keeps
+    (in, out) orientation and c_attn re-fuses [q | k | v] columns)."""
+    out: dict = {
+        "transformer.wte.weight": np.asarray(params["tok_embed"], np.float32),
+        "transformer.wpe.weight": np.asarray(params["pos_embed"], np.float32),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"transformer.h.{i}."
+        out[pre + "ln_1.weight"] = np.asarray(blk["ln1"]["scale"], np.float32)
+        out[pre + "ln_1.bias"] = np.asarray(blk["ln1"]["bias"], np.float32)
+        out[pre + "attn.c_attn.weight"] = np.concatenate(
+            [np.asarray(blk["attn"][n]["w"], np.float32) for n in ("wq", "wk", "wv")],
+            axis=1,
+        )
+        out[pre + "attn.c_attn.bias"] = np.concatenate(
+            [np.asarray(blk["attn"][n]["b"], np.float32) for n in ("wq", "wk", "wv")]
+        )
+        out[pre + "attn.c_proj.weight"] = np.asarray(blk["attn"]["wo"]["w"], np.float32)
+        out[pre + "attn.c_proj.bias"] = np.asarray(blk["attn"]["wo"]["b"], np.float32)
+        out[pre + "ln_2.weight"] = np.asarray(blk["ln2"]["scale"], np.float32)
+        out[pre + "ln_2.bias"] = np.asarray(blk["ln2"]["bias"], np.float32)
+        out[pre + "mlp.c_fc.weight"] = np.asarray(blk["mlp"]["wi"]["w"], np.float32)
+        out[pre + "mlp.c_fc.bias"] = np.asarray(blk["mlp"]["wi"]["b"], np.float32)
+        out[pre + "mlp.c_proj.weight"] = np.asarray(blk["mlp"]["wo"]["w"], np.float32)
+        out[pre + "mlp.c_proj.bias"] = np.asarray(blk["mlp"]["wo"]["b"], np.float32)
+    out["transformer.ln_f.weight"] = np.asarray(params["ln_f"]["scale"], np.float32)
+    out["transformer.ln_f.bias"] = np.asarray(params["ln_f"]["bias"], np.float32)
+    out["lm_head.weight"] = out["transformer.wte.weight"]
+    return out
+
+
+def export_gpt2(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable GPT-2 model directory."""
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    hf_cfg = GPT2Config(
+        vocab_size=cfg.vocab_size,
+        n_embd=cfg.d_model,
+        n_layer=cfg.n_layers,
+        n_head=cfg.n_heads,
+        n_inner=cfg.d_ff,
+        n_positions=cfg.max_seq_len,
+        layer_norm_epsilon=cfg.norm_eps,
+        tie_word_embeddings=True,
+    )
+    model = GPT2LMHeadModel(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_gpt2_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
+def export_causal_auto(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Export this framework's causal pytree to the matching HF format,
+    dispatched on the config's architecture fingerprints (the inverse of
+    :func:`load_causal_auto`):
+
+    - RMSNorm / gated MLP            -> Llama
+    - learned positions, unscaled    -> GPT-Neo (attention_scale == 1.0)
+    - learned positions, 1/sqrt(d)   -> GPT-2
+    - otherwise (RoPE)               -> GPT-NeoX
+    """
+    if cfg.norm == "rmsnorm" or cfg.mlp_gated:
+        return export_llama(params, cfg, out_dir)
+    if cfg.positional == "learned":
+        if cfg.attention_scale == 1.0:
+            return export_gpt_neo(params, cfg, out_dir)
+        return export_gpt2(params, cfg, out_dir)
+    return export_gpt_neox(params, cfg, out_dir)
+
+
 def load_causal_auto(model_dir: str):
     """Local transformers causal-LM directory -> (params, ModelConfig),
     dispatching on config model_type — the capability of the reference's

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 import time
 from typing import Any, Callable, Iterable, Optional
 
@@ -441,6 +442,17 @@ class Trainer:
                         break
             if steps_per_epoch is None:
                 steps_per_epoch = n_batches
+            if n_batches == 0:
+                # the loader dropped everything — most commonly a global
+                # batch smaller than the data-axis device count (per-device
+                # sharding needs batch % n_devices == 0), or every example
+                # exceeding max_len.  Silent zero-step "training" is a trap.
+                dist_print(
+                    "WARNING: epoch produced 0 batches — check that the "
+                    "global batch size is a multiple of the data-axis "
+                    "device count and that examples fit --max-len",
+                    file=sys.stderr,
+                )
             if epoch_steps == 0 and n_batches > 0 and step == self.start_step:
                 continue  # epoch consumed entirely by fast-forward counting
             dist_print(
