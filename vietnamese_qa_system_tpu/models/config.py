@@ -78,6 +78,11 @@ class ModelConfig:
     n_kv_heads: int | None = None  # None = multi-head (no GQA)
     mlp_gated: bool = False
     attention_bias: bool = True
+    # bf16 residual/norm-output activations (norm math stays fp32):
+    # standard inference mixed precision; halves inter-op HBM traffic.
+    # On by default only for the retrieval encoders (their outputs are
+    # mean-pooled unit vectors — tested to keep HF parity within 0.03).
+    activations_bf16: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -121,7 +126,7 @@ def minilm_class() -> ModelConfig:
     return ModelConfig(
         arch="encoder", vocab_size=32000, d_model=384, n_heads=12,
         n_layers=12, d_ff=1536, max_seq_len=512, positional="learned",
-        use_flash_attention=True,
+        use_flash_attention=True, activations_bf16=True,
     )
 
 
@@ -135,7 +140,7 @@ def mpnet_class() -> ModelConfig:
         n_layers=12, d_ff=3072, max_seq_len=514, positional="learned",
         norm_eps=1e-5, norm_position="post", embed_layernorm=True,
         position_offset=2, relative_attention_buckets=32,
-        use_flash_attention=True,
+        use_flash_attention=True, activations_bf16=True,
     )
 
 

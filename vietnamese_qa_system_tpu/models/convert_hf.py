@@ -747,6 +747,7 @@ def bert_config(hf_cfg) -> ModelConfig:
         norm_position="post",
         bert_embeddings=True,
         use_flash_attention=True,
+        activations_bf16=True,
     )
 
 
@@ -841,6 +842,7 @@ def mpnet_config(hf_cfg) -> ModelConfig:
             getattr(hf_cfg, "relative_attention_num_buckets", 32)
         ),
         use_flash_attention=True,
+        activations_bf16=True,
     )
 
 

@@ -104,11 +104,14 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
         pos = params["pos_embed"][pos_ids]
     else:
         pos = params["pos_embed"][:t][None]
+    adt = jnp.bfloat16 if cfg.activations_bf16 else None
     x = params["tok_embed"][ids] + pos
     if cfg.bert_embeddings:
         x = x + params["type_embed"][0][None, None, :]
     if cfg.bert_embeddings or cfg.embed_layernorm:
-        x = layernorm(params["emb_ln"], x, cfg.norm_eps)
+        x = layernorm(params["emb_ln"], x, cfg.norm_eps, out_dtype=adt)
+    elif adt is not None:
+        x = x.astype(adt)
     bias = None
     if cfg.relative_attention_buckets:
         bias = relative_attention_bias(params["rel_bias"], t, cfg)
@@ -129,6 +132,7 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
         x, _ = block(
             p_blk, x, n_heads=cfg.n_heads, mask=mask, eps=cfg.norm_eps,
             norm_position=cfg.norm_position, bias=bias, flash=flash,
+            activation_dtype=adt,
         )
     if cfg.norm_position == "pre":
         return layernorm(params["ln_f"], x, cfg.norm_eps)

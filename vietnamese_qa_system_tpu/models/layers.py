@@ -77,17 +77,22 @@ def init_layernorm(d: int):
     return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
 
 
-def layernorm(p, x, eps: float = 1e-6):
+def layernorm(p, x, eps: float = 1e-6, out_dtype=None):
+    """Normalize in fp32; ``out_dtype`` optionally casts the result (the
+    bf16 activation policy halves the HBM traffic of the normalized
+    stream — norm MATH always stays fp32)."""
     x = x.astype(jnp.float32)
     if "bias" not in p:
         # RMSNorm (llama family): no mean subtraction, no bias — the param
         # dict's shape selects the norm, keeping checkpoints self-describing
-        return x * jax.lax.rsqrt(
+        out = x * jax.lax.rsqrt(
             jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps
         ) * p["scale"]
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    else:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        out = (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def init_rmsnorm(d: int):
@@ -329,7 +334,17 @@ def block(
     scale=None,
     activation: str = "gelu",
     n_kv_heads=None,
+    activation_dtype=None,
 ):
+    """``activation_dtype`` (e.g. bf16) keeps the residual stream and norm
+    outputs in that dtype — the mixed-precision activation policy that
+    halves inter-op HBM traffic.  Norm/softmax math stays fp32 regardless.
+    None (default) = fp32 activations (exact-parity mode)."""
+    adt = activation_dtype
+
+    def cast(h):
+        return h if adt is None else h.astype(adt)
+
     if norm_position == "post":
         # BERT layout: LN after each residual add (ln1 = attention-output
         # LN, ln2 = MLP-output LN)
@@ -338,13 +353,16 @@ def block(
             positions=positions, cache=cache, cache_index=cache_index,
             flash=flash, bias=bias, scale=scale,
         )
-        x = layernorm(p["ln1"], x + h, eps)
-        x = layernorm(p["ln2"], x + mlp(p["mlp"], x, activation), eps)
+        x = layernorm(p["ln1"], x + cast(h), eps, out_dtype=adt)
+        x = layernorm(
+            p["ln2"], x + cast(mlp(p["mlp"], x, activation)), eps,
+            out_dtype=adt,
+        )
         return x, new_cache
 
     h, new_cache = attention(
         p["attn"],
-        layernorm(p["ln1"], x, eps),
+        layernorm(p["ln1"], x, eps, out_dtype=adt),
         n_heads=n_heads,
         mask=mask,
         rope=rope,
@@ -358,19 +376,19 @@ def block(
     )
     if parallel_residual:
         # GPT-NeoX style: x + attn(ln1(x)) + mlp(ln2(x))
-        m = mlp(p["mlp"], layernorm(p["ln2"], x, eps), activation)
-        return x + h + m, new_cache
-    x = x + h
+        m = mlp(p["mlp"], layernorm(p["ln2"], x, eps, out_dtype=adt), activation)
+        return x + cast(h) + cast(m), new_cache
+    x = x + cast(h)
     if enc_out is not None:
         h, _ = attention(
             p["cross_attn"],
-            layernorm(p["ln_cross"], x, eps),
+            layernorm(p["ln_cross"], x, eps, out_dtype=adt),
             n_heads=n_heads,
             mask=enc_mask,
             kv_x=enc_out,
         )
-        x = x + h
-    x = x + mlp(p["mlp"], layernorm(p["ln2"], x, eps), activation)
+        x = x + cast(h)
+    x = x + cast(mlp(p["mlp"], layernorm(p["ln2"], x, eps, out_dtype=adt), activation))
     return x, new_cache
 
 
