@@ -27,8 +27,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("model")
     g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     g.add_argument("--model-size", default="tiny",
-                   choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"],
-                   help="preset size (reference used gpt-neo-125m / pythia-410m)")
+                   choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
+                            "mt5small", "seq2seq-small"],
+                   help="preset size (reference used gpt-neo-125m / "
+                        "pythia-410m; mt5small = its seq2seq experiments)")
     g.add_argument("--model-config", help="path to a ModelConfig json (overrides preset)")
     g.add_argument("--init-params", help="checkpoint dir or converted-weights .npz to start from")
 
@@ -137,9 +139,11 @@ def _model_config(args):
         "gpt125m": mcfg.gpt_125m_class,
         "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
+        "mt5small": mcfg.mt5_small_class,
+        "seq2seq-small": mcfg.seq2seq_native_small,
     }
     cfg = presets[args.model_size]()
-    if cfg.arch != args.arch:
+    if cfg.arch != args.arch and args.model_size == "tiny":
         import dataclasses
 
         cfg = dataclasses.replace(cfg, arch=args.arch)
@@ -383,9 +387,9 @@ def _gen_batches(dl, examples, tok, args):
 
 def load_converted_params(path: str, model_cfg):
     """Load params from a framework checkpoint dir (step_N/state.npz), a
-    flat .npz, or a LOCAL HF causal-LM model directory (config.json with
-    model_type gpt_neox / gpt_neo / gpt2 — converted via
-    models/convert_hf.py::load_causal_auto)."""
+    flat .npz, or a LOCAL HF model directory (config.json with a causal
+    model_type gpt_neox / gpt_neo / gpt2 / llama / mistral, or a seq2seq
+    t5 / mt5 — converted via models/convert_hf.py)."""
     from ..train.checkpoint import CheckpointManager
     from ..train.trainer import init_model_params
 
@@ -393,11 +397,17 @@ def load_converted_params(path: str, model_cfg):
 
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json")):
         with open(os.path.join(path, "config.json")) as f:
-            if json.load(f).get("model_type") in ("gpt_neox", "gpt_neo", "gpt2"):
-                from ..models.convert_hf import load_causal_auto
+            model_type = json.load(f).get("model_type")
+        if model_type in ("gpt_neox", "gpt_neo", "gpt2", "llama", "mistral"):
+            from ..models.convert_hf import load_causal_auto
 
-                params, _ = load_causal_auto(path)
-                return params
+            params, _ = load_causal_auto(path)
+            return params
+        if model_type in ("t5", "mt5", "longt5"):
+            from ..models.convert_hf import load_seq2seq_auto
+
+            params, _ = load_seq2seq_auto(path)
+            return params
     target = init_model_params(model_cfg, jax.random.key(0))
     if os.path.isdir(path):
         mgr = CheckpointManager(path)

@@ -6,6 +6,7 @@ from .config import (
     mpnet_class,
     pythia_410m_class,
     mt5_small_class,
+    seq2seq_native_small,
     tiny_test,
 )
 from .lora import LoraConfig, init_lora, merge_lora, count_params, resize_embeddings
@@ -16,7 +17,7 @@ from .quantize import (
     quantize_weight,
     tree_bytes,
 )
-from . import causal_lm, encoder, seq2seq, generate
+from . import causal_lm, encoder, seq2seq, t5, generate
 
 __all__ = [
     "ModelConfig",
@@ -37,8 +38,10 @@ __all__ = [
     "dequantize_weight",
     "dequantize_tree",
     "tree_bytes",
+    "seq2seq_native_small",
     "causal_lm",
     "encoder",
     "seq2seq",
+    "t5",
     "generate",
 ]

@@ -78,6 +78,14 @@ class ModelConfig:
     n_kv_heads: int | None = None  # None = multi-head (no GQA)
     mlp_gated: bool = False
     attention_bias: bool = True
+    # T5-family knobs (the reference's mt5 seq2seq path, src/test.py:106-147):
+    # "t5" selects models/t5.py (T5 RMS norms, per-stack shared relative
+    # bias, unscaled attention, gated-gelu FFN) for arch="seq2seq";
+    # "native" keeps the framework's RoPE encoder-decoder (models/seq2seq.py).
+    seq2seq_family: str = "native"
+    # T5 decouples the attention inner dim from d_model: head_dim = d_kv
+    # (mt5-small: 6 heads x 64 = 384 vs d_model 512).  None = d_model/heads.
+    d_kv: int | None = None
     # bf16 residual/norm-output activations (norm math stays fp32):
     # standard inference mixed precision; halves inter-op HBM traffic.
     # On by default only for the retrieval encoders (their outputs are
@@ -90,6 +98,8 @@ class ModelConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.d_kv is not None:
+            return self.d_kv
         assert self.d_model % self.n_heads == 0
         return self.d_model // self.n_heads
 
@@ -182,9 +192,24 @@ def pythia_410m_class() -> ModelConfig:
 
 
 def mt5_small_class() -> ModelConfig:
-    """mt5-small-class encoder-decoder (the reference's seq2seq experiments,
-    src/test.py:106-147 use mt5 + LoRA)."""
+    """Faithful google/mt5-small layout (the reference's seq2seq
+    experiments, src/test.py:106-147 use mt5 + LoRA): T5 v1.1 family —
+    gated-gelu FFN, untied lm_head, d_kv=64 (inner 384 != d_model 512),
+    shared 32-bucket relative bias — so real mt5 weights import via
+    models/convert_hf.py::load_t5."""
     return ModelConfig(
-        arch="seq2seq", vocab_size=250112, d_model=512, n_heads=6,
+        arch="seq2seq", seq2seq_family="t5", vocab_size=250112, d_model=512,
+        n_heads=6, d_kv=64, n_layers=8, n_decoder_layers=8, d_ff=1024,
+        max_seq_len=1024, mlp_gated=True, tie_embeddings=False,
+        relative_attention_buckets=32, relative_attention_max_distance=128,
+        attention_bias=False,
+    )
+
+
+def seq2seq_native_small() -> ModelConfig:
+    """The framework's native RoPE encoder-decoder at mt5-small scale
+    (models/seq2seq.py) — for from-scratch seq2seq training."""
+    return ModelConfig(
+        arch="seq2seq", vocab_size=250112, d_model=512, n_heads=8,
         n_layers=8, n_decoder_layers=8, d_ff=1024, max_seq_len=1024,
     )

@@ -922,3 +922,142 @@ def load_encoder_auto(model_dir: str):
     if model_type == "mpnet":
         return load_mpnet(model_dir)
     return load_bert(model_dir)
+
+
+# ---------------------------------------------------------------------------
+# T5/mT5 encoder-decoders (the reference's mt5 seq2seq path,
+# reference src/test.py:106-147; loadable by its AutoModelForSeq2SeqLM
+# branch at src/models/trainer.py:536-544)
+# ---------------------------------------------------------------------------
+
+
+def t5_config(hf_cfg) -> ModelConfig:
+    """transformers T5Config/MT5Config -> ModelConfig (models/t5.py family)."""
+    ff_proj = str(getattr(hf_cfg, "feed_forward_proj", "relu"))
+    gated = bool(getattr(hf_cfg, "is_gated_act", "gated" in ff_proj))
+    return ModelConfig(
+        arch="seq2seq",
+        seq2seq_family="t5",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.d_model,
+        n_heads=hf_cfg.num_heads,
+        d_kv=hf_cfg.d_kv,
+        n_layers=hf_cfg.num_layers,
+        n_decoder_layers=int(
+            getattr(hf_cfg, "num_decoder_layers", None) or hf_cfg.num_layers
+        ),
+        d_ff=hf_cfg.d_ff,
+        max_seq_len=1024,  # T5 has no absolute position table
+        mlp_gated=gated,
+        tie_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", True)),
+        relative_attention_buckets=int(hf_cfg.relative_attention_num_buckets),
+        relative_attention_max_distance=int(
+            getattr(hf_cfg, "relative_attention_max_distance", 128)
+        ),
+        norm_eps=float(getattr(hf_cfg, "layer_norm_epsilon", 1e-6)),
+        attention_bias=False,
+    )
+
+
+def convert_t5(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """T5/mT5 state dict -> the models/t5.py pytree.
+
+    HF layer indices: encoder block = [0: SelfAttention, 1: FFN]; decoder
+    block = [0: SelfAttention, 1: EncDecAttention, 2: FFN].  The shared
+    relative bias lives on block 0 of each stack.  Gated FFNs store the
+    gelu gate as wi_0 (our "wg") and the linear branch as wi_1 (our "wi").
+    """
+
+    def pick(name):
+        if name not in state_dict:
+            raise KeyError(f"missing weight {name!r} in state dict")
+        return _t(state_dict[name])
+
+    def attn(pre):
+        return {
+            "wq": {"w": pick(pre + ".q.weight").T.copy()},
+            "wk": {"w": pick(pre + ".k.weight").T.copy()},
+            "wv": {"w": pick(pre + ".v.weight").T.copy()},
+            "wo": {"w": pick(pre + ".o.weight").T.copy()},
+        }
+
+    def ffn(pre):
+        if cfg.mlp_gated:
+            return {
+                "wg": {"w": pick(pre + ".wi_0.weight").T.copy()},
+                "wi": {"w": pick(pre + ".wi_1.weight").T.copy()},
+                "wo": {"w": pick(pre + ".wo.weight").T.copy()},
+            }
+        return {
+            "wi": {"w": pick(pre + ".wi.weight").T.copy()},
+            "wo": {"w": pick(pre + ".wo.weight").T.copy()},
+        }
+
+    enc_blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"encoder.block.{i}."
+        enc_blocks.append(
+            {
+                "ln1": {"scale": pick(pre + "layer.0.layer_norm.weight")},
+                "attn": attn(pre + "layer.0.SelfAttention"),
+                "ln2": {"scale": pick(pre + "layer.1.layer_norm.weight")},
+                "mlp": ffn(pre + "layer.1.DenseReluDense"),
+            }
+        )
+    dec_blocks = []
+    for i in range(cfg.decoder_layers):
+        pre = f"decoder.block.{i}."
+        dec_blocks.append(
+            {
+                "ln1": {"scale": pick(pre + "layer.0.layer_norm.weight")},
+                "attn": attn(pre + "layer.0.SelfAttention"),
+                "ln_cross": {"scale": pick(pre + "layer.1.layer_norm.weight")},
+                "cross_attn": attn(pre + "layer.1.EncDecAttention"),
+                "ln2": {"scale": pick(pre + "layer.2.layer_norm.weight")},
+                "mlp": ffn(pre + "layer.2.DenseReluDense"),
+            }
+        )
+    params = {
+        "tok_embed": pick("shared.weight"),
+        "enc_rel_bias": pick(
+            "encoder.block.0.layer.0.SelfAttention"
+            ".relative_attention_bias.weight"
+        ),
+        "dec_rel_bias": pick(
+            "decoder.block.0.layer.0.SelfAttention"
+            ".relative_attention_bias.weight"
+        ),
+        "enc_blocks": enc_blocks,
+        "enc_ln_f": {"scale": pick("encoder.final_layer_norm.weight")},
+        "dec_blocks": dec_blocks,
+        "dec_ln_f": {"scale": pick("decoder.final_layer_norm.weight")},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"w": pick("lm_head.weight").T.copy()}
+    return params
+
+
+def load_t5(model_dir: str):
+    """Local transformers T5/mT5 directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForSeq2SeqLM  # local only
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForSeq2SeqLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = t5_config(hf_cfg)
+    params = convert_t5(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
+def load_seq2seq_auto(model_dir: str):
+    """Local transformers seq2seq directory -> (params, ModelConfig).
+    Currently the t5/mt5 family (the only seq2seq family in the
+    reference's experiments)."""
+    from transformers import AutoConfig
+
+    model_type = getattr(AutoConfig.from_pretrained(model_dir), "model_type", "")
+    if model_type in ("t5", "mt5", "longt5"):
+        return load_t5(model_dir)
+    raise ValueError(f"unsupported seq2seq model_type {model_type!r}")

@@ -309,12 +309,13 @@ def generate_seq2seq(
     `generate` eval path, trainer.py:928-949): encode once, then scan
     decoder steps with a self-attention KV cache; cross-attention reads the
     fixed encoder output.  Returns (B, max_new_tokens) generated ids."""
-    from . import seq2seq
+    from . import seq2seq, t5
 
+    s2s = t5 if cfg.seq2seq_family == "t5" else seq2seq
     b = enc_ids.shape[0]
     if key is None:
         key = jax.random.key(0)
-    enc_out = seq2seq.encode(params, cfg, enc_ids, enc_mask)
+    enc_out = s2s.encode(params, cfg, enc_ids, enc_mask)
 
     total = max_new_tokens + 1  # slot 0 holds BOS
     cache = _make_cache(cfg, b, total, cfg.decoder_layers)
@@ -329,7 +330,7 @@ def generate_seq2seq(
         cache, tok, done, idx = carry
         pos = jnp.broadcast_to(idx[None, None], (b, 1))
         dec_mask = (jj <= idx).astype(jnp.bool_)  # (1, 1, total) broadcast
-        logits, new_cache = seq2seq.decode(
+        logits, new_cache = s2s.decode(
             params,
             cfg,
             tok[:, None],
@@ -376,12 +377,13 @@ def beam_search_seq2seq(
     dimension over the decoder scan, reorder the self-attention cache by
     parent beam each step.  Returns (B, max_new_tokens) — the best beam
     per row under HF length normalization."""
-    from . import seq2seq
+    from . import seq2seq, t5
 
+    s2s = t5 if cfg.seq2seq_family == "t5" else seq2seq
     b = enc_ids.shape[0]
     w = num_beams
     neg = -1e30
-    enc_out = seq2seq.encode(params, cfg, enc_ids, enc_mask)
+    enc_out = s2s.encode(params, cfg, enc_ids, enc_mask)
     enc_out_w = jnp.repeat(enc_out, w, axis=0)  # (B*W, T, D)
     enc_mask_w = jnp.repeat(enc_mask, w, axis=0)
 
@@ -394,7 +396,7 @@ def beam_search_seq2seq(
         dec_mask = jnp.broadcast_to(
             (jj <= idx).astype(jnp.bool_), (b * w, 1, total)
         )
-        logits, new_cache = seq2seq.decode(
+        logits, new_cache = s2s.decode(
             params, cfg, tok[:, None], enc_out_w, enc_mask_w, dec_mask,
             positions=pos, cache=cache, cache_index=idx,
         )

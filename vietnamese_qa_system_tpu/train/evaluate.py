@@ -28,6 +28,10 @@ def _loss_causal(params, cfg, batch):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _loss_seq2seq(params, cfg, batch):
+    if cfg.seq2seq_family == "t5":
+        from ..models import t5
+
+        return t5.loss_fn(params, cfg, batch)
     return seq2seq.loss_fn(params, cfg, batch)
 
 
