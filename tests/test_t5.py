@@ -245,3 +245,25 @@ def test_t5_lora_targets_apply(rng):
         np.asarray(merged["enc_blocks"][0]["attn"]["wq"]["w"]),
         np.asarray(params["enc_blocks"][0]["attn"]["wq"]["w"]),
     )
+
+
+def test_t5_export_roundtrip(tmp_path):
+    """params -> HF dir -> transformers load -> logits match the source
+    model (seq2seq side of the --convert_cpkt capability)."""
+    model, hf_cfg = _mk_hf(True, False)
+    cfg = t5_config(hf_cfg)
+    params = convert_t5(model.state_dict(), cfg)
+
+    from vietnamese_qa_system_tpu.models.convert_hf import export_t5
+
+    d = str(tmp_path / "exported")
+    export_t5(params, cfg, d)
+    reloaded = transformers.T5ForConditionalGeneration.from_pretrained(d)
+    reloaded.eval()
+
+    ids = torch.arange(10).remainder(98).reshape(2, 5) + 1
+    dec = torch.zeros((2, 3), dtype=torch.long)
+    with torch.no_grad():
+        l1 = model(input_ids=ids, decoder_input_ids=dec).logits.numpy()
+        l2 = reloaded(input_ids=ids, decoder_input_ids=dec).logits.numpy()
+    np.testing.assert_allclose(l1, l2, atol=1e-4)

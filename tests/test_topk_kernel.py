@@ -263,3 +263,66 @@ def test_turbo_tile_bucket_pair_collision_graceful(rng):
     got = set(np.asarray(i_turbo)[0].tolist())
     assert 5 in got and 600 in got and 700 in got  # bucket max + the rest
     assert 5 + 128 not in got  # the documented turbo loss
+
+
+def test_i32_index_fallback_matches_reference(rng, monkeypatch):
+    """Corpora above _F32_EXACT_N use i32 index registers; force the
+    fallback on a small corpus and check it is still exact."""
+    from vietnamese_qa_system_tpu.ops import topk as topk_mod
+
+    monkeypatch.setattr(topk_mod, "_F32_EXACT_N", 64)
+    q, c = _make(rng, 8, 1024, 64)
+    qb, cb = q.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+    for mode in ("fast", "turbo"):
+        s, i = matmul_topk(qb, cb, 10, tile_n=256, mode=mode)
+        rs, ri = matmul_topk_reference(qb, cb, 10)
+        assert i.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+@pytest.mark.parametrize("mode", ["fast", "turbo"])
+def test_partial_tile_mask_large_tile(rng, mode):
+    """tile_n > 2048 uses the per-slice partial-tile mask (the old path
+    materialized a full-width masked copy); padding rows must never win."""
+    b, n, d, k = 8, 5000, 64, 10  # pads to 8192 with tile_n=4096
+    q = rng.standard_normal((b, d), dtype=np.float32)
+    c = rng.standard_normal((n, d), dtype=np.float32)
+    # make padding adversarial: huge-norm rows just past valid_n would win
+    # any unmasked comparison
+    c[n - 1] *= 50.0
+    qb = jnp.asarray(q, jnp.bfloat16)
+    cb = jnp.asarray(c, jnp.bfloat16)
+    s, i = matmul_topk(qb, cb, k, tile_n=4096, mode=mode)
+    assert int(jnp.max(i)) < n
+    rs, ri = matmul_topk_reference(qb, cb, k)
+    if mode == "fast":
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    else:
+        overlap = np.mean(
+            [len(set(np.asarray(i)[r]) & set(np.asarray(ri)[r])) / k
+             for r in range(b)]
+        )
+        assert overlap >= 0.9
+
+
+def test_dynamic_valid_n_partial_large_tile(rng):
+    """Traced valid_n with a tile_n=4096 partial tile (streaming-ingest
+    shape: store capacity fixed, fill level dynamic)."""
+    import jax
+
+    b, cap, d, k = 8, 4096, 64, 5
+    q = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32), jnp.bfloat16)
+    c = np.zeros((cap, d), dtype=np.float32)
+    valid = 2500
+    c[:valid] = rng.standard_normal((valid, d))
+    c[valid:] = 100.0  # adversarial padding
+    cb = jnp.asarray(c, jnp.bfloat16)
+
+    @jax.jit
+    def run(q, c, vn):
+        return matmul_topk(q, c, k, tile_n=4096, valid_n=vn)
+
+    s, i = run(q, cb, jnp.int32(valid))
+    assert int(jnp.max(i)) < valid
+    rs, ri = matmul_topk_reference(q, cb, k, valid_n=valid)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))

@@ -682,12 +682,20 @@ def cmd_convert_ckpt(args) -> int:
 
         merged = dequantize_tree(merged)
     if args.format == "hf":
-        if model.arch != "causal":
-            dist_print("hf export supports causal models only", file=sys.stderr)
-            return 2
-        from ..models.convert_hf import export_causal_auto
+        if model.arch == "causal":
+            from ..models.convert_hf import export_causal_auto
 
-        export_causal_auto(merged, model, args.out_dir)
+            export_causal_auto(merged, model, args.out_dir)
+        elif model.arch == "seq2seq" and model.seq2seq_family == "t5":
+            from ..models.convert_hf import export_t5
+
+            export_t5(merged, model, args.out_dir)
+        else:
+            dist_print(
+                "hf export supports causal and t5-family seq2seq models",
+                file=sys.stderr,
+            )
+            return 2
     else:
         from ..train.checkpoint import save_pytree
 

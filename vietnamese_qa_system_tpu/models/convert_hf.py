@@ -1061,3 +1061,106 @@ def load_seq2seq_auto(model_dir: str):
     if model_type in ("t5", "mt5", "longt5"):
         return load_t5(model_dir)
     raise ValueError(f"unsupported seq2seq model_type {model_type!r}")
+
+
+def to_t5_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_t5` (transpose back to HF (out, in))."""
+    out = {}
+
+    def put(name, w):
+        out[name] = np.asarray(w, np.float32).T.copy()
+
+    def attn(pre, p):
+        for ours, theirs in (("wq", "q"), ("wk", "k"), ("wv", "v"), ("wo", "o")):
+            put(f"{pre}.{theirs}.weight", p[ours]["w"])
+
+    def ffn(pre, p):
+        if "wg" in p:
+            put(pre + ".wi_0.weight", p["wg"]["w"])
+            put(pre + ".wi_1.weight", p["wi"]["w"])
+        else:
+            put(pre + ".wi.weight", p["wi"]["w"])
+        put(pre + ".wo.weight", p["wo"]["w"])
+
+    out["shared.weight"] = np.asarray(params["tok_embed"], np.float32)
+    out["encoder.embed_tokens.weight"] = out["shared.weight"]
+    out["decoder.embed_tokens.weight"] = out["shared.weight"]
+    out[
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    ] = np.asarray(params["enc_rel_bias"], np.float32)
+    out[
+        "decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    ] = np.asarray(params["dec_rel_bias"], np.float32)
+    for i, blk in enumerate(params["enc_blocks"]):
+        pre = f"encoder.block.{i}."
+        out[pre + "layer.0.layer_norm.weight"] = np.asarray(
+            blk["ln1"]["scale"], np.float32
+        )
+        attn(pre + "layer.0.SelfAttention", blk["attn"])
+        out[pre + "layer.1.layer_norm.weight"] = np.asarray(
+            blk["ln2"]["scale"], np.float32
+        )
+        ffn(pre + "layer.1.DenseReluDense", blk["mlp"])
+    out["encoder.final_layer_norm.weight"] = np.asarray(
+        params["enc_ln_f"]["scale"], np.float32
+    )
+    for i, blk in enumerate(params["dec_blocks"]):
+        pre = f"decoder.block.{i}."
+        out[pre + "layer.0.layer_norm.weight"] = np.asarray(
+            blk["ln1"]["scale"], np.float32
+        )
+        attn(pre + "layer.0.SelfAttention", blk["attn"])
+        out[pre + "layer.1.layer_norm.weight"] = np.asarray(
+            blk["ln_cross"]["scale"], np.float32
+        )
+        attn(pre + "layer.1.EncDecAttention", blk["cross_attn"])
+        out[pre + "layer.2.layer_norm.weight"] = np.asarray(
+            blk["ln2"]["scale"], np.float32
+        )
+        ffn(pre + "layer.2.DenseReluDense", blk["mlp"])
+    out["decoder.final_layer_norm.weight"] = np.asarray(
+        params["dec_ln_f"]["scale"], np.float32
+    )
+    if "lm_head" in params:
+        out["lm_head.weight"] = np.asarray(
+            params["lm_head"]["w"], np.float32
+        ).T.copy()
+    else:
+        out["lm_head.weight"] = out["shared.weight"]
+    return out
+
+
+def export_t5(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable T5/mT5 model directory (the seq2seq
+    side of the reference's --convert_cpkt capability,
+    reference src/models/trainer.py:772-774)."""
+    import torch
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    hf_cfg = T5Config(
+        vocab_size=cfg.vocab_size,
+        d_model=cfg.d_model,
+        d_kv=cfg.head_dim,
+        d_ff=cfg.d_ff,
+        num_layers=cfg.n_layers,
+        num_decoder_layers=cfg.decoder_layers,
+        num_heads=cfg.n_heads,
+        relative_attention_num_buckets=cfg.relative_attention_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu" if cfg.mlp_gated else "relu",
+        tie_word_embeddings=cfg.tie_embeddings,
+        layer_norm_epsilon=cfg.norm_eps,
+        decoder_start_token_id=0,
+        pad_token_id=0,
+        eos_token_id=1,
+    )
+    model = T5ForConditionalGeneration(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_t5_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir

@@ -54,6 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 LANES = 128
 _BIG_I32 = 2**30  # sentinel larger than any global index
+# Largest corpus size for which every global index is exactly representable
+# in f32 (f32 integers are exact up to 2**24).  Below this the fast kernels
+# keep index registers in f32 — int32 compare/select on the VPU is measured
+# several times slower than f32 (see CLAUDE.md device notes) and the scan
+# spends half its ops on index bookkeeping.  Above it they fall back to i32.
+_F32_EXACT_N = 2**24
 
 
 def _neg(dtype):
@@ -203,17 +209,21 @@ def _final_extract(bv, bi, k: int, col):
     """k rounds of (max, locate-by-lowest-global-index, mask) over the
     concatenated (B, 512) bucket lists.  Runs ONCE, in the last grid step;
     every bucket value is an explicit column, so no second-max restore is
-    needed.  Returns (B, 128) acc_v/acc_i with the top-k in lanes [0, k)."""
+    needed.  Index registers may be f32 (idx_f32 fast path — integers are
+    exact below ``_F32_EXACT_N``) or i32.  Returns (B, 128) acc_v/acc_i
+    with the top-k in lanes [0, k)."""
     cand_v = jnp.concatenate(bv, axis=1)  # (B, 4*128)
     cand_i = jnp.concatenate(bi, axis=1)
     neg = _neg(cand_v.dtype)
+    # sentinel above any valid index; 2**29 is a power of two, exact in f32
+    big = jnp.asarray(2**29, cand_i.dtype)
     acc_v = jnp.full(bv[0].shape, neg, cand_v.dtype)
     acc_i = jnp.full(bi[0].shape, -1, cand_i.dtype)
     for r in range(k):
         m = jnp.max(cand_v, axis=1, keepdims=True)  # (B, 1)
         hit = cand_v == m
         pos = jnp.min(
-            jnp.where(hit, cand_i, _BIG_I32), axis=1, keepdims=True
+            jnp.where(hit, cand_i, big), axis=1, keepdims=True
         )  # lowest global index among ties
         chosen = hit & (cand_i == pos)
         acc_v = jnp.where(col == r, m, acc_v)
@@ -233,28 +243,33 @@ def _merge_tile(
 
     ``valid_n`` may be a python int or a traced scalar (SMEM-prefetched), so
     the store size can change without recompiling the kernel.  Fully valid
-    tiles (all but at most the last) skip the O(B*tile_n) padding mask via
-    a predicated dual path.
+    tiles (all but at most the last) skip padding masks via a predicated
+    dual path; the partial tile masks PER 128-LANE SLICE inside the scan
+    (2 extra VPU ops/slice) instead of materializing a full-width masked
+    copy — that copy was what blew VMEM at large tiles and cost ~3 ops/elem
+    on every tile of the old >2048 path.
+
+    Index registers inherit the dtype of ``bi_refs`` (f32 fast path below
+    ``_F32_EXACT_N`` rows — int32 VPU selects are measured several times
+    slower than f32 — or i32 above it).
     """
     b = scores.shape[0]
     n_slices = tile_n // LANES
-    base = t * tile_n
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+    idt = bi_refs[0].dtype
+    base = (t * tile_n).astype(idt) if idt == jnp.float32 else t * tile_n
+    # tpu.iota only produces integers on real Mosaic; cast for the f32 path
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1).astype(idt)
 
-    def merge(scores_in):
+    def merge(prep):
         if turbo:
-            m1, g1 = _scan_buckets_top1(
-                scores_in, n_slices, base, lane, slice_prep
-            )
+            m1, g1 = _scan_buckets_top1(scores, n_slices, base, lane, prep)
             bv, bi = _merge_top1_into_top4(
                 m1, g1,
                 tuple(r[:] for r in bv_refs),
                 tuple(r[:] for r in bi_refs),
             )
         else:
-            m1, g1, m2, g2 = _scan_buckets(
-                scores_in, n_slices, base, lane, slice_prep
-            )
+            m1, g1, m2, g2 = _scan_buckets(scores, n_slices, base, lane, prep)
             bv, bi = _merge_top2_into_top4(
                 m1, g1, m2, g2,
                 tuple(r[:] for r in bv_refs),
@@ -265,23 +280,22 @@ def _merge_tile(
         for r, v in zip(bi_refs, bi):
             r[:] = v
 
-    if tile_n > 2048:
-        # the duplicated dual-path body blows VMEM at large tiles (Mosaic
-        # compile failure); mask unconditionally instead
-        col_tile = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-        merge(jnp.where(col_tile + base < valid_n, scores, _neg(scores.dtype)))
-        return
-
+    prep0 = slice_prep or (lambda v, c: v)
     is_partial = base + tile_n > valid_n
+    lane_global = base + lane  # (B, 128), index dtype
 
     @pl.when(jnp.logical_not(is_partial))
     def _full():
-        merge(scores)
+        merge(prep0)
 
     @pl.when(is_partial)
     def _partial():
-        col_tile = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-        merge(jnp.where(col_tile + base < valid_n, scores, _neg(scores.dtype)))
+        def mprep(v, c):
+            vv = prep0(v, c)
+            keep = lane_global + (c * LANES) < valid_n
+            return jnp.where(keep, vv, _neg(vv.dtype))
+
+        merge(mprep)
 
 
 def _init_best(t, bv_refs, bi_refs):
@@ -302,7 +316,7 @@ def _emit(t, out_s_ref, out_i_ref, bv_refs, bi_refs, k):
             tuple(r[:] for r in bv_refs), tuple(r[:] for r in bi_refs), k, col
         )
         out_s_ref[:] = acc_v
-        out_i_ref[:] = acc_i
+        out_i_ref[:] = acc_i.astype(out_i_ref.dtype)
 
 
 def _fast_kernel_bf16(
@@ -460,10 +474,14 @@ def _exact_kernel_bf16(
 # ---------------------------------------------------------------------------
 
 
-def _fast_scratch(b):
-    """4 per-bucket value buffers + 4 index buffers (see _merge_top2_into_top4)."""
+def _fast_scratch(b, n):
+    """4 per-bucket value buffers + 4 index buffers (see _merge_top2_into_top4).
+
+    Index buffers are f32 when every global index fits exactly in f32
+    (n <= 2**24) — the scan/merge then runs entirely on f32 VPU ops."""
+    idt = jnp.float32 if n <= _F32_EXACT_N else jnp.int32
     return [pltpu.VMEM((b, LANES), jnp.float32) for _ in range(4)] + [
-        pltpu.VMEM((b, LANES), jnp.int32) for _ in range(4)
+        pltpu.VMEM((b, LANES), idt) for _ in range(4)
     ]
 
 
@@ -480,7 +498,7 @@ def _matmul_topk_bf16(queries, corpus, valid_n, *, k, tile_n, interpret, mode):
             _fast_kernel_bf16, k=k, tile_n=tile_n, turbo=(mode == "turbo")
         )
         out_k = LANES
-        scratch = _fast_scratch(b)
+        scratch = _fast_scratch(b, n)
     else:
         kernel = functools.partial(_exact_kernel_bf16, k=k, tile_n=tile_n)
         out_k = k
@@ -545,7 +563,7 @@ def _matmul_topk_int8(
             jax.ShapeDtypeStruct((b, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, LANES), jnp.int32),
         ),
-        scratch_shapes=_fast_scratch(b),
+        scratch_shapes=_fast_scratch(b, n),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n,
             bytes_accessed=n * d + b * d + 4 * (n + b),
@@ -585,7 +603,7 @@ def _matmul_topk_int8_global(
             jax.ShapeDtypeStruct((b, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, LANES), jnp.int32),
         ),
-        scratch_shapes=_fast_scratch(b),
+        scratch_shapes=_fast_scratch(b, n),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n,
             bytes_accessed=n * d + b * d,
