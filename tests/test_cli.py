@@ -103,6 +103,18 @@ def test_cli_chat_smoke(monkeypatch, capsys):
     assert "model>" in capsys.readouterr().out
 
 
+def test_cli_chat_seq2seq_smoke(monkeypatch, capsys):
+    """Chat REPL over an encoder-decoder (the reference's mt5 experiments
+    generate interactively in src/test.py): output is decoder-side new
+    tokens only, right-padded encoder input."""
+    answers = iter(["xin chào", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = main(["chat", "--arch", "seq2seq", "--max-new-tokens", "4",
+               "--max-len", "32"])
+    assert rc == 0
+    assert "model>" in capsys.readouterr().out
+
+
 def test_cli_convert_ckpt(dataset, tmp_path):
     """train with LoRA -> convert-ckpt to HF dir -> loadable by transformers."""
     raw, _ = dataset

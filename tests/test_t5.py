@@ -267,3 +267,43 @@ def test_t5_export_roundtrip(tmp_path):
         l1 = model(input_ids=ids, decoder_input_ids=dec).logits.numpy()
         l2 = reloaded(input_ids=ids, decoder_input_ids=dec).logits.numpy()
     np.testing.assert_allclose(l1, l2, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "strategy,axes",
+    [("fsdp", {"data": 8}), ("tp", {"model": 8})],
+)
+def test_t5_sharded_train_step(tmp_path, strategy, axes):
+    """T5-family training under the sharded strategies on the fake
+    8-device mesh (the reference's mt5 fine-tune ran under accelerate
+    strategies; here the same pytree rules cover the t5 leaf names)."""
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+    from vietnamese_qa_system_tpu.train import TrainConfig, Trainer
+
+    mcfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=64, d_model=32,
+        n_heads=2, d_kv=16, n_layers=1, n_decoder_layers=1, d_ff=64,
+        mlp_gated=True, tie_embeddings=False, relative_attention_buckets=8,
+        attention_bias=False,
+    )
+    cfg = TrainConfig(
+        model=mcfg, lr=1e-3, epochs=1, strategy=strategy, mesh_axes=axes,
+        grad_accum=1, log_dir=str(tmp_path),
+    )
+    trainer = Trainer(cfg, total_steps=2)
+    rng_np = np.random.default_rng(0)
+
+    def batches():
+        for _ in range(2):
+            yield {
+                "input_ids": rng_np.integers(2, 64, (8, 12)).astype(np.int32),
+                "attention_mask": np.ones((8, 12), np.int32),
+                "labels": rng_np.integers(2, 64, (8, 8)).astype(np.int32),
+            }
+
+    state = trainer.fit(batches)
+    assert int(state["step"]) == 2
+    assert all(
+        np.isfinite(np.asarray(x)).all()
+        for x in jax.tree.leaves(state["params"])
+    )

@@ -610,33 +610,27 @@ def cmd_chat(args) -> int:
         if not text:
             break
         prompt = f"{QUESTION_PREFIX}\n{text}\n\n{RESPONSE_PREFIX}\n"
-        ids, mask = batch_encode(tok, [prompt], args.max_len, pad_side="left")
-        if args.num_beams > 1:
-            out = gen_mod.beam_search(
-                params,
-                model,
-                np.asarray(ids),
-                np.asarray(mask),
-                max_new_tokens=args.max_new_tokens,
-                num_beams=args.num_beams,
-                eos_id=tok.eos_id,
-            )
-        else:
-            out = gen_mod.generate(
-                params,
-                model,
-                np.asarray(ids),
-                np.asarray(mask),
-                max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature,
-                eos_id=tok.eos_id,
-            )
+        # seq2seq encoders take right-padded inputs; causal decode needs
+        # left padding so generation continues from the prompt's last token
+        pad_side = "right" if model.arch == "seq2seq" else "left"
+        ids, mask = batch_encode(tok, [prompt], args.max_len, pad_side=pad_side)
+        gen = gen_mod.GenerationConfig(
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature,
+            num_beams=args.num_beams,
+        )
+        out = gen_mod.generate_with_config(
+            params, model, np.asarray(ids), np.asarray(mask), gen,
+            eos_id=tok.eos_id,
+        )
+        # causal output includes the prompt; seq2seq output is new tokens
+        new_tokens = (
+            np.asarray(out)[0]
+            if model.arch == "seq2seq"
+            else np.asarray(out)[0, ids.shape[1]:]
+        )
         completion = tok.decode(
-            [
-                t
-                for t in np.asarray(out)[0, ids.shape[1]:]
-                if t not in (tok.pad_id, tok.eos_id)
-            ]
+            [t for t in new_tokens if t not in (tok.pad_id, tok.eos_id)]
         )
         print(f"model> {completion}")
     return 0
@@ -799,9 +793,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")
-    pc.add_argument("--arch", choices=["causal"], default="causal")
+    pc.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pc.add_argument("--model-size", default="tiny",
-                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"])
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
+                             "mt5small", "seq2seq-small"])
     pc.add_argument("--model-config", default=None)
     pc.add_argument("--init-params", default=None)
     pc.add_argument("--tokenizer", default="byte")
