@@ -253,3 +253,37 @@ def test_dual_retriever_end_to_end(rng):
     assert out[1] is not None and out[1].id == 8
     # both encoders score self-retrieval ~1.0 -> sum ~2.0 > threshold
     assert out[0].score > 1.5
+
+
+def test_qa_pipeline_seq2seq_reader(rng):
+    """QAPipeline with a T5-family encoder-decoder reader (the reference's
+    mt5 reader experiments, src/test.py:106-147): right-padded encoder
+    input, decoder-side-only answers."""
+    from vietnamese_qa_system_tpu.engine import IngestPipeline, QAPipeline
+    from vietnamese_qa_system_tpu.models import t5
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+
+    enc_cfg = tiny_test("encoder")
+    enc_params = encoder.init_encoder(jax.random.key(0), enc_cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(512, enc_cfg.d_model, tile_n=128)
+    docstore = DocStore()
+    pipe = IngestPipeline(enc_params, enc_cfg, tok, store, docstore,
+                          batch_size=8, max_len=48)
+    docs = [f"tài liệu {i}: nội dung {i}" for i in range(8)]
+    pipe.add_texts(docs)
+    retriever = Retriever(enc_params, enc_cfg, tok, store, docstore,
+                          max_len=48, query_batch=8)
+
+    reader_cfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=512, d_model=32,
+        n_heads=2, d_kv=8, n_layers=1, n_decoder_layers=1, d_ff=64,
+        mlp_gated=True, tie_embeddings=False, relative_attention_buckets=8,
+        attention_bias=False,
+    )
+    reader_params = t5.init_t5(jax.random.key(1), reader_cfg)
+    qa = QAPipeline(retriever, reader_params, reader_cfg, tok,
+                    k=2, min_score=0.2, max_prompt_len=128, max_new_tokens=4)
+    out = qa.answer([docs[3]])
+    assert len(out) == 1 and not out[0].refused
+    assert out[0].answer is not None

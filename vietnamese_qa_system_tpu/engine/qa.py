@@ -101,27 +101,38 @@ class QAPipeline:
 
         live = [i for i, p in enumerate(prompts) if p is not None]
         if live:
+            # seq2seq readers (the reference's mt5 experiments,
+            # reference src/test.py:106-147) encode right-padded and emit
+            # decoder-side tokens only; causal readers continue the prompt
+            is_s2s = self.cfg.arch == "seq2seq"
             ids, mask = batch_encode(
                 self.tok,
                 [prompts[i] for i in live],
                 self.max_prompt_len,
-                pad_side="left",
+                pad_side="right" if is_s2s else "left",
             )
-            out = gen_mod.generate(
+            out = gen_mod.generate_with_config(
                 self.params,
                 self.cfg,
                 np.asarray(ids),
                 np.asarray(mask),
-                max_new_tokens=self.max_new_tokens,
-                temperature=self.temperature,
+                gen_mod.GenerationConfig(
+                    max_new_tokens=self.max_new_tokens,
+                    temperature=self.temperature,
+                ),
                 eos_id=self.tok.eos_id,
             )
             out = np.asarray(out)
             for row_idx, i in enumerate(live):
+                new_tokens = (
+                    out[row_idx]
+                    if is_s2s
+                    else out[row_idx, ids.shape[1]:]
+                )
                 completion = self.tok.decode(
                     [
                         t
-                        for t in out[row_idx, ids.shape[1]:]
+                        for t in new_tokens
                         if t not in (self.tok.pad_id, self.tok.eos_id)
                     ]
                 )
