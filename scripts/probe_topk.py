@@ -85,12 +85,11 @@ def main() -> None:
 
             out_ref[:] = jnp.maximum(out_ref[:], red.astype(jnp.float32))
 
-        @jax.jit
-        def one(qb):
+        def call(qb, corpus_in, scales_in):
             qq = qb if args.quant == "bf16" else jnp.clip(
                 jnp.round(qb.astype(jnp.float32) * 16), -127, 127
             ).astype(jnp.int8)
-            return pl.pallas_call(
+            o = pl.pallas_call(
                 functools.partial(mm_kernel, tile_n=TILE),
                 grid=(N // TILE,),
                 in_specs=[
@@ -99,35 +98,35 @@ def main() -> None:
                 ],
                 out_specs=pl.BlockSpec((B, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            )(qq, corpus)
-
-        def call(qb):
-            o = one(qb)
+            )(qq, corpus_in)
             return o[0, 0], o[0, 0]
     else:
-        def call(qb):
-            s, i = matmul_topk(qb, corpus, K, corpus_scales=scales,
+        def call(qb, corpus_in, scales_in):
+            s, i = matmul_topk(qb, corpus_in, K, corpus_scales=scales_in,
                                tile_n=TILE, mode=args.mode)
             return s[0, 0], i[0, 0]
 
     reps = args.reps
     qs = jax.random.normal(jax.random.key(7), (reps, B, D), jnp.bfloat16)
 
+    # corpus/scales MUST be jit ARGUMENTS: a closed-over jax array is baked
+    # into the program as a constant and ships the whole index through the
+    # remote-compile request (HTTP 413 / multi-minute uploads).
     @jax.jit
-    def run_many(qs):
+    def run_many(qs, corpus_in, scales_in):
         def body(_, qb):
-            return 0, call(qb)
+            return 0, call(qb, corpus_in, scales_in)
 
         _, outs = jax.lax.scan(body, 0, qs)
         return outs
 
     t0 = time.perf_counter()
-    np.asarray(run_many(qs)[0])
+    np.asarray(run_many(qs, corpus, scales)[0])
     compile_s = time.perf_counter() - t0
     dt = float("inf")
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        out = run_many(qs)
+        out = run_many(qs, corpus, scales)
         np.asarray(out[0])
         dt = min(dt, (time.perf_counter() - t0) / reps)
 
@@ -147,13 +146,13 @@ def main() -> None:
                              tile_n=TILE, mode=args.mode)
 
         @jax.jit
-        def rank_counts(q_o, ids):
+        def rank_counts(q_o, ids, corpus_in):
             scores = jnp.einsum("bd,nd->bn", q_o.astype(jnp.float32),
-                                corpus_f.astype(jnp.float32))
+                                corpus_in.astype(jnp.float32))
             true_s = jnp.take_along_axis(scores, ids, axis=1)
             return jnp.sum(scores[:, :, None] > true_s[:, None, :], axis=1)
 
-        counts = np.asarray(rank_counts(q[:n_oracle], ids))
+        counts = np.asarray(rank_counts(q[:n_oracle], ids, corpus_f))
         rec["recall_at_k"] = round(float(np.mean(counts < K)), 4)
 
     line = json.dumps(rec)

@@ -62,6 +62,37 @@ def test_cli_train_smoke(dataset, tmp_path):
     assert (tmp_path / "ckpt").exists()
 
 
+def test_cli_train_seq2seq_t5_smoke(dataset, tmp_path):
+    """End-to-end CLI training of the t5-family seq2seq arch (the
+    reference's SEQ_2_SEQ_LM task type) over parsed data."""
+    raw, _ = dataset
+    parsed = tmp_path / "p"
+    main(["parse", "--parser", "alpaca", "--input", str(raw),
+          "--output-dir", str(parsed)])
+    import json as _json
+    mcfg_path = tmp_path / "t5.json"
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+    mcfg_path.write_text(ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=512, d_model=32,
+        n_heads=2, d_kv=8, n_layers=1, n_decoder_layers=1, d_ff=64,
+        mlp_gated=True, tie_embeddings=False,
+        relative_attention_buckets=8, attention_bias=False,
+    ).to_json())
+    rc = main(
+        [
+            "train", "--arch", "seq2seq",
+            "--model-config", str(mcfg_path),
+            "--train-files", str(parsed / "AlpacaParser.jsonl"),
+            "--epochs", "1", "--batch-size", "4", "--max-steps", "2",
+            "--max-len", "128", "--use-lora",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--mesh", '{"data": 1}',
+        ]
+    )
+    assert rc == 0
+
+
 def test_cli_train_no_data(tmp_path):
     rc = main(["train", "--log-dir", str(tmp_path), "--mesh", '{"data": 1}'])
     assert rc == 2
