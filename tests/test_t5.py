@@ -307,3 +307,28 @@ def test_t5_sharded_train_step(tmp_path, strategy, axes):
         np.isfinite(np.asarray(x)).all()
         for x in jax.tree.leaves(state["params"])
     )
+
+
+def test_t5_quantized_base(rng):
+    """QLoRA-style int8 base over the t5 pytree: quantized forward stays
+    close to the f32 base (the reference quantizes whatever model the
+    task loads, including its mt5 experiments)."""
+    from vietnamese_qa_system_tpu.models.quantize import quantize_dense_tree
+
+    model, hf_cfg = _mk_hf(True, False)
+    cfg = t5_config(hf_cfg)
+    params = convert_t5(model.state_dict(), cfg)
+    qparams = quantize_dense_tree(params, mode="int8")
+    enc, enc_mask, dec = _batch(rng, b=2)
+    batch = {
+        "input_ids": jnp.asarray(enc),
+        "attention_mask": jnp.asarray(enc_mask),
+        "decoder_input_ids": jnp.asarray(dec),
+    }
+    base = np.asarray(t5.forward(params, cfg, batch))
+    quant = np.asarray(t5.forward(qparams, cfg, batch))
+    # int8 block quant noise on top of bf16; logits magnitude ~15
+    assert np.quantile(np.abs(base - quant), 0.99) < 1.0
+    # ranking preserved for the argmax token on most positions
+    agree = np.mean(base.argmax(-1) == quant.argmax(-1))
+    assert agree > 0.9, agree

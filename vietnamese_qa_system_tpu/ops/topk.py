@@ -61,6 +61,12 @@ _BIG_I32 = 2**30  # sentinel larger than any global index
 # spends half its ops on index bookkeeping.  Above it they fall back to i32.
 _F32_EXACT_N = 2**24
 
+# Perf-experiment knob: 1 (default) = predicated full/partial dual path;
+# 0 = per-slice mask on every tile (no pl.when branches in the tile body).
+import os as _os
+
+DUAL_PATH = _os.environ.get("VQA_TOPK_DUAL_PATH", "1") != "0"
+
 
 def _neg(dtype):
     """Smallest representable value for f32/int32 score dtypes."""
@@ -281,8 +287,21 @@ def _merge_tile(
             r[:] = v
 
     prep0 = slice_prep or (lambda v, c: v)
-    is_partial = base + tile_n > valid_n
     lane_global = base + lane  # (B, 128), index dtype
+
+    def mprep(v, c):
+        vv = prep0(v, c)
+        keep = lane_global + (c * LANES) < valid_n
+        return jnp.where(keep, vv, _neg(vv.dtype))
+
+    if not DUAL_PATH:
+        # experiment knob (VQA_TOPK_DUAL_PATH=0): mask every tile per
+        # slice, no predicated branches — isolates pl.when's effect on
+        # Mosaic's DMA/compute pipelining
+        merge(mprep)
+        return
+
+    is_partial = base + tile_n > valid_n
 
     @pl.when(jnp.logical_not(is_partial))
     def _full():
@@ -290,11 +309,6 @@ def _merge_tile(
 
     @pl.when(is_partial)
     def _partial():
-        def mprep(v, c):
-            vv = prep0(v, c)
-            keep = lane_global + (c * LANES) < valid_n
-            return jnp.where(keep, vv, _neg(vv.dtype))
-
         merge(mprep)
 
 
