@@ -30,6 +30,11 @@ def main() -> None:
     B, D, K = 256, 768, 10
     N = 1024 * 1024
     TILE = 2048
+    # turbo = top-1-per-lane-bucket scan (ops/topk.py): ~12% faster than
+    # mode="fast" same-process, measured recall@10 = 1.000 on this corpus
+    # (the metric name carries the measured recall; the rank-counting
+    # oracle below is independent of the kernel)
+    MODE = "turbo"
 
     kq, kc = jax.random.split(jax.random.key(0))
     q = jax.random.normal(kq, (B, D), jnp.bfloat16)
@@ -46,7 +51,7 @@ def main() -> None:
     @jax.jit
     def run_many(qs, corpus):
         def body(_, qb):
-            s, i = matmul_topk(qb, corpus, K, tile_n=TILE)
+            s, i = matmul_topk(qb, corpus, K, tile_n=TILE, mode=MODE)
             return 0, (s[0, 0], i[0, 0])
 
         _, outs = jax.lax.scan(body, 0, qs)
@@ -69,7 +74,7 @@ def main() -> None:
     # O(N*K) memory-light (a full lax.top_k sort at 1M compiles for
     # minutes; counting does not).
     n_oracle = 64
-    _, ids = matmul_topk(q[:n_oracle], corpus, K, tile_n=TILE)
+    _, ids = matmul_topk(q[:n_oracle], corpus, K, tile_n=TILE, mode=MODE)
 
     @jax.jit
     def rank_counts(q_o, corpus, ids):

@@ -1,0 +1,112 @@
+"""Training-step throughput probe on the real chip (tokens/s headline).
+
+One config per process. Steps run inside ONE lax.scan dispatch over a
+static batch (the tunnel adds ~1.3-1.8 ms per separate dispatch); data is
+generated on device; only a scalar loss is fetched.
+
+Usage:
+  python scripts/probe_train.py --preset gpt125m --batch 8 --seq 1024
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="gpt125m",
+                    choices=["gpt125m", "gptneo125m", "pythia410m", "tiny"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--out", default="/tmp/probe_train.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vietnamese_qa_system_tpu.models import config as mcfg
+    from vietnamese_qa_system_tpu.models import causal_lm
+
+    cfg = {
+        "gpt125m": mcfg.gpt_125m_class,
+        "gptneo125m": mcfg.gpt_neo_125m,
+        "pythia410m": mcfg.pythia_410m_class,
+        "tiny": mcfg.tiny_test,
+    }[args.preset]()
+
+    B, T = args.batch, args.seq
+    key = jax.random.key(0)
+    params = causal_lm.init_causal_lm(key, cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    tx = optax.adamw(1e-4)
+    opt = tx.init(params)
+
+    def loss_fn(p, batch):
+        loss, n = causal_lm.loss_fn(p, cfg, batch)
+        return loss
+
+    if not args.no_remat:
+        loss_fn = jax.checkpoint(loss_fn)
+
+    def one_step(carry, batch):
+        p, o = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, batch)
+        upd, o = tx.update(g, o, p)
+        p = optax.apply_updates(p, upd)
+        return (p, o), loss
+
+    @jax.jit
+    def run_steps(p, o, ids):
+        batches = {
+            "input_ids": ids,
+            "attention_mask": jnp.ones_like(ids),
+            "labels": ids,
+        }
+        (p, o), losses = jax.lax.scan(one_step, (p, o), batches)
+        return p, o, losses[-1]
+
+    ids = jax.random.randint(
+        jax.random.key(1), (args.steps, B, T), 0, cfg.vocab_size, jnp.int32
+    )
+    t0 = time.perf_counter()
+    params, opt, last = run_steps(params, opt, ids)
+    np.asarray(last)
+    compile_s = time.perf_counter() - t0
+
+    dt = float("inf")
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        params, opt, last = run_steps(params, opt, ids)
+        np.asarray(last)
+        dt = min(dt, (time.perf_counter() - t0) / args.steps)
+
+    tokens = B * T
+    rec = {
+        "preset": args.preset, "batch": B, "seq": T,
+        "remat": not args.no_remat,
+        "ms_per_step": round(dt * 1e3, 2),
+        "tokens_per_s": round(tokens / dt, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": float(np.asarray(last)),
+        "backend": jax.default_backend(),
+    }
+    line = json.dumps(rec)
+    print(line)
+    with open(args.out, "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
