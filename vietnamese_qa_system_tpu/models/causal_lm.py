@@ -81,7 +81,7 @@ def _window_mask(q_slots, k_slots, window: int):
     return (q_slots[:, None] - k_slots[None, :]) < window
 
 
-def forward(
+def hidden_states(
     params,
     cfg: ModelConfig,
     ids,
@@ -91,10 +91,13 @@ def forward(
     cache=None,
     cache_index=None,
 ):
-    """ids (B, T) → logits (B, T, V) fp32.
+    """ids (B, T) → final-layernorm hidden states (B, T, D) fp32 (the LM
+    head is applied by :func:`forward`, or streamed chunk-wise by the
+    training loss — see ops/xent.py).
 
     With ``cache`` (KV dict per layer, see models/generate.py) the mask must
-    cover the cache length; used for autoregressive decode.
+    cover the cache length and ``(x, new_caches)`` is returned; used for
+    autoregressive decode.
     """
     b, t = ids.shape
     if positions is None:
@@ -166,17 +169,47 @@ def forward(
             new_caches.append(nc)
 
     x = layernorm(params["ln_f"], x, cfg.norm_eps)
-    if cfg.tie_embeddings:
-        logits = jnp.dot(
-            x.astype(jnp.bfloat16),
-            params["tok_embed"].T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        from .layers import dense
+    if cache is not None:
+        return x, new_caches
+    return x
 
-        logits = dense(params["lm_head"], x)
+
+def _head_weight(params, cfg: ModelConfig):
+    """(D, V) classifier matrix: embedding transpose for tied heads."""
+    if cfg.tie_embeddings:
+        return params["tok_embed"].T
+    return params["lm_head"]["w"]
+
+
+def forward(
+    params,
+    cfg: ModelConfig,
+    ids,
+    attn_mask=None,
+    *,
+    positions=None,
+    cache=None,
+    cache_index=None,
+):
+    """ids (B, T) → logits (B, T, V) fp32 (hidden_states + LM head)."""
+    out = hidden_states(
+        params, cfg, ids, attn_mask,
+        positions=positions, cache=cache, cache_index=cache_index,
+    )
+    x, new_caches = out if cache is not None else (out, None)
+    logits = jnp.dot(
+        x.astype(jnp.bfloat16),
+        _head_weight(params, cfg).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     return (logits, new_caches) if cache is not None else logits
+
+
+# Vocabularies at least this large take the chunked streaming loss
+# (ops/xent.py): the (B*T, V) fp32 logits of the naive path are ~1.6 GB
+# per step for the gpt-125m preset — pure HBM traffic on the TPU's usual
+# bottleneck.  Small test vocabularies keep the simple path.
+CHUNKED_XENT_MIN_VOCAB = 16384
 
 
 def loss_fn(params, cfg: ModelConfig, batch):
@@ -186,10 +219,23 @@ def loss_fn(params, cfg: ModelConfig, batch):
     Labels use the reference's convention: IGNORE_INDEX (-100) positions
     (padding + prompt tokens under completion-only masking) are excluded.
     Returns (mean_loss, n_target_tokens).
+
+    Real-vocabulary models stream the classifier in chunks so full logits
+    never materialize (ops/xent.py); the paths are numerically equivalent
+    (tested to 1e-5 on loss and grads).
     """
+    labels = batch["labels"][:, 1:]
+    if cfg.vocab_size >= CHUNKED_XENT_MIN_VOCAB:
+        from ..ops.xent import masked_mean_xent
+
+        h = hidden_states(
+            params, cfg, batch["input_ids"], batch.get("attention_mask")
+        )
+        return masked_mean_xent(
+            h[:, :-1], _head_weight(params, cfg), labels, IGNORE_INDEX
+        )
     logits = forward(params, cfg, batch["input_ids"], batch.get("attention_mask"))
     logits = logits[:, :-1]
-    labels = batch["labels"][:, 1:]
     valid = labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -70,6 +70,7 @@ def decode(
     positions=None,
     cache=None,
     cache_index=None,
+    hidden_only: bool = False,
 ):
     b, t = dec_ids.shape
     if positions is None:
@@ -101,6 +102,8 @@ def decode(
             )
             new_caches.append(nc)
     x = layernorm(params["dec_ln_f"], x, cfg.norm_eps)
+    if hidden_only:
+        return (x, new_caches) if cache is not None else x
     logits = jnp.dot(
         x.astype(jnp.bfloat16),
         params["tok_embed"].T.astype(jnp.bfloat16),
@@ -125,20 +128,27 @@ def loss_fn(params, cfg: ModelConfig, batch):
     """Seq2seq cross-entropy.  Decoder inputs are the labels shifted right
     (teacher forcing); -100 labels are excluded — the convention of the
     reference's DataCollatorForSeq2Seq path (reference
-    src/data/dataloader.py:513)."""
+    src/data/dataloader.py:513).  Real vocabularies stream the tied LM
+    head chunk-wise (ops/xent.py) so full logits never materialize."""
     labels = batch["labels"]
     start = jnp.zeros_like(labels[:, :1])  # BOS = 0 by convention
     dec_in = jnp.concatenate([start, jnp.where(labels == IGNORE_INDEX, 0, labels)[:, :-1]], axis=1)
     dec_mask = (labels != IGNORE_INDEX).astype(jnp.int32)
-    logits = forward(
-        params,
-        cfg,
-        {
-            "input_ids": batch["input_ids"],
-            "attention_mask": batch["attention_mask"],
-            "decoder_input_ids": dec_in,
-            "decoder_attention_mask": dec_mask,
-        },
+    enc_out = encode(params, cfg, batch["input_ids"], batch["attention_mask"])
+    from .causal_lm import CHUNKED_XENT_MIN_VOCAB
+
+    if cfg.vocab_size >= CHUNKED_XENT_MIN_VOCAB:
+        from ..ops.xent import masked_mean_xent
+
+        h = decode(
+            params, cfg, dec_in, enc_out, batch["attention_mask"], dec_mask,
+            hidden_only=True,
+        )
+        return masked_mean_xent(
+            h, params["tok_embed"].T, labels, IGNORE_INDEX
+        )
+    logits = decode(
+        params, cfg, dec_in, enc_out, batch["attention_mask"], dec_mask
     )
     valid = labels != IGNORE_INDEX
     safe = jnp.where(valid, labels, 0)

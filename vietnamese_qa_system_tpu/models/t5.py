@@ -209,10 +209,12 @@ def decode(
     positions=None,
     cache=None,
     cache_index=None,
+    hidden_only: bool = False,
 ):
     """Same signature/contract as :func:`seq2seq.decode` so the shared
     generation/beam-search drivers (models/generate.py) dispatch on the
-    config's family without branching on call shape."""
+    config's family without branching on call shape.  ``hidden_only``
+    skips the LM head (the chunked training loss streams it instead)."""
     b, t = dec_ids.shape
     x = params["tok_embed"][dec_ids]
     cross_mask = jnp.broadcast_to(
@@ -264,6 +266,8 @@ def decode(
             x = x + _ffn(p_blk["mlp"], layernorm(p_blk["ln2"], x, cfg.norm_eps), cfg)
             new_caches.append(nc)
     x = layernorm(params["dec_ln_f"], x, cfg.norm_eps)
+    if hidden_only:
+        return (x, new_caches) if cache is not None else x
     logits = _logits(params, cfg, x)
     return (logits, new_caches) if cache is not None else logits
 
@@ -282,22 +286,34 @@ def forward(params, cfg: ModelConfig, batch):
 
 def loss_fn(params, cfg: ModelConfig, batch):
     """Identical convention to seq2seq.loss_fn (shift-right with start=0 =
-    T5's decoder_start_token_id=pad, -100 ignored)."""
+    T5's decoder_start_token_id=pad, -100 ignored).
+
+    Real (mt5-sized, V=250k) vocabularies stream the LM head chunk-wise
+    so full logits never materialize (ops/xent.py)."""
+    from .causal_lm import CHUNKED_XENT_MIN_VOCAB
+
     labels = batch["labels"]
     start = jnp.zeros_like(labels[:, :1])
     dec_in = jnp.concatenate(
         [start, jnp.where(labels == IGNORE_INDEX, 0, labels)[:, :-1]], axis=1
     )
     dec_mask = (labels != IGNORE_INDEX).astype(jnp.int32)
-    logits = forward(
-        params,
-        cfg,
-        {
-            "input_ids": batch["input_ids"],
-            "attention_mask": batch["attention_mask"],
-            "decoder_input_ids": dec_in,
-            "decoder_attention_mask": dec_mask,
-        },
+    enc_out = encode(params, cfg, batch["input_ids"], batch["attention_mask"])
+    if cfg.vocab_size >= CHUNKED_XENT_MIN_VOCAB:
+        from ..ops.xent import masked_mean_xent
+
+        h = decode(
+            params, cfg, dec_in, enc_out, batch["attention_mask"], dec_mask,
+            hidden_only=True,
+        )
+        if "lm_head" in params:
+            w = params["lm_head"]["w"]
+        else:
+            h = h * (cfg.d_model ** -0.5)
+            w = params["tok_embed"].T
+        return masked_mean_xent(h, w, labels, IGNORE_INDEX)
+    logits = decode(
+        params, cfg, dec_in, enc_out, batch["attention_mask"], dec_mask
     )
     valid = labels != IGNORE_INDEX
     safe = jnp.where(valid, labels, 0)

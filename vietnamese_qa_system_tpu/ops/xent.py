@@ -1,0 +1,157 @@
+"""Chunked softmax cross-entropy: the (M, V) logits never touch HBM.
+
+The naive training loss materializes fp32 logits of shape (B*T, V) —
+1.65 GB per step for a 125M model at B=8, T=1024, V=50k — then reads them
+back for log-softmax, and the backward writes/reads d_logits of the same
+size.  On TPU that traffic is pure HBM cost on the usual bottleneck.
+
+This op streams the vocabulary in chunks with an ONLINE logsumexp
+(flash-attention's trick applied to the classifier): per chunk, the
+(M, chunk) logit block is produced by an MXU matmul and immediately
+reduced (running max / sum-exp / target-logit pick) — XLA fuses the
+matmul+reduce inside the scan body, so only O(M) state and the streamed
+weight columns move through HBM.  The backward recomputes each chunk's
+softmax from the saved (M,) logsumexp and accumulates dH and dW without a
+full d_logits either (custom VJP below).
+
+Replaces the hottest part of the reference's fine-tune step (the HF
+CausalLM/Seq2SeqLM loss, reference src/models/trainer.py:802-805 computes
+full-vocab logits then CE) with a TPU-roofline-aware equivalent.
+
+Exactness: identical math to log_softmax + take_along_axis (same bf16
+matmul inputs, fp32 accumulation) up to fp32 reduction order; tests
+compare loss AND grads to the naive path at 1e-5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_w(w, chunk: int):
+    d, v = w.shape
+    v_pad = _round_up(v, chunk)
+    if v_pad != v:
+        w = jnp.pad(w, ((0, 0), (0, v_pad - v)))
+    return w, v_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chunked_xent(h, w, targets, chunk: int = 4096):
+    """Per-token negative log-likelihood, vocabulary streamed in chunks.
+
+    h: (M, D) hidden states (any float dtype; matmuls run bf16/f32-accum).
+    w: (D, V) classifier — ``tok_embed.T`` for tied heads.
+    targets: (M,) int32 in [0, V).
+    chunk: vocab tile width (multiple of 128; W is zero-padded to it).
+
+    Returns nll (M,) fp32.  Invalid positions should be masked by the
+    CALLER (pass any in-range target, e.g. 0, and drop the output).
+    """
+    nll, _ = _xent_fwd_impl(h, w, targets, chunk)
+    return nll
+
+
+def _xent_fwd_impl(h, w, targets, chunk):
+    m_rows, d = h.shape
+    v = w.shape[1]
+    wp, v_pad = _pad_w(w, chunk)
+    n_chunks = v_pad // chunk
+    hb = h.astype(jnp.bfloat16)
+
+    def body(carry, ci):
+        m, s, tl = carry
+        wc = jax.lax.dynamic_slice(wp, (0, ci * chunk), (d, chunk))
+        lc = jnp.dot(
+            hb, wc.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )  # (M, chunk)
+        col = ci * chunk + jnp.arange(chunk)
+        lc = jnp.where(col[None, :] < v, lc, NEG_INF)
+        mc = jnp.max(lc, axis=1)
+        m_new = jnp.maximum(m, mc)
+        s = s * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(lc - m_new[:, None]), axis=1
+        )
+        tloc = targets - ci * chunk
+        hit = (tloc >= 0) & (tloc < chunk)
+        tl_c = jnp.take_along_axis(
+            lc, jnp.clip(tloc, 0, chunk - 1)[:, None], axis=1
+        )[:, 0]
+        tl = jnp.where(hit, tl_c, tl)
+        return (m_new, s, tl), None
+
+    init = (
+        jnp.full((m_rows,), NEG_INF, jnp.float32),
+        jnp.zeros((m_rows,), jnp.float32),
+        jnp.zeros((m_rows,), jnp.float32),
+    )
+    (m, s, tl), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    lse = m + jnp.log(s)
+    return lse - tl, lse
+
+
+def _xent_fwd(h, w, targets, chunk):
+    nll, lse = _xent_fwd_impl(h, w, targets, chunk)
+    return nll, (h, w, targets, lse)
+
+
+def _xent_bwd(chunk, res, g):
+    h, w, targets, lse = res
+    m_rows, d = h.shape
+    v = w.shape[1]
+    wp, v_pad = _pad_w(w, chunk)
+    n_chunks = v_pad // chunk
+    hb = h.astype(jnp.bfloat16)
+    gb = g.astype(jnp.float32)
+
+    def body(dh, ci):
+        wc = jax.lax.dynamic_slice(wp, (0, ci * chunk), (d, chunk))
+        lc = jnp.dot(
+            hb, wc.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        col = ci * chunk + jnp.arange(chunk)
+        p = jnp.exp(lc - lse[:, None])
+        p = jnp.where(col[None, :] < v, p, 0.0)
+        onehot = (col[None, :] == targets[:, None]).astype(jnp.float32)
+        dl = (p - onehot) * gb[:, None]  # (M, chunk) d_logits, never stored
+        dlb = dl.astype(jnp.bfloat16)
+        dh = dh + jnp.dot(
+            dlb, wc.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
+        )
+        dwc = jnp.dot(hb.T, dlb, preferred_element_type=jnp.float32)
+        return dh, dwc
+
+    dh0 = jnp.zeros((m_rows, d), jnp.float32)
+    dh, dwcs = jax.lax.scan(body, dh0, jnp.arange(n_chunks))
+    dw = jnp.transpose(dwcs, (1, 0, 2)).reshape(d, v_pad)[:, :v]
+    return dh.astype(h.dtype), dw.astype(w.dtype), None
+
+
+chunked_xent.defvjp(_xent_fwd, _xent_bwd)
+
+
+def masked_mean_xent(h, w, labels, ignore_index: int = -100, chunk: int = 4096):
+    """Mean NLL over positions where ``labels != ignore_index``.
+
+    h: (B, T, D) hidden states ALIGNED with labels (B, T) — the caller
+    does any shift-by-one.  Returns (mean_loss, n_valid) like the naive
+    model loss_fns.
+    """
+    b, t, d = h.shape
+    hm = h.reshape(b * t, d)
+    lab = labels.reshape(b * t)
+    valid = lab != ignore_index
+    safe = jnp.where(valid, lab, 0)
+    nll = chunked_xent(hm, w, safe, chunk)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n
+    return loss, n
