@@ -148,3 +148,40 @@ def test_seq2seq_chunked_loss_equals_naive(rng, monkeypatch, family):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b2), atol=2e-3, rtol=2e-2
         )
+
+
+@pytest.mark.parametrize(
+    "strategy,axes",
+    [("fsdp", {"data": 8}), ("tp", {"model": 8})],
+)
+def test_chunked_loss_sharded_train_step(tmp_path, strategy, axes, monkeypatch):
+    """Chunked xent under GSPMD: the vocab-chunk dynamic_slice runs over a
+    SHARDED classifier (tp shards tok_embed on the vocab dim) — one real
+    train step per strategy on the 8-device mesh."""
+    from vietnamese_qa_system_tpu.models import causal_lm
+    from vietnamese_qa_system_tpu.models.config import tiny_test
+    from vietnamese_qa_system_tpu.train import TrainConfig, Trainer
+
+    monkeypatch.setattr(causal_lm, "CHUNKED_XENT_MIN_VOCAB", 1)
+    cfg = TrainConfig(
+        model=tiny_test("causal"), lr=1e-3, epochs=1, strategy=strategy,
+        mesh_axes=axes, grad_accum=1, log_dir=str(tmp_path),
+    )
+    trainer = Trainer(cfg, total_steps=2)
+    rng_np = np.random.default_rng(0)
+
+    def batches():
+        for _ in range(2):
+            ids = rng_np.integers(0, 512, (8, 32)).astype(np.int32)
+            yield {
+                "input_ids": ids,
+                "attention_mask": np.ones((8, 32), np.int32),
+                "labels": ids,
+            }
+
+    state = trainer.fit(batches)
+    assert int(state["step"]) == 2
+    assert all(
+        np.isfinite(np.asarray(x)).all()
+        for x in jax.tree.leaves(state["params"])
+    )
