@@ -145,3 +145,67 @@ def test_hybrid_fetches_docs_and_obeys_weight_1():
     retr.hybrid_weight = 1.0
     out2 = retr.search([docs[4]], k=2)[0]
     assert out2[0].id == 4
+
+
+def test_native_bm25_matches_python(rng):
+    """native/bm25.cpp vs the pure-Python scoring loop: same doubles
+    term-for-term, accumulation order aside (~1e-12)."""
+    import numpy as np
+
+    from vietnamese_qa_system_tpu.engine.lexical import BM25Index
+    from vietnamese_qa_system_tpu.native.build import get_bm25_lib
+
+    if get_bm25_lib() is None:
+        import pytest
+
+        pytest.skip("native bm25 unavailable")
+
+    words = [f"tu{i}" for i in range(50)] + ["chung"] * 10
+    idx = BM25Index()
+    docs = [
+        " ".join(rng.choice(words, size=rng.integers(3, 30)))
+        for _ in range(200)
+    ]
+    idx.add(list(range(100, 300)), docs)
+
+    for q in ["chung tu1 tu2", "tu49", "khongco", "tu3 tu3 chung"]:
+        native = idx.scores(q)
+
+        # force the python path by hiding the lib
+        import vietnamese_qa_system_tpu.native.build as nb
+
+        lib = nb._bm25_lib
+        nb._bm25_lib, nb._bm25_tried = None, True
+        try:
+            pure = idx.scores(q)
+        finally:
+            nb._bm25_lib = lib
+        assert set(native) == set(pure)
+        for gid in pure:
+            np.testing.assert_allclose(native[gid], pure[gid], rtol=1e-9)
+
+
+def test_native_bm25_speedup_sanity(rng):
+    """The frozen+native path answers many queries quickly (smoke, not a
+    strict perf gate — CI hosts vary)."""
+    import time
+
+    from vietnamese_qa_system_tpu.engine.lexical import BM25Index
+    from vietnamese_qa_system_tpu.native.build import get_bm25_lib
+
+    if get_bm25_lib() is None:
+        import pytest
+
+        pytest.skip("native bm25 unavailable")
+    words = [f"w{i}" for i in range(500)]
+    idx = BM25Index()
+    docs = [
+        " ".join(rng.choice(words, size=20)) for _ in range(2000)
+    ]
+    idx.add(list(range(2000)), docs)
+    idx.scores("w1 w2")  # freeze + warm
+    t0 = time.perf_counter()
+    for i in range(50):
+        idx.scores(f"w{i} w{i+1} w{i+2}")
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, dt

@@ -41,6 +41,9 @@ class BM25Index:
         self.postings: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
         self.doc_len: dict[int, int] = {}
         self.total_len = 0
+        # frozen contiguous posting arrays for the native scorer
+        # (native/bm25.cpp); built lazily, invalidated by add()
+        self._frozen = None
 
     # ------------------------------------------------------------------ build
 
@@ -56,6 +59,7 @@ class BM25Index:
             self.total_len += len(toks)
             for term, tf in collections.Counter(toks).items():
                 self.postings[term].append((gid, tf))
+        self._frozen = None
 
     @property
     def n_docs(self) -> int:
@@ -70,13 +74,87 @@ class BM25Index:
         # BM25+-style floor avoids negative idf for very common terms
         return max(math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0), 1e-9)
 
+    def _freeze(self):
+        """Flatten postings into contiguous per-term arrays once; queries
+        then concatenate a handful of slices for the C++ scorer instead of
+        walking python tuples."""
+        import numpy as np
+
+        gids, tfs, dlens = [], [], []
+        ranges = {}
+        pos = 0
+        for term, plist in self.postings.items():
+            for gid, tf in plist:
+                gids.append(gid)
+                tfs.append(float(tf))
+                dlens.append(float(self.doc_len[gid]))
+            ranges[term] = (pos, pos + len(plist))
+            pos += len(plist)
+        self._frozen = (
+            np.asarray(gids, np.int64),
+            np.asarray(tfs, np.float64),
+            np.asarray(dlens, np.float64),
+            ranges,
+        )
+        return self._frozen
+
+    def _scores_native(self, terms, lib):
+        import ctypes
+
+        import numpy as np
+
+        frozen = self._frozen or self._freeze()
+        f_gids, f_tf, f_dlen, ranges = frozen
+        segs = []
+        idfs = []
+        for term in terms:
+            idf = self._idf(term)
+            if not idf or term not in ranges:
+                continue
+            segs.append(ranges[term])
+            idfs.append(idf)
+        if not segs:
+            return {}
+        g = np.concatenate([f_gids[s:e] for s, e in segs])
+        tf = np.concatenate([f_tf[s:e] for s, e in segs])
+        dl = np.concatenate([f_dlen[s:e] for s, e in segs])
+        off = np.zeros(len(segs) + 1, np.int64)
+        np.cumsum([e - s for s, e in segs], out=off[1:])
+        idf_arr = np.asarray(idfs, np.float64)
+        out_g = np.empty(len(g), np.int64)
+        out_s = np.empty(len(g), np.float64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        n = lib.bm25_score(
+            off.ctypes.data_as(i64p),
+            idf_arr.ctypes.data_as(f64p),
+            len(segs),
+            np.ascontiguousarray(g).ctypes.data_as(i64p),
+            np.ascontiguousarray(tf).ctypes.data_as(f64p),
+            np.ascontiguousarray(dl).ctypes.data_as(f64p),
+            self.k1, self.b, self.total_len / self.n_docs,
+            out_g.ctypes.data_as(i64p),
+            out_s.ctypes.data_as(f64p),
+        )
+        return dict(zip(out_g[:n].tolist(), out_s[:n].tolist()))
+
     def scores(self, query: str) -> dict[int, float]:
-        """Raw BM25 scores for every matching doc id."""
+        """Raw BM25 scores for every matching doc id.
+
+        Uses the native posting-list scorer (native/bm25.cpp) when built;
+        the pure-Python loop below is the behavioural reference (same
+        double math term-for-term; only accumulation order differs)."""
         if not self.n_docs:
             return {}
+        terms = set(tokenize(query))
+        from ..native.build import get_bm25_lib
+
+        lib = get_bm25_lib()
+        if lib is not None:
+            return self._scores_native(sorted(terms), lib)
         avg_len = self.total_len / self.n_docs
         out: dict[int, float] = collections.defaultdict(float)
-        for term in set(tokenize(query)):
+        for term in terms:
             idf = self._idf(term)
             if not idf:
                 continue

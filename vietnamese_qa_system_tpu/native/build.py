@@ -79,3 +79,45 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+# --------------------------------------------------------------------- bm25
+
+_BM25_SRC = os.path.join(_HERE, "bm25.cpp")
+_BM25_LIB_PATH = os.path.join(_HERE, "libbm25.so")
+_bm25_lib: Optional[ctypes.CDLL] = None
+_bm25_tried = False
+
+
+def get_bm25_lib() -> Optional[ctypes.CDLL]:
+    """The native BM25 scorer (bm25.cpp); None when unavailable."""
+    global _bm25_lib, _bm25_tried
+    with _lock:
+        if _bm25_lib is not None or _bm25_tried:
+            return _bm25_lib
+        _bm25_tried = True
+        if not os.path.exists(_BM25_LIB_PATH) or os.path.getmtime(
+            _BM25_LIB_PATH
+        ) < os.path.getmtime(_BM25_SRC):
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-o", _BM25_LIB_PATH, _BM25_SRC,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_BM25_LIB_PATH)
+        except OSError:
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.bm25_score.argtypes = [
+            i64p, f64p, ctypes.c_int32, i64p, f64p, f64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i64p, f64p,
+        ]
+        lib.bm25_score.restype = ctypes.c_int64
+        _bm25_lib = lib
+        return _bm25_lib
