@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--tile-int8", type=int, default=4096)
     ap.add_argument("--tile-bf16", type=int, default=2048)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--quants", default="int8,bf16",
+                    help="comma list: int8,bf16 (bf16 at 10M exceeds HBM)")
     ap.add_argument("--out", default="/tmp/probe_matrix.jsonl")
     args = ap.parse_args()
 
@@ -47,12 +49,32 @@ def main() -> None:
     def log(s):
         print(f"[{time.time()-t_start:7.1f}s] {s}", flush=True)
 
+    wanted = set(args.quants.split(","))
     kq, kc = jax.random.split(jax.random.key(0))
     q = jax.random.normal(kq, (B, D), jnp.bfloat16)
-    corpus_bf16 = jax.random.normal(kc, (N, D), jnp.bfloat16)
-    codes, scales = quantize_int8(corpus_bf16.astype(jnp.float32))
+    if "int8" in wanted and "bf16" not in wanted and args.skip_oracle:
+        # 10M case: int8 only — quantize in row blocks so the full bf16
+        # corpus (15 GB at 10M) never lives in HBM
+        blk = 1 << 20
+        parts = []
+        sparts = []
+        for r0 in range(0, N, blk):
+            cb = jax.random.normal(
+                jax.random.fold_in(kc, r0), (min(blk, N - r0), D), jnp.float32
+            )
+            cq, cs = quantize_int8(cb)
+            parts.append(cq)
+            sparts.append(cs)
+            del cb
+        codes = jnp.concatenate(parts)
+        scales = jnp.concatenate(sparts)
+        del parts, sparts
+        corpus_bf16 = None
+    else:
+        corpus_bf16 = jax.random.normal(kc, (N, D), jnp.bfloat16)
+        codes, scales = quantize_int8(corpus_bf16.astype(jnp.float32))
     np.asarray(jnp.sum(codes[::4096, 0]))
-    log("corpora materialized (bf16 + int8)")
+    log("corpora materialized")
 
     qs = jax.random.normal(jax.random.key(7), (args.reps, B, D), jnp.bfloat16)
 
@@ -129,8 +151,10 @@ def main() -> None:
         return jnp.sum(scores[:, :, None] > true_s[:, None, :], axis=1)
 
     configs = [
-        ("int8", "turbo"), ("int8", "fast"), ("int8", "matmul_only"),
-        ("bf16", "turbo"), ("bf16", "fast"), ("bf16", "matmul_only"),
+        (q, m)
+        for q in ("int8", "bf16")
+        if q in wanted
+        for m in ("turbo", "fast", "matmul_only")
     ]
     for quant, mode in configs:
         tile = args.tile_int8 if quant == "int8" else args.tile_bf16
