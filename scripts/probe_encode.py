@@ -22,10 +22,16 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=128)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — the env var "
+                         "is overridden by sitecustomize, see CLAUDE.md")
     ap.add_argument("--out", default="/tmp/probe_encode.jsonl")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 

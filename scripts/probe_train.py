@@ -22,16 +22,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="gpt125m",
-                    choices=["gpt125m", "gptneo125m", "pythia410m", "tiny"])
+                    choices=["gpt125m", "gptneo125m", "pythia410m",
+                             "llama1b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--lora-r", type=int, default=0,
+                    help="train a LoRA adapter of this rank (0 = full FT)")
+    ap.add_argument("--quantize-base", choices=["int8", "nf4"], default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — the env var "
+                         "is overridden by sitecustomize, see CLAUDE.md")
     ap.add_argument("--out", default="/tmp/probe_train.jsonl")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -43,17 +53,41 @@ def main() -> None:
         "gpt125m": mcfg.gpt_125m_class,
         "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
+        "llama1b": mcfg.llama_1b_class,
         "tiny": mcfg.tiny_test,
     }[args.preset]()
 
     B, T = args.batch, args.seq
     key = jax.random.key(0)
     params = causal_lm.init_causal_lm(key, cfg)
-    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-    tx = optax.adamw(1e-4)
-    opt = tx.init(params)
+    dtype = jnp.bfloat16 if args.quantize_base else jnp.float32
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    if args.quantize_base:
+        from vietnamese_qa_system_tpu.models.quantize import quantize_dense_tree
 
-    def loss_fn(p, batch):
+        params = quantize_dense_tree(params, mode=args.quantize_base)
+
+    lora_cfg = None
+    if args.lora_r:
+        from vietnamese_qa_system_tpu.models.lora import (
+            LoraConfig, init_lora, merge_lora,
+        )
+
+        lora_cfg = LoraConfig(r=args.lora_r, alpha=2 * args.lora_r)
+        adapter = init_lora(jax.random.key(2), params, lora_cfg)
+        trainable = adapter
+    else:
+        trainable = params
+    tx = optax.adamw(1e-4)
+    opt = tx.init(trainable)
+
+    def loss_fn(tr, batch):
+        if lora_cfg is not None:
+            from vietnamese_qa_system_tpu.models.lora import merge_lora
+
+            p = merge_lora(jax.lax.stop_gradient(params), tr, lora_cfg)
+        else:
+            p = tr
         loss, n = causal_lm.loss_fn(p, cfg, batch)
         return loss
 
@@ -81,14 +115,14 @@ def main() -> None:
         jax.random.key(1), (args.steps, B, T), 0, cfg.vocab_size, jnp.int32
     )
     t0 = time.perf_counter()
-    params, opt, last = run_steps(params, opt, ids)
+    trainable, opt, last = run_steps(trainable, opt, ids)
     np.asarray(last)
     compile_s = time.perf_counter() - t0
 
     dt = float("inf")
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        params, opt, last = run_steps(params, opt, ids)
+        trainable, opt, last = run_steps(trainable, opt, ids)
         np.asarray(last)
         dt = min(dt, (time.perf_counter() - t0) / args.steps)
 
@@ -96,6 +130,7 @@ def main() -> None:
     rec = {
         "preset": args.preset, "batch": B, "seq": T,
         "remat": not args.no_remat,
+        "lora_r": args.lora_r, "quantize_base": args.quantize_base,
         "ms_per_step": round(dt * 1e3, 2),
         "tokens_per_s": round(tokens / dt, 1),
         "compile_s": round(compile_s, 1),

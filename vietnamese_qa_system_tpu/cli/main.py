@@ -28,7 +28,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     g.add_argument("--model-size", default="tiny",
                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                            "mt5small", "seq2seq-small"],
+                            "llama1b", "mt5small", "seq2seq-small"],
                    help="preset size (reference used gpt-neo-125m / "
                         "pythia-410m; mt5small = its seq2seq experiments)")
     g.add_argument("--model-config", help="path to a ModelConfig json (overrides preset)")
@@ -139,6 +139,7 @@ def _model_config(args):
         "gpt125m": mcfg.gpt_125m_class,
         "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
+        "llama1b": mcfg.llama_1b_class,
         "mt5small": mcfg.mt5_small_class,
         "seq2seq-small": mcfg.seq2seq_native_small,
     }

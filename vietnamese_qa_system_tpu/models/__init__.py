@@ -5,6 +5,7 @@ from .config import (
     minilm_class,
     mpnet_class,
     pythia_410m_class,
+    llama_1b_class,
     mt5_small_class,
     seq2seq_native_small,
     tiny_test,
@@ -27,6 +28,7 @@ __all__ = [
     "gpt_125m_class",
     "gpt_neo_125m",
     "pythia_410m_class",
+    "llama_1b_class",
     "mt5_small_class",
     "LoraConfig",
     "init_lora",

@@ -191,6 +191,20 @@ def pythia_410m_class() -> ModelConfig:
     )
 
 
+def llama_1b_class() -> ModelConfig:
+    """~1.2B-param llama-family decoder (RMSNorm, SwiGLU, GQA) — the
+    single-chip QLoRA scale point: an int8/nf4 base + LoRA fits v5e HBM
+    where full fine-tuning would not (the capability the reference gets
+    from bitsandbytes 4/8-bit + peft, reference src/models/trainer.py:
+    470-497)."""
+    return ModelConfig(
+        arch="causal", vocab_size=32000, d_model=2048, n_heads=32,
+        n_kv_heads=8, n_layers=22, d_ff=5632, max_seq_len=2048,
+        norm="rmsnorm", mlp_gated=True, attention_bias=False,
+        tie_embeddings=False, norm_eps=1e-5, use_flash_attention=True,
+    )
+
+
 def mt5_small_class() -> ModelConfig:
     """Faithful google/mt5-small layout (the reference's seq2seq
     experiments, src/test.py:106-147 use mt5 + LoRA): T5 v1.1 family —
