@@ -292,3 +292,38 @@ def test_registry_lookup():
     assert get_parser("alpaca") is AlpacaParser
     with pytest.raises(KeyError):
         get_parser("nope")
+
+
+def test_seq2seq_translator_backend():
+    """Model-backed translation (the reference's local vinai seq2seq
+    path): a tiny t5 drives translate_texts end-to-end — thread pool,
+    chunking and resubmit all run over DEVICE generation."""
+    import jax
+
+    from vietnamese_qa_system_tpu.data.tokenizer import ByteTokenizer
+    from vietnamese_qa_system_tpu.etl.translate import (
+        FlakyWrapper,
+        Seq2SeqTranslator,
+        translate_texts,
+    )
+    from vietnamese_qa_system_tpu.models import t5
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=512, d_model=32,
+        n_heads=2, d_kv=8, n_layers=1, n_decoder_layers=1, d_ff=64,
+        mlp_gated=True, tie_embeddings=False, relative_attention_buckets=8,
+        attention_bias=False,
+    )
+    params = t5.init_t5(jax.random.key(0), cfg)
+    backend = Seq2SeqTranslator(
+        params, cfg, ByteTokenizer(), max_len=32, max_new_tokens=4,
+        prompt="{src}-{dst}: {text}",
+    )
+    texts = [f"sentence {i}" for i in range(6)]
+    out = translate_texts(
+        texts, FlakyWrapper(backend, fail_times=1), src="en", dst="vi",
+        chunk_size=2, max_workers=2,
+    )
+    assert len(out) == 6
+    assert all(isinstance(t, str) for t in out)

@@ -37,6 +37,57 @@ class NullTranslator:
         return list(texts)
 
 
+class Seq2SeqTranslator:
+    """TPU model-backed translation — the capability of the reference's
+    local 4-bit vinai en→vi model path (reference
+    src/data/features/final_storge_converted/data_parser.py:75-93, which
+    loads a seq2seq translation model instead of calling googletrans).
+
+    Wraps any of this framework's seq2seq families (native or T5/mT5 —
+    e.g. an envit5-class checkpoint imported via
+    models/convert_hf.py::load_seq2seq_auto) and batches generation on
+    device.  A ``prompt`` template can inject the language pair the way
+    envit5/mt5 expect (e.g. ``"{src}: {text}"``).
+    """
+
+    def __init__(self, params, cfg, tokenizer, *, max_len: int = 256,
+                 max_new_tokens: int = 256, num_beams: int = 1,
+                 prompt: str = "{text}"):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.max_len = max_len
+        self.max_new_tokens = max_new_tokens
+        self.num_beams = num_beams
+        self.prompt = prompt
+
+    def translate_batch(self, texts, src, dst):
+        import numpy as np
+
+        from ..data.tokenizer import batch_encode
+        from ..models import generate as gen_mod
+
+        rendered = [
+            self.prompt.format(text=t, src=src, dst=dst) for t in texts
+        ]
+        ids, mask = batch_encode(self.tok, rendered, self.max_len)
+        out = gen_mod.generate_with_config(
+            self.params, self.cfg, np.asarray(ids), np.asarray(mask),
+            gen_mod.GenerationConfig(
+                max_new_tokens=self.max_new_tokens,
+                num_beams=self.num_beams,
+            ),
+            eos_id=self.tok.eos_id,
+        )
+        out = np.asarray(out)
+        return [
+            self.tok.decode(
+                [t for t in row if t not in (self.tok.pad_id, self.tok.eos_id)]
+            )
+            for row in out
+        ]
+
+
 class FlakyWrapper:
     """Test helper: fails the first `fail_times` calls per chunk key to
     exercise the resubmit path."""
