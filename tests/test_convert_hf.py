@@ -659,3 +659,140 @@ def test_llama_export_roundtrip(tmp_path):
         np.testing.assert_allclose(
             model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
         )
+
+
+def test_bloom_logits_match_transformers():
+    """BLOOM family (ALiBi score bias + embedding LayerNorm + fused-QKV
+    head-interleaved import + BloomGelu): our converted pytree must
+    reproduce HF logits.  n_head=6 exercises the non-power-of-two ALiBi
+    slope extension branch."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        bloom_config,
+        convert_bloom,
+    )
+
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=128, hidden_size=48, n_layer=2, n_head=6,
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(11)
+    model = transformers.BloomForCausalLM(hf_cfg).eval()
+    cfg = bloom_config(hf_cfg)
+    assert cfg.positional == "alibi" and cfg.embed_layernorm
+    params = convert_bloom(model.state_dict(), cfg)
+    assert "emb_ln" in params and "pos_embed" not in params
+
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32)
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_bloom_alibi_slopes_match_hf():
+    """Our slope sequence equals HF's build_alibi_tensor slopes for both
+    power-of-two and non-power-of-two head counts."""
+    from transformers.models.bloom.modeling_bloom import build_alibi_tensor
+
+    from vietnamese_qa_system_tpu.models.layers import alibi_slopes
+
+    for n_heads in (4, 6, 8, 12, 16):
+        mask = torch.ones((1, 5))
+        hf = build_alibi_tensor(mask, n_heads, torch.float32)
+        # hf: (n_heads, 1, 5) with value slope * position
+        hf_slopes = hf[:, 0, 1].numpy()  # position 1 -> slope itself
+        np.testing.assert_allclose(
+            np.asarray(alibi_slopes(n_heads)), hf_slopes, rtol=1e-6
+        )
+
+
+def test_bloom_cached_decode_consistent():
+    """ALiBi decode through the slot-position KV cache must replay the
+    uncached forward exactly, and the first greedy token agrees with HF."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        bloom_config,
+        convert_bloom,
+    )
+
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=96, hidden_size=32, n_layer=2, n_head=4,
+    )
+    torch.manual_seed(12)
+    model = transformers.BloomForCausalLM(hf_cfg).eval()
+    cfg = bloom_config(hf_cfg)
+    params = convert_bloom(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, hf_cfg.vocab_size, (1, 10)).astype(np.int32)
+    ours = np.asarray(
+        generate.generate(
+            params, cfg, jnp.asarray(ids), jnp.ones((1, 10), jnp.int32),
+            max_new_tokens=5, temperature=0.0,
+        )
+    )
+    cur = ids.copy()
+    for _ in range(5):
+        lg = causal_lm.forward(
+            params, cfg, jnp.asarray(cur), jnp.ones_like(jnp.asarray(cur))
+        )
+        cur = np.concatenate(
+            [cur, [[int(jnp.argmax(lg[0, -1]))]]], axis=1
+        ).astype(np.int32)
+    np.testing.assert_array_equal(ours[0], cur[0])
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids.astype(np.int64)), max_new_tokens=1,
+            do_sample=False,
+        ).numpy()
+    assert ours[0, 10] == hf_out[0, 10]
+
+
+def test_bloom_export_roundtrip_and_auto_dispatch(tmp_path):
+    """HF BLOOM -> our pytree -> export_causal_auto -> transformers reload
+    matches; load_causal_auto dispatches a saved BLOOM dir to load_bloom."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        bloom_config,
+        convert_bloom,
+        export_causal_auto,
+        load_causal_auto,
+    )
+
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=96, hidden_size=32, n_layer=2, n_head=4,
+    )
+    torch.manual_seed(13)
+    model = transformers.BloomForCausalLM(hf_cfg).eval()
+    cfg = bloom_config(hf_cfg)
+    params = convert_bloom(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "bloom_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "bloom"
+
+    rng = np.random.default_rng(8)
+    ids = torch.from_numpy(rng.integers(0, 96, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
+        )
+
+    params2, cfg2 = load_causal_auto(out_dir)
+    assert cfg2.positional == "alibi"
+    ours = np.asarray(
+        causal_lm.forward(
+            params2, cfg2, jnp.asarray(ids.numpy(), jnp.int32),
+            jnp.ones((2, 12), jnp.int32),
+        )
+    )
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            ours, model(ids).logits.numpy(), atol=0.05, rtol=0.05
+        )

@@ -28,7 +28,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     g.add_argument("--model-size", default="tiny",
                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                            "llama1b", "mt5small", "seq2seq-small"],
+                            "llama1b", "bloom560m", "mt5small",
+                            "seq2seq-small"],
                    help="preset size (reference used gpt-neo-125m / "
                         "pythia-410m; mt5small = its seq2seq experiments)")
     g.add_argument("--model-config", help="path to a ModelConfig json (overrides preset)")
@@ -140,6 +141,7 @@ def _model_config(args):
         "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
         "llama1b": mcfg.llama_1b_class,
+        "bloom560m": mcfg.bloom_560m_class,
         "mt5small": mcfg.mt5_small_class,
         "seq2seq-small": mcfg.seq2seq_native_small,
     }
@@ -538,6 +540,7 @@ def cmd_serve(args) -> int:
             "gpt125m": mcfg.gpt_125m_class,
             "gptneo125m": mcfg.gpt_neo_125m,
             "pythia410m": mcfg.pythia_410m_class,
+            "bloom560m": mcfg.bloom_560m_class,
         }
         rcfg = presets_r[args.reader_size]()
         import dataclasses as _dc
@@ -780,7 +783,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--max-len", type=int, default=128)
     ps.add_argument("--seed", type=int, default=42)
     ps.add_argument("--reader-size", default=None,
-                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"],
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
+                             "bloom560m"],
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
     ps.add_argument("--min-score", type=float, default=0.2)
@@ -797,7 +801,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pc.add_argument("--model-size", default="tiny",
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "mt5small", "seq2seq-small"])
+                             "bloom560m", "mt5small", "seq2seq-small"])
     pc.add_argument("--model-config", default=None)
     pc.add_argument("--init-params", default=None)
     pc.add_argument("--tokenizer", default="byte")

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .config import ModelConfig
 from .layers import (
+    alibi_bias,
     block,
     causal_mask,
     init_block,
@@ -55,6 +56,9 @@ def init_causal_lm(key, cfg: ModelConfig):
         params["pos_embed"] = (
             jax.random.normal(ks[-2], (cfg.max_seq_len, cfg.d_model)) * 0.02
         )
+    if cfg.embed_layernorm:
+        # BLOOM family: LayerNorm over the token embeddings
+        params["emb_ln"] = init_layernorm(cfg.d_model)
     if not cfg.tie_embeddings:
         params["lm_head"] = init_dense(
             ks[-1], cfg.d_model, cfg.vocab_size, use_bias=False
@@ -103,22 +107,28 @@ def hidden_states(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = params["tok_embed"][ids]
+    rope = None
     if cfg.positional == "learned":
-        rope = None
         x = x + params["pos_embed"][positions]
-    else:
+    elif cfg.positional == "rope":
         rot = int(cfg.head_dim * cfg.rope_pct)
         rot -= rot % 2
         rope = rope_frequencies(rot, cfg.max_seq_len, cfg.rope_theta)
+    # "alibi" (BLOOM): no position signal at the embedding; a per-head
+    # linear score bias is added inside attention (see `bias` below)
+    if cfg.embed_layernorm:
+        x = layernorm(params["emb_ln"], x, cfg.norm_eps)
     kinds = _layer_kinds(cfg)
     has_local = "local" in kinds
+    alibi = cfg.positional == "alibi"
 
     if cache is None:
         flash = None
+        bias = alibi_bias(cfg.n_heads, jnp.arange(t)) if alibi else None
         mask = causal_mask(t)
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, :].astype(jnp.bool_)
-        if cfg.use_flash_attention:
+        if cfg.use_flash_attention and not alibi:
             # right-padded batches: the (causal & padding) mask is exactly
             # (kv_lens, causal=True) for the fused kernel
             lens = (
@@ -143,10 +153,17 @@ def hidden_states(
                 flash=None if local else flash,
                 parallel_residual=cfg.parallel_residual,
                 scale=cfg.attention_scale, activation=cfg.activation,
-                n_kv_heads=cfg.n_kv_heads,
+                n_kv_heads=cfg.n_kv_heads, bias=bias,
             )
     else:
         # decode step: keys live in the cache; mask is (B, T, cache_len)
+        # (for ALiBi the bias uses cache-SLOT positions: a per-row padding
+        # shift of all key positions is a softmax row constant — see
+        # layers.alibi_bias)
+        bias = (
+            alibi_bias(cfg.n_heads, jnp.arange(cache[0]["k"].shape[1]))
+            if alibi else None
+        )
         mask = attn_mask
         local_mask = None
         if has_local:
@@ -164,7 +181,7 @@ def hidden_states(
                 cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
                 parallel_residual=cfg.parallel_residual,
                 scale=cfg.attention_scale, activation=cfg.activation,
-                n_kv_heads=cfg.n_kv_heads,
+                n_kv_heads=cfg.n_kv_heads, bias=bias,
             )
             new_caches.append(nc)
 

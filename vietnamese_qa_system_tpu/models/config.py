@@ -32,8 +32,12 @@ class ModelConfig:
     max_seq_len: int = 1024
     # decoder stack for seq2seq (encoder uses n_layers)
     n_decoder_layers: int | None = None
-    # "rope" for causal/seq2seq decoders, "learned" for the encoder family
-    positional: Literal["rope", "learned"] = "rope"
+    # "rope" for causal/seq2seq decoders, "learned" for the encoder family,
+    # "alibi" for the BLOOM family (per-head linear score bias, no position
+    # table — the architecture of the most common Vietnamese base models,
+    # bloomz/vietcuna, loadable through the reference's AutoModelForCausalLM
+    # path at reference src/models/trainer.py:536-551)
+    positional: Literal["rope", "learned", "alibi"] = "rope"
     rope_theta: float = 10000.0
     norm_eps: float = 1e-6
     tie_embeddings: bool = True
@@ -202,6 +206,19 @@ def llama_1b_class() -> ModelConfig:
         n_kv_heads=8, n_layers=22, d_ff=5632, max_seq_len=2048,
         norm="rmsnorm", mlp_gated=True, attention_bias=False,
         tie_embeddings=False, norm_eps=1e-5, use_flash_attention=True,
+    )
+
+
+def bloom_560m_class() -> ModelConfig:
+    """Faithful bigscience/bloom-560m layout (the bloomz/vietcuna family —
+    the dominant Vietnamese open-weights base): ALiBi attention, embedding
+    LayerNorm, fused-QKV import, gelu_new MLP, tied head — real BLOOM
+    weights import via models/convert_hf.py::load_bloom."""
+    return ModelConfig(
+        arch="causal", vocab_size=250880, d_model=1024, n_heads=16,
+        n_layers=24, d_ff=4096, max_seq_len=2048, positional="alibi",
+        embed_layernorm=True, norm_eps=1e-5, tie_embeddings=True,
+        activation="gelu_new",
     )
 
 

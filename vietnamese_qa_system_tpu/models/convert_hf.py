@@ -686,18 +686,200 @@ def export_gpt2(params, cfg: ModelConfig, out_dir: str) -> str:
     return out_dir
 
 
+def bloom_config(hf_cfg) -> ModelConfig:
+    """transformers BloomConfig -> ModelConfig (the bloomz/vietcuna family —
+    the dominant Vietnamese open-weights base, loadable through the
+    reference's AutoModelForCausalLM path at src/models/trainer.py:536-551)."""
+    if getattr(hf_cfg, "apply_residual_connection_post_layernorm", False):
+        raise ValueError(
+            "apply_residual_connection_post_layernorm BLOOM variants are "
+            "not supported (no released checkpoint uses it)"
+        )
+    return ModelConfig(
+        arch="causal",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.hidden_size,
+        n_heads=hf_cfg.n_head,
+        n_layers=hf_cfg.n_layer,
+        d_ff=4 * hf_cfg.hidden_size,
+        max_seq_len=int(getattr(hf_cfg, "seq_length", 2048)),
+        positional="alibi",
+        embed_layernorm=True,
+        tie_embeddings=True,
+        norm_eps=float(getattr(hf_cfg, "layer_norm_epsilon", 1e-5)),
+        activation="gelu_new",  # BloomGelu is the tanh approximation
+    )
+
+
+def convert_bloom(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """BLOOM state dict -> this framework's causal-LM pytree.
+
+    The fused query_key_value rows are head-interleaved ``(H, 3, Dh)`` —
+    the same packing as GPT-NeoX (HF ``BloomAttention._split_heads`` views
+    the fused output as (..., H, 3, Dh)), unpacked into head-major q/k/v.
+    """
+    h, dh, d = cfg.n_heads, cfg.head_dim, cfg.d_model
+
+    def pick(name):
+        if name not in state_dict:
+            raise KeyError(f"missing weight {name!r} in state dict")
+        return _t(state_dict[name])
+
+    def ln(name):
+        return {
+            "scale": pick(name + ".weight"),
+            "bias": pick(name + ".bias"),
+        }
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"transformer.h.{i}."
+        w = pick(pre + "self_attention.query_key_value.weight").reshape(
+            h, 3, dh, d
+        )
+        b = pick(pre + "self_attention.query_key_value.bias").reshape(h, 3, dh)
+        attn = {
+            name: {
+                "w": w[:, j].reshape(h * dh, d).T.copy(),
+                "b": b[:, j].reshape(h * dh).copy(),
+            }
+            for j, name in enumerate(("wq", "wk", "wv"))
+        }
+        attn["wo"] = {
+            "w": pick(pre + "self_attention.dense.weight").T.copy(),
+            "b": pick(pre + "self_attention.dense.bias"),
+        }
+        blocks.append(
+            {
+                "ln1": ln(pre + "input_layernorm"),
+                "attn": attn,
+                "ln2": ln(pre + "post_attention_layernorm"),
+                "mlp": {
+                    "wi": {
+                        "w": pick(pre + "mlp.dense_h_to_4h.weight").T.copy(),
+                        "b": pick(pre + "mlp.dense_h_to_4h.bias"),
+                    },
+                    "wo": {
+                        "w": pick(pre + "mlp.dense_4h_to_h.weight").T.copy(),
+                        "b": pick(pre + "mlp.dense_4h_to_h.bias"),
+                    },
+                },
+            }
+        )
+
+    return {
+        "tok_embed": pick("transformer.word_embeddings.weight"),
+        "emb_ln": ln("transformer.word_embeddings_layernorm"),
+        "blocks": blocks,
+        "ln_f": ln("transformer.ln_f"),
+    }
+
+
+def load_bloom(model_dir: str):
+    """Local transformers BLOOM directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = bloom_config(hf_cfg)
+    params = convert_bloom(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
+def to_bloom_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_bloom` (numpy HF state dict)."""
+    h, dh, d = cfg.n_heads, cfg.head_dim, cfg.d_model
+    out: dict = {
+        "transformer.word_embeddings.weight": np.asarray(
+            params["tok_embed"], np.float32
+        ),
+        "transformer.word_embeddings_layernorm.weight": np.asarray(
+            params["emb_ln"]["scale"], np.float32
+        ),
+        "transformer.word_embeddings_layernorm.bias": np.asarray(
+            params["emb_ln"]["bias"], np.float32
+        ),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"transformer.h.{i}."
+        w = np.zeros((h, 3, dh, d), np.float32)
+        b = np.zeros((h, 3, dh), np.float32)
+        for j, name in enumerate(("wq", "wk", "wv")):
+            w[:, j] = np.asarray(blk["attn"][name]["w"], np.float32).T.reshape(
+                h, dh, d
+            )
+            b[:, j] = np.asarray(blk["attn"][name]["b"], np.float32).reshape(h, dh)
+        out[pre + "self_attention.query_key_value.weight"] = w.reshape(3 * d, d)
+        out[pre + "self_attention.query_key_value.bias"] = b.reshape(3 * d)
+        out[pre + "self_attention.dense.weight"] = np.asarray(
+            blk["attn"]["wo"]["w"], np.float32
+        ).T
+        out[pre + "self_attention.dense.bias"] = np.asarray(
+            blk["attn"]["wo"]["b"], np.float32
+        )
+        for ours, theirs in (
+            ("ln1", "input_layernorm"), ("ln2", "post_attention_layernorm")
+        ):
+            out[pre + theirs + ".weight"] = np.asarray(
+                blk[ours]["scale"], np.float32
+            )
+            out[pre + theirs + ".bias"] = np.asarray(blk[ours]["bias"], np.float32)
+        for ours, theirs in (("wi", "dense_h_to_4h"), ("wo", "dense_4h_to_h")):
+            out[pre + f"mlp.{theirs}.weight"] = np.asarray(
+                blk["mlp"][ours]["w"], np.float32
+            ).T
+            out[pre + f"mlp.{theirs}.bias"] = np.asarray(
+                blk["mlp"][ours]["b"], np.float32
+            )
+    out["transformer.ln_f.weight"] = np.asarray(params["ln_f"]["scale"], np.float32)
+    out["transformer.ln_f.bias"] = np.asarray(params["ln_f"]["bias"], np.float32)
+    out["lm_head.weight"] = out["transformer.word_embeddings.weight"]
+    return out
+
+
+def export_bloom(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable BLOOM model directory."""
+    import torch
+    from transformers import BloomConfig, BloomForCausalLM
+
+    hf_cfg = BloomConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.d_model,
+        n_layer=cfg.n_layers,
+        n_head=cfg.n_heads,
+        layer_norm_epsilon=cfg.norm_eps,
+        tie_word_embeddings=True,
+    )
+    model = BloomForCausalLM(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_bloom_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
 def export_causal_auto(params, cfg: ModelConfig, out_dir: str) -> str:
     """Export this framework's causal pytree to the matching HF format,
     dispatched on the config's architecture fingerprints (the inverse of
     :func:`load_causal_auto`):
 
     - RMSNorm / gated MLP            -> Llama
+    - ALiBi positions                -> BLOOM
     - learned positions, unscaled    -> GPT-Neo (attention_scale == 1.0)
     - learned positions, 1/sqrt(d)   -> GPT-2
     - otherwise (RoPE)               -> GPT-NeoX
     """
     if cfg.norm == "rmsnorm" or cfg.mlp_gated:
         return export_llama(params, cfg, out_dir)
+    if cfg.positional == "alibi":
+        return export_bloom(params, cfg, out_dir)
     if cfg.positional == "learned":
         if cfg.attention_scale == 1.0:
             return export_gpt_neo(params, cfg, out_dir)
@@ -720,6 +902,8 @@ def load_causal_auto(model_dir: str):
         return load_gpt2(model_dir)
     if model_type in ("llama", "mistral"):
         return load_llama(model_dir)
+    if model_type == "bloom":
+        return load_bloom(model_dir)
     return load_gpt_neox(model_dir)
 
 

@@ -131,6 +131,42 @@ def apply_rope(x, cos, sin, positions):
     return out
 
 
+def alibi_slopes(n_heads: int):
+    """Per-head ALiBi slopes (BLOOM family).
+
+    The published geometric sequence: for a power-of-two head count,
+    slope_h = 2^(-8h/n); otherwise the closest power of two's sequence is
+    extended with the odd terms of the doubled-head sequence (the HF
+    ``build_alibi_tensor`` recipe, so imported BLOOM weights reproduce
+    transformers logits exactly).
+    """
+    import math
+
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = [base ** i for i in range(1, closest + 1)]
+    if closest != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        slopes += [
+            extra_base ** i for i in range(1, 2 * (n_heads - closest) + 1, 2)
+        ]
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def alibi_bias(n_heads: int, key_positions):
+    """(1, H, 1, K) additive attention-score bias: slope_h * key_position.
+
+    ALiBi's relative form ``-slope * (q_pos - k_pos)`` differs from this
+    key-only form by a per-query-row constant, which softmax ignores — so
+    the key-only form is exact for causal attention while being O(K)
+    instead of O(QK), independent of padding offsets (a per-row shift of
+    both q and k positions is also a row constant).
+    """
+    slopes = alibi_slopes(n_heads)
+    k = jnp.asarray(key_positions, jnp.float32)
+    return slopes[None, :, None, None] * k[None, None, None, :]
+
+
 # -----------------------------------------------------------------------------
 # Attention
 # -----------------------------------------------------------------------------
