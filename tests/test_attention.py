@@ -114,3 +114,90 @@ def test_causal_lm_flash_matches_einsum(rng):
         np.asarray(l_ref[:, :20]), np.asarray(l_flash[:, :20]),
         atol=0.15, rtol=0.05,
     )
+
+
+def _dense_bias_reference(q, k, v, bias, kv_lens=None, causal=True, scale=None):
+    """f32 einsum oracle with the same (post-scale) additive-bias and mask
+    semantics as the fused kernel."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = scale or 1.0 / d ** 0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    s = s + bias[None]  # (H, Tq|1, Tk) broadcast over batch (and queries)
+    k_pos = jnp.arange(tk)[None, None, None, :]
+    mask = jnp.ones((b, 1, tq, tk), bool)
+    if kv_lens is not None:
+        mask &= k_pos < kv_lens[:, None, None, None]
+    if causal:
+        mask &= k_pos <= jnp.arange(tq)[None, None, :, None]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("bias_q", ["full", "keyonly"])
+@pytest.mark.parametrize("causal", [True, False])
+def test_bias_forward_matches_reference(rng, causal, bias_q):
+    """Additive score bias (full (H,Tq,Tk) and ALiBi-style (H,1,Tk)) in the
+    fused forward matches the dense oracle, including key padding."""
+    b, t, h, d = 3, 128, 4, 64
+    q, k, v = _qkv(rng, b=b, t=t, h=h, d=d)
+    shape = (h, t, t) if bias_q == "full" else (h, 1, t)
+    bias = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    lens = jnp.asarray([t, 70, 33], jnp.int32)
+    out = flash_attention(q, k, v, kv_lens=lens, causal=causal, bias=bias)
+    ref = _dense_bias_reference(q, k, v, bias, kv_lens=lens, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+@pytest.mark.parametrize("bias_q", ["full", "keyonly"])
+def test_bias_gradients_match_reference(rng, bias_q):
+    """q/k/v grads flow through the fused bias path and match the dense
+    oracle; the bias cotangent is zero by design (constant-bias/frozen-
+    table semantics, see flash_attention docstring)."""
+    b, t, h, d = 1, 64, 2, 32
+    q, k, v = _qkv(rng, b=b, t=t, h=h, d=d)
+    shape = (h, t, t) if bias_q == "full" else (h, 1, t)
+    bias = jnp.asarray(0.3 * rng.standard_normal(shape), jnp.float32)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(jnp.square(flash_attention(q, k, v, causal=True, bias=bias)))
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(jnp.square(_dense_bias_reference(q, k, v, bias, causal=True)))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, bb in zip(g1[:3], g2[:3]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+    assert float(jnp.max(jnp.abs(g1[3]))) == 0.0  # documented zero cotangent
+
+
+def test_alibi_causal_lm_flash_matches_dense(rng):
+    """BLOOM-style ALiBi model: flash path (key-only fused bias) must match
+    the dense einsum path."""
+    import dataclasses
+
+    from vietnamese_qa_system_tpu.models import causal_lm, tiny_test
+
+    cfg = dataclasses.replace(
+        tiny_test("causal"), positional="alibi", embed_layernorm=True,
+        activation="gelu_new",
+    )
+    params = causal_lm.init_causal_lm(jax.random.key(1), cfg)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 24)), jnp.int32)
+    mask = jnp.ones((2, 24), jnp.int32)
+    mask = mask.at[1, 20:].set(0)
+    l_ref = causal_lm.forward(params, cfg, ids, mask)
+    cfg_flash = dataclasses.replace(cfg, use_flash_attention=True)
+    l_flash = causal_lm.forward(params, cfg_flash, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(l_ref[:, :20]), np.asarray(l_flash[:, :20]),
+        atol=0.15, rtol=0.05,
+    )

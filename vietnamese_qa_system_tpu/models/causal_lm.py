@@ -128,7 +128,7 @@ def hidden_states(
         mask = causal_mask(t)
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, :].astype(jnp.bool_)
-        if cfg.use_flash_attention and not alibi:
+        if cfg.use_flash_attention:
             # right-padded batches: the (causal & padding) mask is exactly
             # (kv_lens, causal=True) for the fused kernel
             lens = (

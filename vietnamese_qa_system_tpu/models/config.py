@@ -218,7 +218,7 @@ def bloom_560m_class() -> ModelConfig:
         arch="causal", vocab_size=250880, d_model=1024, n_heads=16,
         n_layers=24, d_ff=4096, max_seq_len=2048, positional="alibi",
         embed_layernorm=True, norm_eps=1e-5, tie_embeddings=True,
-        activation="gelu_new",
+        activation="gelu_new", use_flash_attention=True,
     )
 
 

@@ -21,6 +21,12 @@ fused FA2-style Pallas backward kernels (``_fa_bwd_kv_kernel`` /
 k-blocks, recomputing probabilities blockwise in VMEM from the saved
 softmax statistics — the (Tq, Tk) score matrix is never materialized in
 HBM in either direction.  Measured numbers in docs/BENCHMARKS.md.
+
+Additive score bias (ALiBi / MPNet / T5 relative positions) is fused into
+both directions; the bias itself gets a ZERO cotangent (exact for ALiBi's
+constant bias and for LoRA training where relative-bias tables are frozen;
+see ``flash_attention``).  A (H, 1, Tk) bias broadcasts over queries inside
+the kernel, so ALiBi never materializes an (H, Tq, Tk) tensor.
 """
 
 from __future__ import annotations
@@ -153,11 +159,13 @@ def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
     ]
     inputs = [kv_lens, q, k, v]
     if bias is not None:
-        # (H, Tq, Tk) shared across the batch; grid rows are bh = b*H + h
+        # (H, Tq|1, Tk) shared across the batch; grid rows are bh = b*H + h.
+        # A q-dim of 1 (ALiBi key-only bias) broadcasts inside the kernel.
+        bq = blk_q if bias.shape[1] != 1 else 1
         in_specs.append(
             pl.BlockSpec(
-                (1, blk_q, blk_k),
-                lambda b, i, j: (b % n_heads, i, j),
+                (1, bq, blk_k),
+                lambda b, i, j: (b % n_heads, i if bq != 1 else 0, j),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -221,7 +229,7 @@ def _reference_attention(q, k, v, kv_lens, causal, scale):
 
 
 def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-                   iq, ik, *, blk_q, blk_k, causal, scale):
+                   iq, ik, *, blk_q, blk_k, causal, scale, bias_ref=None):
     """Recompute P for one (q-block, k-block) pair and form dS.
 
     Returns (p, ds) both (BLK_Q, BLK_K) f32.  lse/dd are sublane-replicated
@@ -235,6 +243,10 @@ def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if bias_ref is not None:
+        # same post-scale additive bias as the forward recompute; a
+        # (1, BLK_K) block broadcasts over the q rows (ALiBi key-only form)
+        s = s + bias_ref[0]
     q_pos = iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
     k_pos = ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
     mask = k_pos < cur_len
@@ -253,10 +265,15 @@ def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
 
 def _fa_bwd_kv_kernel(
     lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc,
-    *, blk_q, blk_k, causal, scale,
+    *rest,
+    blk_q, blk_k, causal, scale, has_bias: bool = False,
 ):
     """grid (BH, nk, nq), q innermost: accumulate dK/dV per k-block."""
+    if has_bias:
+        bias_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        bias_ref = None
+        dk_ref, dv_ref, dk_acc, dv_acc = rest
     ik = pl.program_id(1)
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -271,6 +288,7 @@ def _fa_bwd_kv_kernel(
         p, ds = _fa_bwd_common(
             cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
+            bias_ref=bias_ref,
         )
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(jnp.bfloat16), do_ref[0],
@@ -299,10 +317,15 @@ def _fa_bwd_kv_kernel(
 
 def _fa_bwd_q_kernel(
     lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-    dq_ref, dq_acc,
-    *, blk_q, blk_k, causal, scale,
+    *rest,
+    blk_q, blk_k, causal, scale, has_bias: bool = False,
 ):
     """grid (BH, nq, nk), k innermost: accumulate dQ per q-block."""
+    if has_bias:
+        bias_ref, dq_ref, dq_acc = rest
+    else:
+        bias_ref = None
+        dq_ref, dq_acc = rest
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -316,6 +339,7 @@ def _fa_bwd_q_kernel(
         _, ds = _fa_bwd_common(
             cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
+            bias_ref=bias_ref,
         )
         dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
             ds.astype(jnp.bfloat16), k_ref[0],
@@ -337,13 +361,15 @@ def _fa_bwd_q_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret"),
+    static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
+                     "n_heads"),
 )
-def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, *, causal, blk_q, blk_k,
-                    scale, interpret):
+def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
+                    blk_q, blk_k, scale, interpret, n_heads: int = 1):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq, nk = tq // blk_q, tk // blk_k
+    has_bias = bias is not None
 
     common_in_specs = [
         pl.BlockSpec((1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -360,19 +386,32 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, *, causal, blk_q, blk_k,
 
     # dK/dV: grid (BH, nk, nq), q innermost
     kv_kernel = functools.partial(
-        _fa_bwd_kv_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
+        _fa_bwd_kv_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
+        scale=scale, has_bias=has_bias,
     )
+    kv_inputs = [kv_lens, q, k, v, do, lse4, dd4]
+    kv_in_specs = common_in_specs + [
+        qspec(lambda b, jk, iq: (b, iq, 0)),
+        kspec(lambda b, jk, iq: (b, jk, 0)),
+        kspec(lambda b, jk, iq: (b, jk, 0)),
+        qspec(lambda b, jk, iq: (b, iq, 0)),
+        rspec(lambda b, jk, iq: (b, iq, 0, 0)),
+        rspec(lambda b, jk, iq: (b, iq, 0, 0)),
+    ]
+    if has_bias:
+        bq = blk_q if bias.shape[1] != 1 else 1
+        kv_in_specs.append(
+            pl.BlockSpec(
+                (1, bq, blk_k),
+                lambda b, jk, iq: (b % n_heads, iq if bq != 1 else 0, jk),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        kv_inputs.append(bias)
     dk, dv = pl.pallas_call(
         kv_kernel,
         grid=(bh, nk, nq),
-        in_specs=common_in_specs + [
-            qspec(lambda b, jk, iq: (b, iq, 0)),
-            kspec(lambda b, jk, iq: (b, jk, 0)),
-            kspec(lambda b, jk, iq: (b, jk, 0)),
-            qspec(lambda b, jk, iq: (b, iq, 0)),
-            rspec(lambda b, jk, iq: (b, iq, 0, 0)),
-            rspec(lambda b, jk, iq: (b, iq, 0, 0)),
-        ],
+        in_specs=kv_in_specs,
         out_specs=(
             kspec(lambda b, jk, iq: (b, jk, 0)),
             kspec(lambda b, jk, iq: (b, jk, 0)),
@@ -386,28 +425,41 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, *, causal, blk_q, blk_k,
             pltpu.VMEM((blk_k, d), jnp.float32),
         ],
         interpret=interpret,
-    )(kv_lens, q, k, v, do, lse4, dd4)
+    )(*kv_inputs)
 
     # dQ: grid (BH, nq, nk), k innermost
     q_kernel = functools.partial(
-        _fa_bwd_q_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale
+        _fa_bwd_q_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
+        scale=scale, has_bias=has_bias,
     )
+    q_inputs = [kv_lens, q, k, v, do, lse4, dd4]
+    q_in_specs = common_in_specs + [
+        qspec(lambda b, iq, jk: (b, iq, 0)),
+        kspec(lambda b, iq, jk: (b, jk, 0)),
+        kspec(lambda b, iq, jk: (b, jk, 0)),
+        qspec(lambda b, iq, jk: (b, iq, 0)),
+        rspec(lambda b, iq, jk: (b, iq, 0, 0)),
+        rspec(lambda b, iq, jk: (b, iq, 0, 0)),
+    ]
+    if has_bias:
+        bq = blk_q if bias.shape[1] != 1 else 1
+        q_in_specs.append(
+            pl.BlockSpec(
+                (1, bq, blk_k),
+                lambda b, iq, jk: (b % n_heads, iq if bq != 1 else 0, jk),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        q_inputs.append(bias)
     dq = pl.pallas_call(
         q_kernel,
         grid=(bh, nq, nk),
-        in_specs=common_in_specs + [
-            qspec(lambda b, iq, jk: (b, iq, 0)),
-            kspec(lambda b, iq, jk: (b, jk, 0)),
-            kspec(lambda b, iq, jk: (b, jk, 0)),
-            qspec(lambda b, iq, jk: (b, iq, 0)),
-            rspec(lambda b, iq, jk: (b, iq, 0, 0)),
-            rspec(lambda b, iq, jk: (b, iq, 0, 0)),
-        ],
+        in_specs=q_in_specs,
         out_specs=qspec(lambda b, iq, jk: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         interpret=interpret,
-    )(kv_lens, q, k, v, do, lse4, dd4)
+    )(*q_inputs)
     return dq, dk, dv
 
 
@@ -453,6 +505,54 @@ def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core_bias(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
+                     n_heads):
+    o, _ = _flash_fwd(
+        q, k, v, kv_lens, bias,
+        causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        interpret=_should_interpret(None), n_heads=n_heads,
+    )
+    return o
+
+
+def _flash_core_bias_fwd(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
+                         n_heads):
+    o, lse4 = _flash_fwd(
+        q, k, v, kv_lens, bias,
+        causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        interpret=_should_interpret(None), n_heads=n_heads,
+    )
+    return o, (q, k, v, kv_lens, bias, o, lse4)
+
+
+def _flash_core_bias_bwd(causal, scale, blk_q, blk_k, n_heads, residuals, g):
+    """Fused backward with the additive bias folded into the blockwise
+    recompute of P.  The bias cotangent is ZERO by design: exact for
+    constant biases (ALiBi) and for frozen relative-bias tables (LoRA
+    fine-tuning) — see :func:`flash_attention`."""
+    q, k, v, kv_lens, bias, o, lse4 = residuals
+    bh, tq, d = q.shape
+    nq = tq // blk_q
+    do = g.astype(jnp.bfloat16)
+    dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dd4 = jnp.broadcast_to(
+        dd.reshape(bh, nq, 1, blk_q), (bh, nq, 8, blk_q)
+    )
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, kv_lens, do, lse4, dd4, bias,
+        causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        interpret=_should_interpret(None), n_heads=n_heads,
+    )
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+        None, jnp.zeros_like(bias),
+    )
+
+
+_flash_core_bias.defvjp(_flash_core_bias_fwd, _flash_core_bias_bwd)
+
 # Block-size sweep on v5e at D=64 (T=2048 causal fwd, best-of-rounds):
 # 256x256 5.63 ms, 512x512 3.22, 512x1024 2.75-2.94, 1024x1024 2.57 (2.2x),
 # 1024x2048 / 2048x1024 regress.  The kernel is VPU-softmax-bound; bigger
@@ -477,13 +577,14 @@ def flash_attention(
 
     - ``kv_lens`` (B,) int32: valid key length per row (right padding);
       defaults to full length.
-    - ``bias``: optional (H, Tq, Tk) additive score bias shared across the
-      batch (MPNet/T5 relative positions).  The bias path is FORWARD-ONLY
-      (no custom vjp) — it serves the inference encoders; differentiating
-      through it raises at trace time.
+    - ``bias``: optional (H, Tq, Tk) — or (H, 1, Tk), broadcast over
+      queries (the ALiBi key-only form) — additive score bias shared
+      across the batch (ALiBi / MPNet / T5 relative positions).  Fully
+      differentiable w.r.t. q/k/v; the BIAS cotangent is zero (exact for
+      ALiBi's constant bias and for LoRA training, which freezes
+      relative-bias tables — training that updates the bias table itself
+      must use the dense path).
     - T is padded internally to the block size; outputs are sliced back.
-    Differentiable when ``bias is None`` (recompute backward; see module
-    docstring).
     """
     b, tq, h, d = q.shape
     tk = k.shape[1]
@@ -494,6 +595,13 @@ def flash_attention(
 
     blk_q = min(_BLKQ, max(128, 1 << max(tq - 1, 1).bit_length()))
     blk_k = min(_BLKK, max(128, 1 << max(tk - 1, 1).bit_length()))
+    if bias is not None and bias.shape[1] != 1:
+        # a full-rank (H, Tq, Tk) f32 bias adds a (blk_q, blk_k) block to
+        # every kernel's VMEM working set; 1024x1024 (4 MB double-buffered
+        # to 8) blows the ~16 MB scoped budget in the backward — 512 fits.
+        # The (H, 1, Tk) key-only form (ALiBi) keeps the big blocks.
+        blk_q = min(blk_q, 512)
+        blk_k = min(blk_k, 512)
     pad_q = (-tq) % blk_q
     pad_k = (-tk) % blk_k
 
@@ -511,14 +619,13 @@ def flash_attention(
     lens = jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(1, b * h)
 
     if bias is not None:
+        bias = jnp.asarray(bias, jnp.float32)
         bias = jnp.pad(
-            jnp.asarray(bias, jnp.float32),
-            ((0, 0), (0, pad_q), (0, pad_k)),
+            bias,
+            ((0, 0), (0, pad_q if bias.shape[1] != 1 else 0), (0, pad_k)),
         )
-        out, _ = _flash_fwd(
-            qb, kb, vb, lens, bias,
-            causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-            interpret=_should_interpret(None), n_heads=h,
+        out = _flash_core_bias(
+            qb, kb, vb, lens, bias, causal, scale, blk_q, blk_k, h
         )
     else:
         out = _flash_core(qb, kb, vb, lens, causal, scale, blk_q, blk_k)
