@@ -332,3 +332,80 @@ def test_t5_quantized_base(rng):
     # ranking preserved for the argmax token on most positions
     agree = np.mean(base.argmax(-1) == quant.argmax(-1))
     assert agree > 0.9, agree
+
+
+def test_t5_flash_matches_dense():
+    """Flash-enabled T5 (fused relative-bias attention in encoder and
+    decoder self-attention) must match the dense path at T >= 256, with
+    right padding on both sides."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vietnamese_qa_system_tpu.models import t5
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=128, d_model=64,
+        n_heads=4, d_kv=16, n_layers=2, n_decoder_layers=2, d_ff=128,
+        max_seq_len=512, mlp_gated=True, tie_embeddings=False,
+        relative_attention_buckets=8, relative_attention_max_distance=32,
+        attention_bias=False,
+    )
+    params = t5.init_t5(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    B, TE, TD = 2, 256, 256
+    enc_ids = jnp.asarray(rng.integers(1, 128, (B, TE)), jnp.int32)
+    enc_mask = jnp.ones((B, TE), jnp.int32).at[1, 200:].set(0)
+    dec_ids = jnp.asarray(rng.integers(1, 128, (B, TD)), jnp.int32)
+    dec_mask = jnp.ones((B, TD), jnp.int32).at[1, 180:].set(0)
+
+    batch = {
+        "input_ids": enc_ids, "attention_mask": enc_mask,
+        "decoder_input_ids": dec_ids, "decoder_attention_mask": dec_mask,
+    }
+    l_dense = t5.forward(params, cfg, batch)
+    cfg_f = dataclasses.replace(cfg, use_flash_attention=True)
+    l_flash = t5.forward(params, cfg_f, batch)
+    # compare only valid decoder positions (padded rows differ under mask)
+    np.testing.assert_allclose(
+        np.asarray(l_dense[:, :180]), np.asarray(l_flash[:, :180]),
+        atol=0.1, rtol=0.05,
+    )
+
+    # grads w.r.t. attention projections agree (bias tables excluded: the
+    # fused path deliberately zeroes their cotangent)
+    def loss(w, cfg):
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        p["dec_blocks"][0]["attn"]["wq"]["w"] = w
+        batch2 = dict(batch, labels=dec_ids)
+        return t5.loss_fn(p, cfg, batch2)[0]
+
+    w0 = params["dec_blocks"][0]["attn"]["wq"]["w"]
+    g_dense = jax.grad(loss)(w0, cfg)
+    g_flash = jax.grad(loss)(w0, cfg_f)
+    np.testing.assert_allclose(
+        np.asarray(g_dense), np.asarray(g_flash), atol=5e-3, rtol=5e-2
+    )
+
+
+def test_full_ft_flash_bias_guard():
+    """Trainer refuses full fine-tuning of a relative-bias family with
+    flash attention on (the fused kernel freezes the bias tables)."""
+    import dataclasses
+
+    import pytest
+
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+    from vietnamese_qa_system_tpu.train.trainer import Trainer, TrainConfig
+
+    cfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=64, d_model=32,
+        n_heads=2, d_kv=16, n_layers=1, n_decoder_layers=1, d_ff=64,
+        max_seq_len=128, relative_attention_buckets=8,
+        use_flash_attention=True,
+    )
+    with pytest.raises(ValueError, match="bias"):
+        Trainer(TrainConfig(model=cfg))

@@ -120,7 +120,8 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
     flash = None
     if cfg.use_flash_attention and t >= 256:
         # bidirectional fused path: right-padded key masking via kv_lens,
-        # relative bias rides into the kernel (fwd-only — the retrieval
+        # relative bias rides into the kernel (differentiable for q/k/v;
+        # the bias table gets a zero cotangent — fine here: the retrieval
         # encoders are inference models).  Only pays off at longer
         # sequences: at T=128 the (BH, 1, 1) grid of tiny blocks loses to
         # XLA's batched einsum (measured 94.9 vs 82.1 ms for mpnet-class

@@ -81,7 +81,9 @@ def _ffn(p, x, cfg: ModelConfig):
 def init_t5(key, cfg: ModelConfig):
     inner = cfg.n_heads * cfg.head_dim
     n_dec = cfg.decoder_layers
-    ks = jax.random.split(key, 2 * (cfg.n_layers + n_dec) + 8)
+    # encoder blocks draw 2 keys each, decoder blocks 3 (self + cross +
+    # ffn); +8 covers embeddings/bias tables/head with slack
+    ks = jax.random.split(key, 2 * cfg.n_layers + 3 * n_dec + 8)
     it = iter(ks)
 
     def enc_block():
@@ -177,13 +179,25 @@ def _enc_layer(p, x, cfg, mask, bias, flash=None):
 
 
 def encode(params, cfg: ModelConfig, ids, attn_mask):
-    """ids/attn_mask: (B, T).  Returns (B, T, D) fp32 hidden states."""
+    """ids/attn_mask: (B, T).  Returns (B, T, D) fp32 hidden states.
+
+    With ``cfg.use_flash_attention`` (and T >= 256, below which XLA's
+    batched einsum wins), self-attention runs the fused Pallas kernel with
+    the relative bias riding in-kernel.  The fused path gives the bias
+    TABLE a zero cotangent — exact for inference and LoRA training (tables
+    frozen); full fine-tuning must keep flash off (the trainer guards
+    this).
+    """
     b, t = ids.shape
     x = params["tok_embed"][ids]
     bias = _enc_bias(params["enc_rel_bias"], t, cfg)
     mask = jnp.broadcast_to(padding_mask(attn_mask), (b, t, t))
+    flash = None
+    if cfg.use_flash_attention and t >= 256:
+        lens = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+        flash = {"kv_lens": lens, "causal": False}
     for p_blk in params["enc_blocks"]:
-        x = _enc_layer(p_blk, x, cfg, mask, bias)
+        x = _enc_layer(p_blk, x, cfg, mask, bias, flash=flash)
     return layernorm(params["enc_ln_f"], x, cfg.norm_eps)
 
 
@@ -227,12 +241,22 @@ def decode(
         self_mask = causal_mask(t)
         if dec_mask is not None:
             self_mask = self_mask & dec_mask[:, None, :].astype(jnp.bool_)
+        flash = None
+        if cfg.use_flash_attention and t >= 256:
+            # fused causal self-attention with the in-kernel relative bias
+            # (zero bias-table cotangent — LoRA/inference only, see encode)
+            lens = (
+                jnp.sum(dec_mask, axis=1).astype(jnp.int32)
+                if dec_mask is not None
+                else jnp.full((b,), t, jnp.int32)
+            )
+            flash = {"kv_lens": lens, "causal": True}
         new_caches = None
         for p_blk in params["dec_blocks"]:
             h, _ = attention(
                 p_blk["attn"], layernorm(p_blk["ln1"], x, cfg.norm_eps),
                 n_heads=cfg.n_heads, mask=self_mask, bias=self_bias,
-                scale=1.0,
+                scale=1.0, flash=flash,
             )
             x = x + h
             h, _ = attention(

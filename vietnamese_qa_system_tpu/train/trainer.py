@@ -207,6 +207,20 @@ class Trainer:
             cfg.mesh_axes or {DATA_AXIS: -1}
         )
         key = jax.random.key(cfg.seed)
+        if (
+            cfg.lora is None
+            and cfg.model.use_flash_attention
+            and (
+                cfg.model.seq2seq_family == "t5"
+                or cfg.model.relative_attention_buckets
+            )
+        ):
+            raise ValueError(
+                "full fine-tuning with use_flash_attention on a relative-"
+                "bias family (T5/MPNet) would silently freeze the bias "
+                "tables (the fused kernel's bias cotangent is zero) — "
+                "disable flash attention or train with LoRA"
+            )
         if params is None:
             params = init_model_params(cfg.model, key)
         if cfg.quantize_base is not None:
