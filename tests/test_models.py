@@ -413,3 +413,49 @@ def test_llama_tp_sharding_rules():
     assert blk["attn"]["wk"]["w"].spec == P(None, "model")
     # RMSNorm scale replicated
     assert blk["ln1"]["scale"].spec == P(None)
+
+
+def test_causal_bf16_activation_policy_parity():
+    """activations_bf16 (bf16 residual stream, fp32 norm/softmax math) must
+    track the fp32-activation loss and grads closely on every causal
+    family layout (rope, alibi, rmsnorm/swiglu)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vietnamese_qa_system_tpu.models import causal_lm
+    from vietnamese_qa_system_tpu.models import config as mcfg
+
+    rng = np.random.default_rng(0)
+    layouts = [
+        mcfg.tiny_test("causal"),
+        dataclasses.replace(
+            mcfg.tiny_test("causal"), positional="alibi",
+            embed_layernorm=True,
+        ),
+        dataclasses.replace(
+            mcfg.tiny_test("causal"), norm="rmsnorm", mlp_gated=True,
+        ),
+    ]
+    for base in layouts:
+        params = causal_lm.init_causal_lm(jax.random.key(0), base)
+        ids = jnp.asarray(rng.integers(1, 512, (4, 32)), jnp.int32)
+        batch = {
+            "input_ids": ids,
+            "attention_mask": jnp.ones((4, 32), jnp.int32),
+            "labels": ids,
+        }
+        cfg_b = dataclasses.replace(base, activations_bf16=True)
+        l0, _ = causal_lm.loss_fn(params, base, batch)
+        l1, _ = causal_lm.loss_fn(params, cfg_b, batch)
+        assert abs(float(l0) - float(l1)) < 5e-3
+        g0 = jax.grad(lambda p: causal_lm.loss_fn(p, base, batch)[0])(params)
+        g1 = jax.grad(lambda p: causal_lm.loss_fn(p, cfg_b, batch)[0])(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3
+            )

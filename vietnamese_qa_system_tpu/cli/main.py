@@ -33,6 +33,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="preset size (reference used gpt-neo-125m / "
                         "pythia-410m; mt5small = its seq2seq experiments)")
     g.add_argument("--model-config", help="path to a ModelConfig json (overrides preset)")
+    g.add_argument("--scan-layers", action="store_true",
+                   help="stack homogeneous blocks and run them under "
+                   "lax.scan (T5X/MaxText-style): compile time O(1) in "
+                   "depth + per-layer remat (lower memory; causal only)")
     g.add_argument("--init-params", help="checkpoint dir or converted-weights .npz to start from")
 
     g = p.add_argument_group("lora (reference peft group, train.py:33)")
@@ -146,10 +150,16 @@ def _model_config(args):
         "seq2seq-small": mcfg.seq2seq_native_small,
     }
     cfg = presets[args.model_size]()
-    if cfg.arch != args.arch and args.model_size == "tiny":
-        import dataclasses
+    import dataclasses
 
+    if cfg.arch != args.arch and args.model_size == "tiny":
         cfg = dataclasses.replace(cfg, arch=args.arch)
+    if getattr(args, "scan_layers", False):
+        if cfg.arch != "causal" or cfg.attention_layers is not None:
+            raise SystemExit(
+                "--scan-layers requires a homogeneous causal model"
+            )
+        cfg = dataclasses.replace(cfg, scan_layers=True)
     return cfg
 
 

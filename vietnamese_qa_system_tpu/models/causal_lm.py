@@ -34,8 +34,43 @@ from .layers import (
 IGNORE_INDEX = -100  # label positions excluded from the loss
 
 
+def stack_blocks(params: dict) -> dict:
+    """List-of-blocks pytree -> stacked pytree with a leading layer dim
+    (the scan-over-layers format; every block leaf becomes (L, ...)).
+    Idempotent on already-stacked params."""
+    blocks = params["blocks"]
+    if isinstance(blocks, dict):
+        return params
+    out = dict(params)
+    out["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *blocks
+    )
+    return out
+
+
+def unstack_blocks(params: dict, n_layers: int) -> dict:
+    """Inverse of :func:`stack_blocks` (for HF export / interop)."""
+    blocks = params["blocks"]
+    if isinstance(blocks, list):
+        return params
+    out = dict(params)
+    out["blocks"] = [
+        jax.tree_util.tree_map(lambda x: x[i], blocks) for i in range(n_layers)
+    ]
+    return out
+
+
+def blocks_stacked(params: dict) -> bool:
+    return isinstance(params["blocks"], dict)
+
+
 def init_causal_lm(key, cfg: ModelConfig):
     ks = jax.random.split(key, cfg.n_layers + 4)
+    if cfg.scan_layers and cfg.attention_layers is not None:
+        raise ValueError(
+            "scan_layers requires homogeneous layers (GPT-Neo's "
+            "local/global alternation cannot be scanned)"
+        )
     params = {
         "tok_embed": jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_model)) * 0.02,
         "blocks": [
@@ -63,6 +98,8 @@ def init_causal_lm(key, cfg: ModelConfig):
         params["lm_head"] = init_dense(
             ks[-1], cfg.d_model, cfg.vocab_size, use_bias=False
         )
+    if cfg.scan_layers:
+        params = stack_blocks(params)
     return params
 
 
@@ -116,8 +153,11 @@ def hidden_states(
         rope = rope_frequencies(rot, cfg.max_seq_len, cfg.rope_theta)
     # "alibi" (BLOOM): no position signal at the embedding; a per-head
     # linear score bias is added inside attention (see `bias` below)
+    adt = jnp.bfloat16 if cfg.activations_bf16 else None
     if cfg.embed_layernorm:
-        x = layernorm(params["emb_ln"], x, cfg.norm_eps)
+        x = layernorm(params["emb_ln"], x, cfg.norm_eps, out_dtype=adt)
+    elif adt is not None:
+        x = x.astype(adt)
     kinds = _layer_kinds(cfg)
     has_local = "local" in kinds
     alibi = cfg.positional == "alibi"
@@ -142,19 +182,37 @@ def hidden_states(
             slots = jnp.arange(t)
             local_mask = mask & _window_mask(slots, slots, cfg.attention_window)
         new_caches = None
-        for p_blk, kind in zip(params["blocks"], kinds):
-            local = kind == "local"
-            x, _ = block(
-                p_blk, x, n_heads=cfg.n_heads,
-                mask=local_mask if local else mask,
-                rope=rope, positions=positions, eps=cfg.norm_eps,
-                # the fused kernel expresses (causal & kv_lens) only;
-                # local layers take the dense masked path
-                flash=None if local else flash,
-                parallel_residual=cfg.parallel_residual,
-                scale=cfg.attention_scale, activation=cfg.activation,
-                n_kv_heads=cfg.n_kv_heads, bias=bias,
-            )
+        if blocks_stacked(params):
+            # scan-over-layers: one traced/compiled layer regardless of
+            # depth, with per-layer remat (the standard TPU checkpointing
+            # granularity — bwd recomputes one layer at a time)
+            def body(h, p_blk):
+                h2, _ = block(
+                    p_blk, h, n_heads=cfg.n_heads, mask=mask,
+                    rope=rope, positions=positions, eps=cfg.norm_eps,
+                    flash=flash, parallel_residual=cfg.parallel_residual,
+                    scale=cfg.attention_scale, activation=cfg.activation,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    activation_dtype=adt,
+                )
+                return h2, None
+
+            x, _ = jax.lax.scan(jax.checkpoint(body), x, params["blocks"])
+        else:
+            for p_blk, kind in zip(params["blocks"], kinds):
+                local = kind == "local"
+                x, _ = block(
+                    p_blk, x, n_heads=cfg.n_heads,
+                    mask=local_mask if local else mask,
+                    rope=rope, positions=positions, eps=cfg.norm_eps,
+                    # the fused kernel expresses (causal & kv_lens) only;
+                    # local layers take the dense masked path
+                    flash=None if local else flash,
+                    parallel_residual=cfg.parallel_residual,
+                    scale=cfg.attention_scale, activation=cfg.activation,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    activation_dtype=adt,
+                )
     else:
         # decode step: keys live in the cache; mask is (B, T, cache_len)
         # (for ALiBi the bias uses cache-SLOT positions: a per-row padding
@@ -172,18 +230,39 @@ def hidden_states(
             local_mask = mask & _window_mask(
                 q_slots, k_slots, cfg.attention_window
             )
-        new_caches = []
-        for p_blk, layer_cache, kind in zip(params["blocks"], cache, kinds):
-            x, nc = block(
-                p_blk, x, n_heads=cfg.n_heads,
-                mask=local_mask if kind == "local" else mask,
-                rope=rope, positions=positions,
-                cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
-                parallel_residual=cfg.parallel_residual,
-                scale=cfg.attention_scale, activation=cfg.activation,
-                n_kv_heads=cfg.n_kv_heads, bias=bias,
-            )
-            new_caches.append(nc)
+        if blocks_stacked(params):
+            # stacked KV cache: leaves carry a leading layer dim (see
+            # models/generate.py::_make_cache); scan threads (layer
+            # params, layer cache) together and re-stacks the new cache
+            def body(h, xs):
+                p_blk, layer_cache = xs
+                h2, nc = block(
+                    p_blk, h, n_heads=cfg.n_heads, mask=mask,
+                    rope=rope, positions=positions,
+                    cache=layer_cache, cache_index=cache_index,
+                    eps=cfg.norm_eps,
+                    parallel_residual=cfg.parallel_residual,
+                    scale=cfg.attention_scale, activation=cfg.activation,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    activation_dtype=adt,
+                )
+                return h2, nc
+
+            x, new_caches = jax.lax.scan(body, x, (params["blocks"], cache))
+        else:
+            new_caches = []
+            for p_blk, layer_cache, kind in zip(params["blocks"], cache, kinds):
+                x, nc = block(
+                    p_blk, x, n_heads=cfg.n_heads,
+                    mask=local_mask if kind == "local" else mask,
+                    rope=rope, positions=positions,
+                    cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
+                    parallel_residual=cfg.parallel_residual,
+                    scale=cfg.attention_scale, activation=cfg.activation,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    activation_dtype=adt,
+                )
+                new_caches.append(nc)
 
     x = layernorm(params["ln_f"], x, cfg.norm_eps)
     if cache is not None:

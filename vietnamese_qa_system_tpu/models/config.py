@@ -90,6 +90,14 @@ class ModelConfig:
     # T5 decouples the attention inner dim from d_model: head_dim = d_kv
     # (mt5-small: 6 heads x 64 = 384 vs d_model 512).  None = d_model/heads.
     d_kv: int | None = None
+    # Stack homogeneous decoder blocks into one leading-L pytree and run
+    # them under lax.scan (T5X/MaxText-style scan-over-layers): ONE kernel
+    # lowering + one layer compile regardless of depth — compile time is
+    # O(1) in n_layers instead of O(n_layers), which dominates for deep
+    # models with Pallas kernels.  Requires uniform layers (no GPT-Neo
+    # local/global alternation).  The stacked pytree is the on-disk and
+    # in-memory format when this is set (models/causal_lm.py::stack_blocks).
+    scan_layers: bool = False
     # bf16 residual/norm-output activations (norm math stays fp32):
     # standard inference mixed precision; halves inter-op HBM traffic.
     # On by default only for the retrieval encoders (their outputs are

@@ -875,7 +875,13 @@ def export_causal_auto(params, cfg: ModelConfig, out_dir: str) -> str:
     - learned positions, unscaled    -> GPT-Neo (attention_scale == 1.0)
     - learned positions, 1/sqrt(d)   -> GPT-2
     - otherwise (RoPE)               -> GPT-NeoX
+
+    Scan-over-layers (stacked) pytrees are unstacked transparently.
     """
+    from .causal_lm import blocks_stacked, unstack_blocks
+
+    if blocks_stacked(params):
+        params = unstack_blocks(params, cfg.n_layers)
     if cfg.norm == "rmsnorm" or cfg.mlp_gated:
         return export_llama(params, cfg, out_dir)
     if cfg.positional == "alibi":

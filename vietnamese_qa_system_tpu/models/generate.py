@@ -124,13 +124,26 @@ def _sample_logits(logits, key, *, temperature, top_k, top_p):
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int):
+def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int,
+                stacked: bool = False):
     # GQA (llama family): the cache stores only the kv heads
     shape = (b, total_len, cfg.kv_heads, cfg.head_dim)
+    if stacked:
+        # scan-over-layers format: one leading layer dim per leaf
+        s = (n_layers,) + shape
+        return {"k": jnp.zeros(s, jnp.bfloat16), "v": jnp.zeros(s, jnp.bfloat16)}
     return [
         {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
         for _ in range(n_layers)
     ]
+
+
+def _reorder_cache(cache, idx):
+    """Gather cache rows by ``idx`` along the batch/beam axis — dim 0 for
+    list-of-layers caches, dim 1 for stacked (L, B, ...) caches."""
+    if isinstance(cache, list):
+        return [jax.tree.map(lambda x: x[idx], layer) for layer in cache]
+    return jax.tree.map(lambda x: x[:, idx], cache)
 
 
 @functools.partial(
@@ -171,7 +184,9 @@ def generate(
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
     n_prompt = jnp.sum(attn_mask, axis=1)  # (B,) true prompt lengths
 
-    cache = _make_cache(cfg, b, total, cfg.n_layers)
+    cache = _make_cache(
+        cfg, b, total, cfg.n_layers, stacked=causal_lm.blocks_stacked(params)
+    )
     # Prefill: causal over prompt, keys limited to prompt slots.
     j = jnp.arange(total)[None, None, :]  # (1, 1, total)
     q_pos = jnp.arange(t)[None, :, None]  # (1, T, 1)
@@ -494,7 +509,10 @@ def beam_search(
     positions = jnp.maximum(jnp.cumsum(mask_w, axis=1) - 1, 0)
     n_prompt = jnp.sum(mask_w, axis=1).reshape(b, w)
 
-    cache = _make_cache(cfg, b * w, total, cfg.n_layers)
+    cache = _make_cache(
+        cfg, b * w, total, cfg.n_layers,
+        stacked=causal_lm.blocks_stacked(params),
+    )
     j = jnp.arange(total)[None, None, :]
     q_pos = jnp.arange(t)[None, :, None]
     key_valid = jnp.concatenate(
@@ -546,10 +564,7 @@ def beam_search(
         # reorder the KV cache: rows are (B*W); gather along beams
         flat_parent = (batch_idx * w + parent).reshape(b * w)
 
-        def reorder(c):
-            return jax.tree.map(lambda x: x[flat_parent], c)
-
-        cache = [reorder(layer) for layer in cache]
+        cache = _reorder_cache(cache, flat_parent)
 
         # run one decode step for every beam
         pos = (n_prompt[batch_idx, parent] + step_idx).reshape(b * w, 1)

@@ -67,6 +67,17 @@ def init_lora(key, params, cfg: LoraConfig):
                     / cfg.r,
                     "b": jnp.zeros((cfg.r, d_out), jnp.float32),
                 }
+            if name in cfg.targets and "w" in node and node["w"].ndim == 3:
+                # scan-over-layers stacked leaf (L, d_in, d_out): one
+                # independent adapter per layer, stacked the same way
+                n_l, d_in, d_out = node["w"].shape
+                return {
+                    "a": jax.random.normal(
+                        next(keys), (n_l, d_in, cfg.r), jnp.float32
+                    )
+                    / cfg.r,
+                    "b": jnp.zeros((n_l, cfg.r, d_out), jnp.float32),
+                }
             return None
         if isinstance(node, dict):
             sub = {k: walk(v, k) for k, v in node.items()}
@@ -102,9 +113,16 @@ def merge_lora(params, adapter, cfg: LoraConfig):
                     merged["lora_a"] = a["a"]
                     merged["lora_b"] = a["b"] * cfg.scale
                     return merged
-                delta = jnp.dot(
-                    a["a"], a["b"], preferred_element_type=jnp.float32
-                ) * cfg.scale
+                if a["a"].ndim == 3:
+                    # stacked (L, d_in, r) @ (L, r, d_out) per layer
+                    delta = jnp.einsum(
+                        "lir,lro->lio", a["a"], a["b"],
+                        preferred_element_type=jnp.float32,
+                    ) * cfg.scale
+                else:
+                    delta = jnp.dot(
+                        a["a"], a["b"], preferred_element_type=jnp.float32
+                    ) * cfg.scale
                 merged["w"] = p["w"] + delta.astype(p["w"].dtype)
                 return merged
             return p

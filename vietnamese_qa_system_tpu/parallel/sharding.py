@@ -118,6 +118,11 @@ def _spec_for(path_s: str, leaf, rules: ShardingRules, mesh: Mesh) -> P:
     spec = tuple(None for _ in shape)
     for pattern, template in rules.rules:
         if re.match(pattern, path_s):
+            if len(template) == len(shape) - 1:
+                # scan-over-layers stacked leaf: same rule, leading layer
+                # dim replicated (collectives stay per-layer inside the
+                # scan body)
+                template = (None,) + tuple(template)
             if len(template) != len(shape):
                 break  # rule written for a different rank; fall through
             # drop axes the mesh doesn't have or that don't divide

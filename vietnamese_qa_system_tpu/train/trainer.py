@@ -223,7 +223,23 @@ class Trainer:
             )
         if params is None:
             params = init_model_params(cfg.model, key)
+        if (
+            cfg.model.scan_layers
+            and cfg.model.arch == "causal"
+            and isinstance(params.get("blocks"), list)
+        ):
+            # externally-supplied params (HF import, old checkpoints) in
+            # list form: convert to the scan-over-layers stacked layout
+            from ..models.causal_lm import stack_blocks
+
+            params = stack_blocks(params)
         if cfg.quantize_base is not None:
+            if cfg.model.scan_layers:
+                raise NotImplementedError(
+                    "quantize_base with scan_layers is not supported yet "
+                    "(blockwise int8/nf4 quantization operates on 2-D "
+                    "dense leaves) — disable one of the two"
+                )
             if cfg.lora is None:
                 raise ValueError(
                     "quantize_base requires LoRA: int8/nf4 codes cannot "
