@@ -214,3 +214,133 @@ def test_trainer_guards_quantize_with_scan():
                 model=cfg, quantize_base="int8", lora=LoraConfig(r=4)
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# T5 scan-over-layers
+# ---------------------------------------------------------------------------
+
+
+def _tiny_t5_cfg(**kw):
+    return dataclasses.replace(
+        mcfg.ModelConfig(
+            arch="seq2seq", seq2seq_family="t5", vocab_size=128, d_model=64,
+            n_heads=4, d_kv=16, n_layers=2, n_decoder_layers=3, d_ff=128,
+            max_seq_len=128, mlp_gated=True, tie_embeddings=False,
+            relative_attention_buckets=8, relative_attention_max_distance=32,
+            attention_bias=False,
+        ),
+        **kw,
+    )
+
+
+@pytest.fixture
+def t5_pair(rng):
+    from vietnamese_qa_system_tpu.models import t5
+
+    cfg = _tiny_t5_cfg()
+    params = t5.init_t5(jax.random.key(0), cfg)
+    return cfg, params, _tiny_t5_cfg(scan_layers=True), t5.stack_t5(params)
+
+
+def test_t5_forward_loss_grad_parity(t5_pair, rng):
+    from vietnamese_qa_system_tpu.models import t5
+
+    cfg, params, cfg_s, stacked = t5_pair
+    B, TE, TD = 2, 24, 16
+    enc_ids = jnp.asarray(rng.integers(1, 128, (B, TE)), jnp.int32)
+    enc_mask = jnp.ones((B, TE), jnp.int32).at[1, 20:].set(0)
+    dec_ids = jnp.asarray(rng.integers(1, 128, (B, TD)), jnp.int32)
+    batch = {
+        "input_ids": enc_ids, "attention_mask": enc_mask,
+        "decoder_input_ids": dec_ids,
+        "decoder_attention_mask": jnp.ones((B, TD), jnp.int32),
+        "labels": dec_ids,
+    }
+    np.testing.assert_allclose(
+        np.asarray(t5.forward(params, cfg, batch)),
+        np.asarray(t5.forward(stacked, cfg_s, batch)),
+        atol=1e-5,
+    )
+    g0 = t5.stack_t5(
+        jax.grad(lambda p: t5.loss_fn(p, cfg, batch)[0])(params)
+    )
+    g1 = jax.grad(lambda p: t5.loss_fn(p, cfg_s, batch)[0])(stacked)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_t5_generate_and_beam_parity(t5_pair, rng):
+    from vietnamese_qa_system_tpu.models import generate
+
+    cfg, params, cfg_s, stacked = t5_pair
+    enc_ids = jnp.asarray(rng.integers(1, 128, (2, 20)), jnp.int32)
+    enc_mask = jnp.ones((2, 20), jnp.int32)
+    o0 = generate.generate_seq2seq(
+        params, cfg, enc_ids, enc_mask, max_new_tokens=6,
+        temperature=0.0, eos_id=2, bos_id=0,
+    )
+    o1 = generate.generate_seq2seq(
+        stacked, cfg_s, enc_ids, enc_mask, max_new_tokens=6,
+        temperature=0.0, eos_id=2, bos_id=0,
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    b0 = generate.beam_search_seq2seq(
+        params, cfg, enc_ids, enc_mask, max_new_tokens=5, num_beams=3,
+        eos_id=2, bos_id=0,
+    )
+    b1 = generate.beam_search_seq2seq(
+        stacked, cfg_s, enc_ids, enc_mask, max_new_tokens=5, num_beams=3,
+        eos_id=2, bos_id=0,
+    )
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+
+
+def test_t5_scan_bf16_params_carry(t5_pair, rng):
+    """bf16 (cast) params must not break scan's carry-type invariance —
+    the carry is pinned to f32 before both stacks' scans."""
+    from vietnamese_qa_system_tpu.models import t5
+
+    cfg, params, cfg_s, stacked = t5_pair
+    bf16 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16) if x.ndim >= 2 else x, stacked
+    )
+    enc_ids = jnp.asarray(rng.integers(1, 128, (2, 16)), jnp.int32)
+    out = t5.encode(bf16, cfg_s, enc_ids, jnp.ones((2, 16), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_t5_export_unstacks(tmp_path, t5_pair):
+    import transformers
+
+    from vietnamese_qa_system_tpu.models.convert_hf import export_t5
+
+    cfg, params, cfg_s, stacked = t5_pair
+    d = str(tmp_path / "t5x")
+    export_t5(stacked, cfg_s, d)
+    model = transformers.AutoModelForSeq2SeqLM.from_pretrained(d)
+    assert model.config.num_layers == cfg.n_layers
+
+
+def test_t5_trainer_scan_smoke(rng):
+    from vietnamese_qa_system_tpu.train.trainer import Trainer, TrainConfig
+
+    cfg = _tiny_t5_cfg(scan_layers=True)
+    tc = TrainConfig(
+        model=cfg, strategy="fsdp", lr=1e-3, lora=LoraConfig(r=4), epochs=1
+    )
+    tr = Trainer(tc)
+
+    def batches():
+        for _ in range(2):
+            yield {
+                "input_ids": rng.integers(1, 128, (8, 24)).astype(np.int32),
+                "attention_mask": np.ones((8, 24), np.int32),
+                "decoder_input_ids": rng.integers(1, 128, (8, 16)).astype(np.int32),
+                "decoder_attention_mask": np.ones((8, 16), np.int32),
+                "labels": rng.integers(1, 128, (8, 16)).astype(np.int32),
+            }
+
+    tr.fit(batches)

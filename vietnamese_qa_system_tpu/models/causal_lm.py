@@ -197,7 +197,13 @@ def hidden_states(
                 )
                 return h2, None
 
-            x, _ = jax.lax.scan(jax.checkpoint(body), x, params["blocks"])
+            # blocks emit f32 activations unless the bf16 policy is on;
+            # pin the carry dtype for scan's type invariance
+            x, _ = jax.lax.scan(
+                jax.checkpoint(body),
+                x.astype(adt or jnp.float32),
+                params["blocks"],
+            )
         else:
             for p_blk, kind in zip(params["blocks"], kinds):
                 local = kind == "local"
@@ -248,7 +254,9 @@ def hidden_states(
                 )
                 return h2, nc
 
-            x, new_caches = jax.lax.scan(body, x, (params["blocks"], cache))
+            x, new_caches = jax.lax.scan(
+                body, x.astype(adt or jnp.float32), (params["blocks"], cache)
+            )
         else:
             new_caches = []
             for p_blk, layer_cache, kind in zip(params["blocks"], cache, kinds):

@@ -1254,7 +1254,12 @@ def load_seq2seq_auto(model_dir: str):
 
 
 def to_t5_state_dict(params, cfg: ModelConfig) -> dict:
-    """Inverse of :func:`convert_t5` (transpose back to HF (out, in))."""
+    """Inverse of :func:`convert_t5` (transpose back to HF (out, in)).
+    Scan-over-layers (stacked) pytrees are unstacked transparently."""
+    from .t5 import t5_stacked, unstack_t5
+
+    if t5_stacked(params):
+        params = unstack_t5(params, cfg)
     out = {}
 
     def put(name, w):

@@ -333,7 +333,10 @@ def generate_seq2seq(
     enc_out = s2s.encode(params, cfg, enc_ids, enc_mask)
 
     total = max_new_tokens + 1  # slot 0 holds BOS
-    cache = _make_cache(cfg, b, total, cfg.decoder_layers)
+    cache = _make_cache(
+        cfg, b, total, cfg.decoder_layers,
+        stacked=cfg.seq2seq_family == "t5" and t5.t5_stacked(params),
+    )
     jj = jnp.arange(total)[None, None, :]
 
     def sample(logits, k):
@@ -403,7 +406,10 @@ def beam_search_seq2seq(
     enc_mask_w = jnp.repeat(enc_mask, w, axis=0)
 
     total = max_new_tokens + 1  # slot 0 holds BOS
-    cache = _make_cache(cfg, b * w, total, cfg.decoder_layers)
+    cache = _make_cache(
+        cfg, b * w, total, cfg.decoder_layers,
+        stacked=cfg.seq2seq_family == "t5" and t5.t5_stacked(params),
+    )
     jj = jnp.arange(total)[None, None, :]
 
     def decode_step(cache, tok, idx):
@@ -446,9 +452,7 @@ def beam_search_seq2seq(
         if eos_id is not None:
             new_done = new_done | (token == eos_id)
         flat_parent = (batch_idx * w + parent).reshape(b * w)
-        cache = [
-            jax.tree.map(lambda x: x[flat_parent], layer) for layer in cache
-        ]
+        cache = _reorder_cache(cache, flat_parent)
         logits, cache = decode_step(
             cache, token.reshape(b * w), step_idx + 1
         )

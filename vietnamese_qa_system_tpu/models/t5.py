@@ -125,6 +125,8 @@ def init_t5(key, cfg: ModelConfig):
             "w": jax.random.normal(next(it), (cfg.d_model, cfg.vocab_size))
             * 0.02
         }
+    if cfg.scan_layers:
+        params = stack_t5(params)
     return params
 
 
@@ -178,6 +180,34 @@ def _enc_layer(p, x, cfg, mask, bias, flash=None):
     return x
 
 
+def stack_t5(params: dict) -> dict:
+    """List-of-blocks -> stacked (leading layer dim) pytree for both
+    stacks — the scan-over-layers format (see models/causal_lm.py).
+    Idempotent on already-stacked params."""
+    if isinstance(params["enc_blocks"], dict):
+        return params
+    out = dict(params)
+    for k in ("enc_blocks", "dec_blocks"):
+        out[k] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params[k])
+    return out
+
+
+def unstack_t5(params: dict, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`stack_t5` (HF export / interop)."""
+    if isinstance(params["enc_blocks"], list):
+        return params
+    out = dict(params)
+    for k, n in (("enc_blocks", cfg.n_layers), ("dec_blocks", cfg.decoder_layers)):
+        out[k] = [
+            jax.tree_util.tree_map(lambda x: x[i], params[k]) for i in range(n)
+        ]
+    return out
+
+
+def t5_stacked(params: dict) -> bool:
+    return isinstance(params["enc_blocks"], dict)
+
+
 def encode(params, cfg: ModelConfig, ids, attn_mask):
     """ids/attn_mask: (B, T).  Returns (B, T, D) fp32 hidden states.
 
@@ -196,8 +226,21 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
     if cfg.use_flash_attention and t >= 256:
         lens = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
         flash = {"kv_lens": lens, "causal": False}
-    for p_blk in params["enc_blocks"]:
-        x = _enc_layer(p_blk, x, cfg, mask, bias, flash=flash)
+    if t5_stacked(params):
+        # scan-over-layers with per-layer remat: one traced/compiled layer
+        # regardless of depth (kills the per-layer Mosaic compiles that
+        # dominate deep flash models; see docs/BENCHMARKS.md)
+        def body(h, p_blk):
+            return _enc_layer(p_blk, h, cfg, mask, bias, flash=flash), None
+
+        # blocks emit f32 (fp32-accum matmuls + residual); pin the carry
+        # dtype so bf16 embeddings don't break scan's type invariance
+        x, _ = jax.lax.scan(
+            jax.checkpoint(body), x.astype(jnp.float32), params["enc_blocks"]
+        )
+    else:
+        for p_blk in params["enc_blocks"]:
+            x = _enc_layer(p_blk, x, cfg, mask, bias, flash=flash)
     return layernorm(params["enc_ln_f"], x, cfg.norm_eps)
 
 
@@ -252,43 +295,73 @@ def decode(
             )
             flash = {"kv_lens": lens, "causal": True}
         new_caches = None
-        for p_blk in params["dec_blocks"]:
-            h, _ = attention(
-                p_blk["attn"], layernorm(p_blk["ln1"], x, cfg.norm_eps),
+
+        def dec_layer(h, p_blk):
+            a, _ = attention(
+                p_blk["attn"], layernorm(p_blk["ln1"], h, cfg.norm_eps),
                 n_heads=cfg.n_heads, mask=self_mask, bias=self_bias,
                 scale=1.0, flash=flash,
             )
-            x = x + h
-            h, _ = attention(
+            h = h + a
+            a, _ = attention(
                 p_blk["cross_attn"],
-                layernorm(p_blk["ln_cross"], x, cfg.norm_eps),
+                layernorm(p_blk["ln_cross"], h, cfg.norm_eps),
                 n_heads=cfg.n_heads, kv_x=enc_out, mask=cross_mask,
                 scale=1.0,
             )
-            x = x + h
-            x = x + _ffn(p_blk["mlp"], layernorm(p_blk["ln2"], x, cfg.norm_eps), cfg)
+            h = h + a
+            return h + _ffn(
+                p_blk["mlp"], layernorm(p_blk["ln2"], h, cfg.norm_eps), cfg
+            )
+
+        if t5_stacked(params):
+            x, _ = jax.lax.scan(
+                jax.checkpoint(lambda h, p: (dec_layer(h, p), None)),
+                x.astype(jnp.float32), params["dec_blocks"],
+            )
+        else:
+            for p_blk in params["dec_blocks"]:
+                x = dec_layer(x, p_blk)
     else:
-        total = cache[0]["k"].shape[1]
+        total = (
+            cache["k"].shape[2] if t5_stacked(params)
+            else cache[0]["k"].shape[1]
+        )
         # per-step bias row for the current query position (cache_index)
         q_pos = jnp.zeros((1,), jnp.int32) + cache_index
         self_bias = _dec_bias(params["dec_rel_bias"], q_pos, total, cfg)
-        new_caches = []
-        for p_blk, layer_cache in zip(params["dec_blocks"], cache):
-            h, nc = attention(
-                p_blk["attn"], layernorm(p_blk["ln1"], x, cfg.norm_eps),
+        def dec_layer_cached(h, p_blk, layer_cache):
+            a, nc = attention(
+                p_blk["attn"], layernorm(p_blk["ln1"], h, cfg.norm_eps),
                 n_heads=cfg.n_heads, mask=dec_mask, bias=self_bias,
                 scale=1.0, cache=layer_cache, cache_index=cache_index,
             )
-            x = x + h
-            h, _ = attention(
+            h = h + a
+            a, _ = attention(
                 p_blk["cross_attn"],
-                layernorm(p_blk["ln_cross"], x, cfg.norm_eps),
+                layernorm(p_blk["ln_cross"], h, cfg.norm_eps),
                 n_heads=cfg.n_heads, kv_x=enc_out, mask=cross_mask,
                 scale=1.0,
             )
-            x = x + h
-            x = x + _ffn(p_blk["mlp"], layernorm(p_blk["ln2"], x, cfg.norm_eps), cfg)
-            new_caches.append(nc)
+            h = h + a
+            h = h + _ffn(
+                p_blk["mlp"], layernorm(p_blk["ln2"], h, cfg.norm_eps), cfg
+            )
+            return h, nc
+
+        if t5_stacked(params):
+            def body(h, xs):
+                p_blk, layer_cache = xs
+                return dec_layer_cached(h, p_blk, layer_cache)
+
+            x, new_caches = jax.lax.scan(
+                body, x.astype(jnp.float32), (params["dec_blocks"], cache)
+            )
+        else:
+            new_caches = []
+            for p_blk, layer_cache in zip(params["dec_blocks"], cache):
+                x, nc = dec_layer_cached(x, p_blk, layer_cache)
+                new_caches.append(nc)
     x = layernorm(params["dec_ln_f"], x, cfg.norm_eps)
     if hidden_only:
         return (x, new_caches) if cache is not None else x

@@ -223,16 +223,23 @@ class Trainer:
             )
         if params is None:
             params = init_model_params(cfg.model, key)
-        if (
-            cfg.model.scan_layers
-            and cfg.model.arch == "causal"
-            and isinstance(params.get("blocks"), list)
-        ):
+        if cfg.model.scan_layers:
             # externally-supplied params (HF import, old checkpoints) in
             # list form: convert to the scan-over-layers stacked layout
-            from ..models.causal_lm import stack_blocks
+            if cfg.model.arch == "causal" and isinstance(
+                params.get("blocks"), list
+            ):
+                from ..models.causal_lm import stack_blocks
 
-            params = stack_blocks(params)
+                params = stack_blocks(params)
+            elif (
+                cfg.model.arch == "seq2seq"
+                and cfg.model.seq2seq_family == "t5"
+                and isinstance(params.get("enc_blocks"), list)
+            ):
+                from ..models.t5 import stack_t5
+
+                params = stack_t5(params)
         if cfg.quantize_base is not None:
             if cfg.model.scan_layers:
                 raise NotImplementedError(
