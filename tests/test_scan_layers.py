@@ -204,17 +204,6 @@ def test_trainer_fsdp_scan_smoke(rng):
     tr.fit(batches)
 
 
-def test_trainer_guards_quantize_with_scan():
-    from vietnamese_qa_system_tpu.train.trainer import Trainer, TrainConfig
-
-    cfg = dataclasses.replace(mcfg.tiny_test("causal"), scan_layers=True)
-    with pytest.raises(NotImplementedError, match="scan_layers"):
-        Trainer(
-            TrainConfig(
-                model=cfg, quantize_base="int8", lora=LoraConfig(r=4)
-            )
-        )
-
 
 # ---------------------------------------------------------------------------
 # T5 scan-over-layers
@@ -341,6 +330,60 @@ def test_t5_trainer_scan_smoke(rng):
                 "decoder_input_ids": rng.integers(1, 128, (8, 16)).astype(np.int32),
                 "decoder_attention_mask": np.ones((8, 16), np.int32),
                 "labels": rng.integers(1, 128, (8, 16)).astype(np.int32),
+            }
+
+    tr.fit(batches)
+
+
+# ---------------------------------------------------------------------------
+# Quantized base (QLoRA) on stacked leaves
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_quantized_stacked_matches_list(pair, rng, mode):
+    """Per-layer vmap quantization of stacked leaves is bit-identical to
+    quantizing each layer of the list pytree."""
+    from vietnamese_qa_system_tpu.models.quantize import (
+        dequantize_tree,
+        quantize_dense_tree,
+    )
+
+    base, params_list, cfg_scan, stacked = pair
+    qs = quantize_dense_tree(stacked, mode)
+    ql = quantize_dense_tree(params_list, mode)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 16)), jnp.int32)
+    m = jnp.ones((2, 16), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(causal_lm.forward(qs, cfg_scan, ids, m)),
+        np.asarray(causal_lm.forward(ql, base, ids, m)),
+        atol=1e-5,
+    )
+    dq = dequantize_tree(qs)
+    assert causal_lm.blocks_stacked(dq)
+    assert dq["blocks"]["attn"]["wq"]["w"].shape == (
+        base.n_layers, base.d_model, base.d_model
+    )
+
+
+def test_qlora_scan_trainer(rng):
+    """QLoRA (nf4 base) + scan-over-layers trains under fsdp: the stacked
+    quantized leaves slice to the 2-D form the in-step dequant expects."""
+    from vietnamese_qa_system_tpu.train.trainer import Trainer, TrainConfig
+
+    cfg = dataclasses.replace(mcfg.tiny_test("causal"), scan_layers=True)
+    tc = TrainConfig(
+        model=cfg, strategy="fsdp", lr=1e-3, lora=LoraConfig(r=4),
+        quantize_base="nf4", epochs=1,
+    )
+    tr = Trainer(tc)
+
+    def batches():
+        for _ in range(2):
+            yield {
+                "input_ids": rng.integers(0, 512, (8, 32)).astype(np.int32),
+                "attention_mask": np.ones((8, 32), np.int32),
+                "labels": rng.integers(0, 512, (8, 32)).astype(np.int32),
             }
 
     tr.fit(batches)

@@ -45,7 +45,7 @@ def _is_dense(node) -> bool:
 def _dense_rank(node) -> int:
     if "w" in node:
         return node["w"].ndim
-    return node["w_q"].ndim  # quantized leaves are always 2-D
+    return node["w_q"].ndim  # 2-D, or 3-D when scan-stacked
 
 
 def init_lora(key, params, cfg: LoraConfig):
@@ -67,10 +67,11 @@ def init_lora(key, params, cfg: LoraConfig):
                     / cfg.r,
                     "b": jnp.zeros((cfg.r, d_out), jnp.float32),
                 }
-            if name in cfg.targets and "w" in node and node["w"].ndim == 3:
-                # scan-over-layers stacked leaf (L, d_in, d_out): one
-                # independent adapter per layer, stacked the same way
-                n_l, d_in, d_out = node["w"].shape
+            if name in cfg.targets and _dense_rank(node) == 3:
+                # scan-over-layers stacked leaf (L, d_in, d_out) — float
+                # or quantized: one independent adapter per layer,
+                # stacked the same way
+                n_l, d_in, d_out = dense_shape(node)
                 return {
                     "a": jax.random.normal(
                         next(keys), (n_l, d_in, cfg.r), jnp.float32

@@ -67,8 +67,14 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
     two codes per byte along d_in (even row in the low nibble), ``w_s``
     the blockwise absmax.  All shape/blocking metadata is recoverable from
     the array shapes alone — no side-channel needed under jit.
+
+    A 3-D (L, d_in, d_out) stacked leaf (scan-over-layers) quantizes each
+    layer independently via vmap; lax.scan then slices 2-D leaves the
+    in-step dequant already understands.
     """
     w = jnp.asarray(w, jnp.float32)
+    if w.ndim == 3:
+        return jax.vmap(lambda x: quantize_weight(x, mode, block))(w)
     d_in, d_out = w.shape
     block = _pick_block(d_in, block)
     nb = d_in // block
@@ -93,18 +99,24 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
 
 
 def dense_shape(leaf: dict) -> tuple[int, int]:
-    """(d_in, d_out) of a float or quantized dense leaf."""
+    """(d_in, d_out) of a float or quantized dense leaf (2-D), or
+    (L, d_in, d_out) for a stacked leaf."""
     if "w" in leaf:
         return tuple(leaf["w"].shape)
     q = leaf["w_q"]
     if q.dtype == jnp.uint8:  # packed nf4
-        return (2 * q.shape[0], q.shape[1])
+        return q.shape[:-2] + (2 * q.shape[-2], q.shape[-1])
     return tuple(q.shape)
 
 
 def dequantize_weight(leaf: dict, dtype=jnp.bfloat16):
-    """Reconstruct the (d_in, d_out) weight from a quantized leaf."""
+    """Reconstruct the (d_in, d_out) weight from a quantized leaf
+    ((L, d_in, d_out) for stacked leaves)."""
     q, s = leaf["w_q"], leaf["w_s"]
+    if q.ndim == 3:
+        return jax.vmap(
+            lambda qq, ss: dequantize_weight({"w_q": qq, "w_s": ss}, dtype)
+        )(q, s)
     nb, d_out = s.shape
     if q.dtype == jnp.uint8:  # packed nf4
         lo = (q & 0xF).astype(jnp.int32)
@@ -124,13 +136,14 @@ def _is_quantizable(node, name: str) -> bool:
     return (
         isinstance(node, dict)
         and "w" in node
-        and getattr(node["w"], "ndim", 0) == 2
+        and getattr(node["w"], "ndim", 0) in (2, 3)
         and name != "lm_head"
     )
 
 
 def quantize_dense_tree(params, mode: str = "nf4", block: int = 64):
-    """Quantize every 2-D dense weight in the pytree except embeddings
+    """Quantize every dense weight (2-D, or 3-D scan-stacked) in the
+    pytree except embeddings
     (raw arrays, skipped structurally) and the LM head (kept float for
     logit accuracy, like bitsandbytes' llm_int8_skip_modules default).
     Biases and norms stay float."""
@@ -157,10 +170,16 @@ def dequantize_tree(params, dtype=jnp.float32):
         if isinstance(node, dict) and "w_q" in node:
             w = dequantize_weight(node, jnp.float32)
             if "lora_a" in node:  # lora_b already carries alpha/r
-                w = w + jnp.dot(
-                    node["lora_a"], node["lora_b"],
-                    preferred_element_type=jnp.float32,
-                )
+                if node["lora_a"].ndim == 3:
+                    w = w + jnp.einsum(
+                        "lir,lro->lio", node["lora_a"], node["lora_b"],
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    w = w + jnp.dot(
+                        node["lora_a"], node["lora_b"],
+                        preferred_element_type=jnp.float32,
+                    )
             out = {
                 k: v
                 for k, v in node.items()

@@ -241,12 +241,6 @@ class Trainer:
 
                 params = stack_t5(params)
         if cfg.quantize_base is not None:
-            if cfg.model.scan_layers:
-                raise NotImplementedError(
-                    "quantize_base with scan_layers is not supported yet "
-                    "(blockwise int8/nf4 quantization operates on 2-D "
-                    "dense leaves) — disable one of the two"
-                )
             if cfg.lora is None:
                 raise ValueError(
                     "quantize_base requires LoRA: int8/nf4 codes cannot "
