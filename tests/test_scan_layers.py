@@ -387,3 +387,77 @@ def test_qlora_scan_trainer(rng):
             }
 
     tr.fit(batches)
+
+
+def test_alibi_scan_generation(rng):
+    """Regression: ALiBi decode with a STACKED cache (the decode branch
+    reads cache length from the stacked layout) — generation from a
+    scan-trained BLOOM-style model must match the list-form model."""
+    base = dataclasses.replace(
+        mcfg.tiny_test("causal"), positional="alibi", embed_layernorm=True,
+        activation="gelu_new",
+    )
+    params = causal_lm.init_causal_lm(jax.random.key(1), base)
+    cfg_scan = dataclasses.replace(base, scan_layers=True)
+    stacked = causal_lm.stack_blocks(params)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 8)), jnp.int32)
+    m = jnp.ones((2, 8), jnp.int32)
+    o0 = generate.generate(
+        params, base, ids, m, max_new_tokens=5, temperature=0.0
+    )
+    o1 = generate.generate(
+        stacked, cfg_scan, ids, m, max_new_tokens=5, temperature=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_trainer_rejects_stacking_local_models():
+    """Regression: externally-supplied list params for a local/global
+    alternating model must not be silently stacked."""
+    from vietnamese_qa_system_tpu.train.trainer import Trainer, TrainConfig
+
+    base = dataclasses.replace(
+        mcfg.gpt_neo_125m(), n_layers=2, d_model=64, n_heads=4, d_ff=128,
+        vocab_size=256, attention_layers=("global", "local"),
+    )
+    params = causal_lm.init_causal_lm(jax.random.key(0), base)
+    cfg = dataclasses.replace(base, scan_layers=True)
+    with pytest.raises(ValueError, match="homogeneous"):
+        Trainer(TrainConfig(model=cfg), params=params)
+
+
+def test_cli_loads_bloom_hf_dir(tmp_path):
+    """Regression: load_converted_params dispatches model_type 'bloom'
+    (and stacks for scan_layers targets)."""
+    import transformers
+
+    from vietnamese_qa_system_tpu.cli.main import load_converted_params
+    from vietnamese_qa_system_tpu.models.convert_hf import bloom_config
+
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=96, hidden_size=32, n_layer=2, n_head=4,
+    )
+    model = transformers.BloomForCausalLM(hf_cfg)
+    d = str(tmp_path / "bloom_hf")
+    model.save_pretrained(d, safe_serialization=False)
+    cfg = bloom_config(hf_cfg)
+    params = load_converted_params(d, cfg)
+    assert isinstance(params["blocks"], list)
+    cfg_s = dataclasses.replace(cfg, scan_layers=True)
+    params_s = load_converted_params(d, cfg_s)
+    assert causal_lm.blocks_stacked(params_s)
+
+
+def test_model_config_json_respects_scan_flag(tmp_path):
+    """Regression: --scan-layers applies on top of --model-config json."""
+    import argparse
+
+    from vietnamese_qa_system_tpu.cli.main import _model_config
+
+    cfgp = tmp_path / "m.json"
+    cfgp.write_text(mcfg.tiny_test("causal").to_json())
+    args = argparse.Namespace(
+        model_config=str(cfgp), scan_layers=True, arch="causal",
+        model_size="tiny",
+    )
+    assert _model_config(args).scan_layers

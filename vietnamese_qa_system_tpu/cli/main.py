@@ -136,9 +136,14 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
 def _model_config(args):
     from ..models import config as mcfg
 
+    import dataclasses
+
     if args.model_config:
         with open(args.model_config) as f:
-            return mcfg.ModelConfig.from_json(f.read())
+            cfg = mcfg.ModelConfig.from_json(f.read())
+        if getattr(args, "scan_layers", False):
+            cfg = dataclasses.replace(cfg, scan_layers=True)
+        return cfg
     presets = {
         "tiny": lambda: mcfg.tiny_test(args.arch),
         "gpt125m": mcfg.gpt_125m_class,
@@ -150,8 +155,6 @@ def _model_config(args):
         "seq2seq-small": mcfg.seq2seq_native_small,
     }
     cfg = presets[args.model_size]()
-    import dataclasses
-
     if cfg.arch != args.arch and args.model_size == "tiny":
         cfg = dataclasses.replace(cfg, arch=args.arch)
     if getattr(args, "scan_layers", False):
@@ -401,8 +404,10 @@ def _gen_batches(dl, examples, tok, args):
 def load_converted_params(path: str, model_cfg):
     """Load params from a framework checkpoint dir (step_N/state.npz), a
     flat .npz, or a LOCAL HF model directory (config.json with a causal
-    model_type gpt_neox / gpt_neo / gpt2 / llama / mistral, or a seq2seq
-    t5 / mt5 — converted via models/convert_hf.py)."""
+    model_type gpt_neox / gpt_neo / gpt2 / llama / mistral / bloom, or a
+    seq2seq t5 / mt5 — converted via models/convert_hf.py).  When the
+    target config uses scan_layers, imported list-form blocks are
+    stacked."""
     from ..train.checkpoint import CheckpointManager
     from ..train.trainer import init_model_params
 
@@ -411,10 +416,16 @@ def load_converted_params(path: str, model_cfg):
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json")):
         with open(os.path.join(path, "config.json")) as f:
             model_type = json.load(f).get("model_type")
-        if model_type in ("gpt_neox", "gpt_neo", "gpt2", "llama", "mistral"):
+        if model_type in (
+            "gpt_neox", "gpt_neo", "gpt2", "llama", "mistral", "bloom"
+        ):
             from ..models.convert_hf import load_causal_auto
 
             params, _ = load_causal_auto(path)
+            if getattr(model_cfg, "scan_layers", False):
+                from ..models.causal_lm import stack_blocks
+
+                params = stack_blocks(params)
             return params
         if model_type in ("t5", "mt5", "longt5"):
             from ..models.convert_hf import load_seq2seq_auto
@@ -813,6 +824,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
                              "bloom560m", "mt5small", "seq2seq-small"])
     pc.add_argument("--model-config", default=None)
+    pc.add_argument("--scan-layers", action="store_true",
+                    help="model was trained with --scan-layers (stacked "
+                    "block checkpoint layout)")
     pc.add_argument("--init-params", default=None)
     pc.add_argument("--tokenizer", default="byte")
     pc.add_argument("--max-len", type=int, default=256)

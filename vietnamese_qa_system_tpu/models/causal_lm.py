@@ -224,9 +224,12 @@ def hidden_states(
         # (for ALiBi the bias uses cache-SLOT positions: a per-row padding
         # shift of all key positions is a softmax row constant — see
         # layers.alibi_bias)
+        cache_len = (
+            cache["k"].shape[2] if blocks_stacked(params)
+            else cache[0]["k"].shape[1]
+        )
         bias = (
-            alibi_bias(cfg.n_heads, jnp.arange(cache[0]["k"].shape[1]))
-            if alibi else None
+            alibi_bias(cfg.n_heads, jnp.arange(cache_len)) if alibi else None
         )
         mask = attn_mask
         local_mask = None

@@ -229,6 +229,14 @@ class Trainer:
             if cfg.model.arch == "causal" and isinstance(
                 params.get("blocks"), list
             ):
+                if cfg.model.attention_layers is not None:
+                    # same guard as init_causal_lm — a scan applies one
+                    # (global) layer body, so alternating local layers
+                    # would silently lose their windows
+                    raise ValueError(
+                        "scan_layers requires homogeneous layers "
+                        "(attention_layers alternation cannot be scanned)"
+                    )
                 from ..models.causal_lm import stack_blocks
 
                 params = stack_blocks(params)
