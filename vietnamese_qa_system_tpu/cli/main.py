@@ -573,6 +573,11 @@ def cmd_serve(args) -> int:
         else:
             rparams = init_model_params(rcfg, jax.random.key(args.seed + 1))
             dist_print("(no --reader-params: answering with RANDOM weights)")
+        if args.reader_quantize:
+            from ..models import quantize_dense_tree
+
+            rparams = quantize_dense_tree(rparams, args.reader_quantize)
+            dist_print(f"reader decodes over a {args.reader_quantize} base")
         qa = QAPipeline(
             retriever, rparams, rcfg, tok,
             k=args.k, min_score=args.min_score,
@@ -626,6 +631,14 @@ def cmd_chat(args) -> int:
     else:
         params = init_model_params(model, jax.random.key(args.seed))
         dist_print("(no --init-params given: chatting with RANDOM weights)")
+    if args.quantize:
+        # decode is weight-bandwidth-bound at small batch: int8 halves and
+        # nf4 quarters the bytes streamed from HBM per generated token
+        # (dequant-at-use in layers.dense — same path QLoRA training uses)
+        from ..models import quantize_dense_tree
+
+        params = quantize_dense_tree(params, args.quantize)
+        dist_print(f"decoding over a {args.quantize}-quantized base")
     dist_print("chat REPL — empty line quits")
     while True:
         try:
@@ -808,6 +821,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "bloom560m"],
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
+    ps.add_argument("--reader-quantize", choices=["int8", "nf4"], default=None,
+                    help="quantize the reader's dense weights for decode "
+                    "(2x/4x less HBM traffic per generated token)")
     ps.add_argument("--min-score", type=float, default=0.2)
     ps.add_argument("--hybrid-weight", type=float, default=0.5,
                     help="dense weight in hybrid fusion; 1.0 = dense-only "
@@ -822,7 +838,8 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pc.add_argument("--model-size", default="tiny",
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "bloom560m", "mt5small", "seq2seq-small"])
+                             "llama1b", "bloom560m", "mt5small",
+                             "seq2seq-small"])
     pc.add_argument("--model-config", default=None)
     pc.add_argument("--scan-layers", action="store_true",
                     help="model was trained with --scan-layers (stacked "
@@ -833,6 +850,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--max-new-tokens", type=int, default=128)
     pc.add_argument("--temperature", type=float, default=0.0)
     pc.add_argument("--num-beams", type=int, default=1)
+    pc.add_argument("--quantize", choices=["int8", "nf4"], default=None,
+                    help="quantize dense weights for decode (2x/4x less "
+                    "HBM traffic per generated token)")
     pc.add_argument("--seed", type=int, default=42)
     pc.set_defaults(fn=cmd_chat)
 

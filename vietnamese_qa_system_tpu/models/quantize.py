@@ -74,7 +74,11 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
     """
     w = jnp.asarray(w, jnp.float32)
     if w.ndim == 3:
-        return jax.vmap(lambda x: quantize_weight(x, mode, block))(w)
+        # sequential over the stacked layer dim: vmap would materialize
+        # every layer's quantization transients at once (OOMs eagerly on
+        # billion-param stacked trees); one layer's transients at a time
+        # keeps peak memory O(d_in * d_out)
+        return jax.lax.map(lambda x: quantize_weight(x, mode, block), w)
     d_in, d_out = w.shape
     block = _pick_block(d_in, block)
     nb = d_in // block
@@ -89,9 +93,11 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
         }
     if mode == "nf4":
         normed = wb / absmax[:, None, :]  # [-1, 1]
-        codes = jnp.argmin(
-            jnp.abs(normed[..., None] - NF4_LEVELS), axis=-1
-        ).astype(jnp.uint8)  # (nb, block, d_out)
+        # nearest sorted level == count of inter-level midpoints below the
+        # value — an O(1)-memory equivalent of argmin |x - levels| (which
+        # broadcasts a 16x-wider intermediate)
+        mids = (NF4_LEVELS[1:] + NF4_LEVELS[:-1]) / 2.0
+        codes = jnp.searchsorted(mids, normed).astype(jnp.uint8)
         pairs = codes.reshape(d_in // 2, 2, d_out)
         packed = pairs[:, 0] | (pairs[:, 1] << 4)
         return {"w_q": packed, "w_s": absmax}
@@ -148,10 +154,15 @@ def quantize_dense_tree(params, mode: str = "nf4", block: int = 64):
     logit accuracy, like bitsandbytes' llm_int8_skip_modules default).
     Biases and norms stay float."""
 
+    # jit per leaf so XLA fuses the scale/round/pack chain instead of
+    # eagerly materializing every intermediate (matters for billion-param
+    # stacked leaves where eager transients alone can exhaust HBM)
+    quantize_jit = jax.jit(quantize_weight, static_argnums=(1, 2))
+
     def walk(node, name=""):
         if _is_quantizable(node, name):
             out = {k: v for k, v in node.items() if k != "w"}
-            out.update(quantize_weight(node["w"], mode, block))
+            out.update(quantize_jit(node["w"], mode, block))
             return out
         if isinstance(node, dict):
             return {k: walk(v, k) for k, v in node.items()}
