@@ -1,0 +1,94 @@
+"""Decode (serving) throughput probe — tokens/s per chip, float vs
+quantized base.
+
+Small-batch autoregressive decode is weight-HBM-bandwidth-bound: every
+generated token streams the full dense-weight working set once.  int8
+halves and nf4/nf4-dq quarters those bytes (models/quantize.py), so the
+probe A/Bs the same decode loop over the same prompts with each base
+encoding in ONE process (tunnel variance is +-70% across sessions; see
+CLAUDE.md).  The whole decode is one lax.scan dispatch, so tunnel latency
+amortizes over max_new_tokens steps.
+
+Usage:
+  python scripts/probe_decode.py --preset gpt125m --batch 1 --new-tokens 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="gpt125m",
+                    choices=["tiny", "gpt125m", "pythia410m"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--prompt-len", type=int, default=32)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--modes", default="bf16,int8,nf4,nf4-dq")
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default="/tmp/probe_decode.jsonl")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vietnamese_qa_system_tpu.models import config as mcfg
+    from vietnamese_qa_system_tpu.models import causal_lm, quantize
+    from vietnamese_qa_system_tpu.models.generate import generate
+
+    cfg = {
+        "tiny": lambda: mcfg.tiny_test("causal"),
+        "gpt125m": mcfg.gpt_125m_class,
+        "pythia410m": mcfg.pythia_410m_class,
+    }[args.preset]()
+    B, T, N = args.batch, args.prompt_len, args.new_tokens
+    params = causal_lm.init_causal_lm(jax.random.key(0), cfg)
+    ids = jax.random.randint(jax.random.key(1), (B, T), 4,
+                             cfg.vocab_size - 4, jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    run = jax.jit(
+        lambda p: generate(p, cfg, ids, mask, max_new_tokens=N)
+    )
+    results = []
+    for mode in args.modes.split(","):
+        p = params if mode == "bf16" else quantize.quantize_dense_tree(
+            params, mode)
+        gb = quantize.tree_bytes(p) / 1e9
+        out = run(p)
+        np.asarray(out[:, -1])  # warmup + compile; force through tunnel
+        best = float("inf")
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            out = run(p)
+            np.asarray(out[:, -1])
+            best = min(best, time.perf_counter() - t0)
+        rec = {
+            "preset": args.preset, "mode": mode, "batch": B,
+            "prompt_len": T, "new_tokens": N,
+            "weights_gb": round(gb, 3),
+            "best_s": round(best, 4),
+            "tokens_per_s": round(B * N / best, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    with open(args.out, "a") as f:
+        for rec in results:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,14 +104,15 @@ def test_quantize_base_requires_lora(tmp_path):
         )
 
 
-def test_qlora_sharded_step_fsdp_tp(tmp_path):
-    """One real QLoRA train step with int8 base sharded over the 2x4 mesh
-    (column/row-parallel w_q/w_s TP rules + auto-fsdp)."""
+@pytest.mark.parametrize("mode", ["int8", "nf4-dq"])
+def test_qlora_sharded_step_fsdp_tp(tmp_path, mode):
+    """One real QLoRA train step with a quantized base sharded over the
+    2x4 mesh (column/row-parallel w_q/w_s/s_q TP rules + auto-fsdp)."""
     model = tiny_test("causal")
     cfg = TrainConfig(
         model=model,
         lora=LoraConfig(r=4),
-        quantize_base="int8",
+        quantize_base=mode,
         strategy="fsdp_tp",
         mesh_axes={"data": 2, "model": 4},
         log_dir=str(tmp_path),
@@ -207,3 +208,61 @@ def test_quantized_inference_generate(rng, mode, tol):
     out = np.asarray(gen_mod.generate(q, cfg, ids, mask, max_new_tokens=4))
     assert out.shape == (2, 12)
     assert tree_bytes(q) < tree_bytes(params)
+
+
+def test_double_quant_roundtrip_and_bytes(rng):
+    """nf4-dq (bnb_4bit_use_double_quant capability): reconstruction stays
+    close to plain nf4 while the stored scale plane shrinks ~4x (int8
+    codes + one (offset, step) f32 pair per block-row)."""
+    w = rng.standard_normal((256, 96)).astype(np.float32) * 0.05
+    q = quantize_weight(jnp.asarray(w), "nf4")
+    qd = quantize_weight(jnp.asarray(w), "nf4-dq")
+    assert "w_s" not in qd and qd["s_q"].dtype == jnp.int8
+    w_nf4 = np.asarray(dequantize_weight(q, jnp.float32))
+    w_dq = np.asarray(dequantize_weight(qd, jnp.float32))
+    # second-level quantization noise must be small vs first-level noise
+    assert np.abs(w_dq - w_nf4).max() <= 0.05 * np.abs(w).max()
+    err = np.abs(w_dq - w).max() / np.abs(w).max()
+    assert err <= 0.2
+    scale_bytes = lambda leaf: sum(
+        np.asarray(v).size * np.asarray(v).dtype.itemsize
+        for k, v in leaf.items() if k != "w_q"
+    )
+    assert scale_bytes(qd) < 0.5 * scale_bytes(q)
+
+
+def test_double_quant_tree_and_generate(rng):
+    """A full nf4-dq model forwards, generates, and is smaller than nf4."""
+    from vietnamese_qa_system_tpu.models import generate as gen_mod
+
+    cfg = tiny_test("causal")
+    params = causal_lm.init_causal_lm(jax.random.key(0), cfg)
+    q = quantize_dense_tree(params, "nf4")
+    qd = quantize_dense_tree(params, "nf4-dq")
+    assert tree_bytes(qd) < tree_bytes(q) < tree_bytes(params)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    lq = np.asarray(causal_lm.forward(q, cfg, ids, mask))
+    ld = np.asarray(causal_lm.forward(qd, cfg, ids, mask))
+    assert np.abs(ld - lq).max() / max(np.abs(lq).max(), 1e-9) <= 0.1
+    out = np.asarray(gen_mod.generate(qd, cfg, ids, mask, max_new_tokens=4))
+    assert out.shape == (2, 12)
+    # export folds both quantization levels back to float
+    exported = dequantize_tree(qd)
+    le = np.asarray(causal_lm.forward(exported, cfg, ids, mask))
+    np.testing.assert_allclose(ld, le, atol=0.05, rtol=0.05)
+
+
+def test_double_quant_stacked_matches_per_layer(rng):
+    """3-D scan-stacked nf4-dq leaves quantize layer-by-layer identically
+    to the 2-D path (same guarantee as plain nf4)."""
+    w = rng.standard_normal((3, 64, 32)).astype(np.float32) * 0.05
+    q3 = quantize_weight(jnp.asarray(w), "nf4-dq", block=32)
+    for layer in range(3):
+        q2 = quantize_weight(jnp.asarray(w[layer]), "nf4-dq", block=32)
+        for k in ("w_q", "s_q", "s_s", "s_m"):
+            np.testing.assert_array_equal(
+                np.asarray(q3[k][layer]), np.asarray(q2[k])
+            )
+    w3 = np.asarray(dequantize_weight(q3, jnp.float32))
+    assert w3.shape == w.shape

@@ -44,7 +44,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--lora-r", type=int, default=8)
     g.add_argument("--lora-alpha", type=int, default=16)
     g.add_argument("--lora-targets", nargs="*", default=None)
-    g.add_argument("--quantize-base", choices=["int8", "nf4"], default=None,
+    g.add_argument("--quantize-base", choices=["int8", "nf4", "nf4-dq"], default=None,
                    help="quantize the frozen base for LoRA training "
                    "(capability of the reference's --use_8bit/--use_4bit "
                    "BitsAndBytesConfig flags)")
@@ -821,7 +821,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "bloom560m"],
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
-    ps.add_argument("--reader-quantize", choices=["int8", "nf4"], default=None,
+    ps.add_argument("--reader-quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
                     help="quantize the reader's dense weights for decode "
                     "(2x/4x less HBM traffic per generated token)")
     ps.add_argument("--min-score", type=float, default=0.2)
@@ -850,7 +850,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--max-new-tokens", type=int, default=128)
     pc.add_argument("--temperature", type=float, default=0.0)
     pc.add_argument("--num-beams", type=int, default=1)
-    pc.add_argument("--quantize", choices=["int8", "nf4"], default=None,
+    pc.add_argument("--quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
                     help="quantize dense weights for decode (2x/4x less "
                     "HBM traffic per generated token)")
     pc.add_argument("--seed", type=int, default=42)
@@ -872,7 +872,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--lora-r", type=int, default=8)
     pv.add_argument("--lora-alpha", type=int, default=16)
     pv.add_argument("--lora-targets", nargs="*", default=None)
-    pv.add_argument("--quantize-base", choices=["int8", "nf4"], default=None,
+    pv.add_argument("--quantize-base", choices=["int8", "nf4", "nf4-dq"], default=None,
                     help="the checkpoint was trained with this base "
                     "quantization; weights are dequantized for export")
     pv.add_argument("--optimizer", default="adamw",

@@ -8,6 +8,11 @@ Capability of the reference's BitsAndBytesConfig base quantization —
 - Dense weights are stored as int8 (blockwise absmax, linear) or packed
   nf4 codes (two 4-bit codes per byte, 16-level normal-float codebook from
   the QLoRA paper) with one fp32 scale per ``block`` input rows.
+- ``nf4-dq`` additionally double-quantizes the absmax scales themselves
+  (the reference's ``bnb_4bit_use_double_quant=use_nested_quant``,
+  trainer.py:474): each block-row of f32 scales becomes int8 codes plus
+  one f32 (offset, step) pair, cutting scale overhead from 0.5 to
+  ~0.13 bits/param.
 - Dequantization happens *at the point of use* inside the jitted step
   (``layers.dense``), so the persistent HBM copy is 2x (int8) / 4x (nf4)
   smaller than bf16 while XLA schedules the transient bf16 weight right
@@ -91,7 +96,7 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
             "w_q": q.reshape(d_in, d_out).astype(jnp.int8),
             "w_s": scale,
         }
-    if mode == "nf4":
+    if mode in ("nf4", "nf4-dq"):
         normed = wb / absmax[:, None, :]  # [-1, 1]
         # nearest sorted level == count of inter-level midpoints below the
         # value — an O(1)-memory equivalent of argmin |x - levels| (which
@@ -100,8 +105,17 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
         codes = jnp.searchsorted(mids, normed).astype(jnp.uint8)
         pairs = codes.reshape(d_in // 2, 2, d_out)
         packed = pairs[:, 0] | (pairs[:, 1] << 4)
-        return {"w_q": packed, "w_s": absmax}
-    raise ValueError(f"mode must be int8 or nf4, got {mode!r}")
+        if mode == "nf4":
+            return {"w_q": packed, "w_s": absmax}
+        # double-quant: the (nb, d_out) f32 absmax plane becomes int8
+        # codes with one f32 (offset, step) pair per block-row — the
+        # second quantization level of bnb_4bit_use_double_quant
+        s_m = absmax.mean(axis=1, keepdims=True)  # (nb, 1)
+        c = absmax - s_m
+        s_s = jnp.maximum(jnp.abs(c).max(axis=1, keepdims=True), 1e-12) / 127.0
+        s_q = jnp.clip(jnp.round(c / s_s), -127, 127).astype(jnp.int8)
+        return {"w_q": packed, "s_q": s_q, "s_s": s_s, "s_m": s_m}
+    raise ValueError(f"mode must be int8, nf4 or nf4-dq, got {mode!r}")
 
 
 def dense_shape(leaf: dict) -> tuple[int, int]:
@@ -115,14 +129,25 @@ def dense_shape(leaf: dict) -> tuple[int, int]:
     return tuple(q.shape)
 
 
+_QUANT_KEYS = ("w_q", "w_s", "s_q", "s_s", "s_m")
+
+
+def _leaf_scales(leaf: dict):
+    """(nb, d_out) f32 absmax plane of a quantized leaf, reconstructing
+    through the second quantization level when double-quantized."""
+    if "w_s" in leaf:
+        return leaf["w_s"]
+    return leaf["s_q"].astype(jnp.float32) * leaf["s_s"] + leaf["s_m"]
+
+
 def dequantize_weight(leaf: dict, dtype=jnp.bfloat16):
     """Reconstruct the (d_in, d_out) weight from a quantized leaf
     ((L, d_in, d_out) for stacked leaves)."""
-    q, s = leaf["w_q"], leaf["w_s"]
+    q = leaf["w_q"]
     if q.ndim == 3:
-        return jax.vmap(
-            lambda qq, ss: dequantize_weight({"w_q": qq, "w_s": ss}, dtype)
-        )(q, s)
+        sub = {k: leaf[k] for k in _QUANT_KEYS if k in leaf}
+        return jax.vmap(lambda l: dequantize_weight(l, dtype))(sub)
+    s = _leaf_scales(leaf)
     nb, d_out = s.shape
     if q.dtype == jnp.uint8:  # packed nf4
         lo = (q & 0xF).astype(jnp.int32)
@@ -194,7 +219,7 @@ def dequantize_tree(params, dtype=jnp.float32):
             out = {
                 k: v
                 for k, v in node.items()
-                if k not in ("w_q", "w_s", "lora_a", "lora_b")
+                if k not in _QUANT_KEYS + ("lora_a", "lora_b")
             }
             out["w"] = w.astype(dtype)
             return out

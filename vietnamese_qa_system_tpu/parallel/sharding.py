@@ -58,14 +58,14 @@ class ShardingRules:
 # shards both on the output dim and row-parallel on the input/block dim.
 TP_RULES = ShardingRules(
     rules=[
-        (r".*/(attn|cross_attn)/w[qkv]/(w|w_q|w_s)$", (None, MODEL_AXIS)),
+        (r".*/(attn|cross_attn)/w[qkv]/(w|w_q|w_s|s_q)$", (None, MODEL_AXIS)),
         (r".*/(attn|cross_attn)/w[qkv]/b$", (MODEL_AXIS,)),
-        (r".*/(attn|cross_attn)/wo/(w|w_q|w_s)$", (MODEL_AXIS, None)),
+        (r".*/(attn|cross_attn)/wo/(w|w_q|w_s|s_q)$", (MODEL_AXIS, None)),
         # wi covers the plain MLP in-projection; wg is the SwiGLU gate
         # (llama family) — both are column-parallel with wo row-parallel
-        (r".*/mlp/(wi|wg)/(w|w_q|w_s)$", (None, MODEL_AXIS)),
+        (r".*/mlp/(wi|wg)/(w|w_q|w_s|s_q)$", (None, MODEL_AXIS)),
         (r".*/mlp/(wi|wg)/b$", (MODEL_AXIS,)),
-        (r".*/mlp/wo/(w|w_q|w_s)$", (MODEL_AXIS, None)),
+        (r".*/mlp/wo/(w|w_q|w_s|s_q)$", (MODEL_AXIS, None)),
         (r".*tok_embed$", (MODEL_AXIS, None)),
         (r".*/lm_head/w$", (None, MODEL_AXIS)),
     ]

@@ -78,7 +78,8 @@ class TrainConfig:
     async_checkpoint: bool = False
     keep_checkpoints: int = 3
     resume: bool = False
-    # quantize the frozen base to "int8" or "nf4" before sharding — LoRA
+    # quantize the frozen base to "int8", "nf4" or "nf4-dq" (double-quant
+    # of the scales, bnb_4bit_use_double_quant) before sharding — LoRA
     # trains over the quantized base (capability of the reference's
     # BitsAndBytesConfig QLoRA path, trainer.py:470-487,590-605)
     quantize_base: Optional[str] = None
