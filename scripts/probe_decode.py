@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--new-tokens", type=int, default=64)
-    ap.add_argument("--modes", default="bf16,int8,nf4,nf4-dq")
+    ap.add_argument("--modes", default="f32,bf16,int8,nf4,nf4-dq")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="/tmp/probe_decode.jsonl")
@@ -64,8 +64,14 @@ def main() -> None:
     )
     results = []
     for mode in args.modes.split(","):
-        p = params if mode == "bf16" else quantize.quantize_dense_tree(
-            params, mode)
+        if mode == "f32":
+            p = params
+        elif mode == "bf16":
+            p = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+        else:
+            p = quantize.quantize_dense_tree(params, mode)
         gb = quantize.tree_bytes(p) / 1e9
         out = run(p)
         np.asarray(out[:, -1])  # warmup + compile; force through tunnel

@@ -1,0 +1,195 @@
+"""HTTP serving layer tests: micro-batcher semantics, end-to-end JSON API
+over a real (tiny) index, and error paths.
+
+Parity/extension target: the reference serves retrieval one query at a
+time (reference inference_pipeline/db_utils/heavy_ranker.py:97-115) and
+generation from a REPL (ds_inference.py:52-60); engine/server.py replaces
+both with a batched HTTP surface.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.data.tokenizer import ByteTokenizer
+from vietnamese_qa_system_tpu.engine import (
+    DocStore,
+    IngestPipeline,
+    MicroBatcher,
+    Retriever,
+    ServingApp,
+    VectorStore,
+    make_server,
+)
+from vietnamese_qa_system_tpu.models import encoder, tiny_test
+
+
+# ------------------------------------------------------------ MicroBatcher
+
+
+def test_microbatcher_batches_under_load():
+    """While the fn is busy with the first item, later submissions must
+    coalesce into ONE following batch (the whole point of the design)."""
+    calls = []
+    gate = threading.Event()
+
+    def fn(items):
+        calls.append(len(items))
+        if len(calls) == 1:
+            gate.wait(timeout=5.0)  # hold batch 1 until the others queue up
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(fn, max_batch=8, max_wait_s=0.01)
+    try:
+        first = b.submit(1)
+        time.sleep(0.05)  # let the worker pick up batch 1 and block
+        rest = [b.submit(x) for x in (2, 3, 4)]
+        time.sleep(0.05)  # all three are queued before the gate opens
+        gate.set()
+        assert first.result(timeout=5.0) == 2
+        assert [f.result(timeout=5.0) for f in rest] == [4, 6, 8]
+        assert calls[0] == 1 and calls[1] == 3  # coalesced
+        assert b.stats["requests"] == 4 and b.stats["max_batch"] == 3
+    finally:
+        b.close()
+
+
+def test_microbatcher_respects_max_batch():
+    done = threading.Event()
+
+    def fn(items):
+        if not done.is_set():
+            done.wait(timeout=5.0)
+        return list(items)
+
+    b = MicroBatcher(fn, max_batch=2, max_wait_s=0.01)
+    try:
+        futs = [b.submit(i) for i in range(5)]
+        time.sleep(0.05)
+        done.set()
+        assert [f.result(timeout=5.0) for f in futs] == list(range(5))
+        assert b.stats["max_batch"] <= 2
+    finally:
+        b.close()
+
+
+def test_microbatcher_propagates_errors_and_survives():
+    def fn(items):
+        if any(x < 0 for x in items):
+            raise ValueError("negative")
+        return items
+
+    b = MicroBatcher(fn, max_batch=1, max_wait_s=0.0)
+    try:
+        with pytest.raises(ValueError):
+            b.submit(-1).result(timeout=5.0)
+        # the worker must keep serving after a failed batch
+        assert b.submit(7).result(timeout=5.0) == 7
+    finally:
+        b.close()
+
+
+# ------------------------------------------------------------- HTTP server
+
+
+def _post(url, payload, timeout=30):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def serving():
+    """Tiny encoder + 40-passage index behind a live ephemeral-port
+    server (the cli serve --port path minus argparse)."""
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(1024, cfg.d_model, tile_n=128)
+    docstore = DocStore()
+    pipe = IngestPipeline(
+        params, cfg, tok, store, docstore, batch_size=16, max_len=32
+    )
+    passages = [f"đoạn văn số {i} nói về chủ đề {i % 7}" for i in range(40)]
+    pipe.add_texts(passages)
+    retr = Retriever(
+        params, cfg, tok, store, docstore, max_len=32, query_batch=16
+    )
+    app = ServingApp(retr, k=3, max_batch=16, max_wait_s=0.02)
+    httpd = make_server(app, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+    yield base, passages, app
+    httpd.shutdown()
+    httpd.server_close()
+    app.close()
+
+
+def test_healthz(serving):
+    base, _, _ = serving
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+        got = json.loads(resp.read())
+    assert got["ok"] and got["index_size"] == 40 and got["qa"] is False
+
+
+def test_search_self_retrieval(serving):
+    base, passages, _ = serving
+    got = _post(base + "/search", {"query": passages[5]})
+    assert got["results"][0]["id"] == 5
+    assert got["results"][0]["doc"] == passages[5]
+    assert got["results"][0]["score"] > 0.99
+    assert len(got["results"]) == 3  # server default k
+
+
+def test_search_respects_per_request_k(serving):
+    base, passages, _ = serving
+    got = _post(base + "/search", {"query": passages[0], "k": 1})
+    assert len(got["results"]) == 1
+
+
+def test_concurrent_requests_batch_and_answer(serving):
+    """16 concurrent clients: every answer correct, and the batcher must
+    have fused at least some requests (fewer batches than requests)."""
+    base, passages, app = serving
+    before = dict(app._search_batcher.stats)
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(
+            pool.map(
+                lambda i: _post(base + "/search", {"query": passages[i]}),
+                range(16),
+            )
+        )
+    for i, got in enumerate(results):
+        assert got["results"][0]["id"] == i, f"query {i} mis-routed"
+    made = app._search_batcher.stats["batches"] - before["batches"]
+    assert made < 16, "no micro-batching happened under concurrent load"
+
+
+def test_qa_endpoint_without_reader_is_400(serving):
+    base, _, _ = serving
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base + "/qa", {"question": "có gì?"})
+    assert err.value.code == 400
+
+
+def test_bad_requests_are_400(serving):
+    base, _, _ = serving
+    for payload in ({}, {"query": ""}, {"query": 42}):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(base + "/search", payload)
+        assert err.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base + "/nope", {"query": "x"})
+    assert err.value.code == 404

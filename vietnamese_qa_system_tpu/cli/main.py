@@ -583,6 +583,34 @@ def cmd_serve(args) -> int:
             k=args.k, min_score=args.min_score,
         )
 
+    if args.port is not None:
+        # production mode: HTTP JSON API with request micro-batching —
+        # concurrent requests share one batched TPU dispatch
+        # (engine/server.py) instead of the reference's one-query-one-
+        # dispatch loop (heavy_ranker.py:97-115)
+        from ..engine import ServingApp, make_server
+
+        app = ServingApp(
+            retriever, qa, k=args.k,
+            max_batch=args.max_batch,
+            max_wait_s=args.batch_wait_ms / 1000.0,
+        )
+        httpd = make_server(app, host=args.host, port=args.port)
+        dist_print(
+            f"serving {store.size} vectors on "
+            f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
+            f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms; "
+            f"endpoints: /healthz /search{' /qa' if qa else ''})"
+        )
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+            app.close()
+        return 0
+
     dist_print(f"index: {store.size} vectors; type a query (empty line quits)")
     while True:
         try:
@@ -825,6 +853,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantize the reader's dense weights for decode "
                     "(2x/4x less HBM traffic per generated token)")
     ps.add_argument("--min-score", type=float, default=0.2)
+    ps.add_argument("--port", type=int, default=None,
+                    help="serve an HTTP JSON API on this port instead of "
+                    "the REPL (0 = ephemeral); micro-batches concurrent "
+                    "requests into one TPU dispatch")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--max-batch", type=int, default=32,
+                    help="max requests fused into one dispatch")
+    ps.add_argument("--batch-wait-ms", type=float, default=5.0,
+                    help="how long a batch waits for co-riders after its "
+                    "first request")
     ps.add_argument("--hybrid-weight", type=float, default=0.5,
                     help="dense weight in hybrid fusion; 1.0 = dense-only "
                     "(used only when the index has a bm25.json)")

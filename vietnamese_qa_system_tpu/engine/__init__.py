@@ -5,8 +5,12 @@ from .ingest import IngestPipeline
 from .lexical import BM25Index, fuse_scores
 from .query import DualRetriever, Retriever, SearchResult, dual_agreement
 from .qa import QAAnswer, QAPipeline
+from .server import MicroBatcher, ServingApp, make_server
 
 __all__ = [
+    "MicroBatcher",
+    "ServingApp",
+    "make_server",
     "VectorStore",
     "BM25Index",
     "fuse_scores",

@@ -27,7 +27,13 @@ CREATE TABLE IF NOT EXISTS documents (
 class DocStore:
     def __init__(self, path: str = ":memory:"):
         self.path = path
-        self._conn = sqlite3.connect(path)
+        # check_same_thread=False: the HTTP serving layer
+        # (engine/server.py) resolves ids on its batcher worker thread
+        # while ingest runs on the main thread.  CPython's sqlite3 is
+        # built serialized (sqlite3.threadsafety == 3), so cross-thread
+        # use of one connection is safe; an in-memory store could not
+        # use per-thread connections anyway (each would be its own db).
+        self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.execute(SCHEMA)
         self._conn.commit()
 

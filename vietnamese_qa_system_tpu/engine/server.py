@@ -1,0 +1,258 @@
+"""HTTP serving layer with request micro-batching.
+
+The reference serves retrieval from a single-query Python loop
+(reference inference_pipeline/db_utils/heavy_ranker.py:97-115) and
+generation from an interactive REPL (reference
+src/models/model_utils/ds_inference.py:52-60) — one request, one GPU
+dispatch.  On TPU that shape is the worst case twice over: each dispatch
+pays the host->device launch (and, under axon, ~1.3-1.8 ms of tunnel
+latency), and a B=1 matmul strands the MXU.  The batched kernels
+(`ops/topk.py` scores 256 queries in one pass; `generate`'s decode scan
+is batch-parallel) want many requests per dispatch.
+
+So the server inverts the loop: concurrent HTTP requests land in a
+queue, and a single worker drains up to ``max_batch`` of them (waiting
+at most ``max_wait_s`` after the first) into ONE batched
+retrieval/generation call.  The Retriever already pads query batches to
+its static ``query_batch`` shape, so micro-batching changes no compiled
+program — it just fills the batch dimension that single requests leave
+empty.  Latency under load *drops* (requests share a dispatch instead of
+queueing behind N of them), and throughput approaches the offline
+batched rate measured in docs/BENCHMARKS.md.
+
+Endpoints (JSON over stdlib http.server — zero new dependencies):
+
+- ``GET /healthz``      -> {"ok": true, "index_size": N, "stats": {...}}
+- ``POST /search``      {"query": str, "k": int?} -> ranked contexts
+- ``POST /qa``          {"question": str} -> generated answer + contexts
+  (only when the server was built with a QAPipeline reader)
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence
+
+
+class MicroBatcher:
+    """Collects concurrent submissions into batched calls of ``fn``.
+
+    ``fn`` maps a list of items to a list of results (same length/order).
+    ``submit`` returns a Future resolved by the worker thread.  The first
+    item of a batch is taken blocking; the worker then drains whatever
+    arrives within ``max_wait_s`` (or until ``max_batch``), so an idle
+    server adds zero latency and a loaded one amortizes dispatches.
+    """
+
+    def __init__(
+        self,
+        fn: Callable[[list], list],
+        max_batch: int = 32,
+        max_wait_s: float = 0.005,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.fn = fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def _loop(self) -> None:
+        while not self._stop:
+            try:
+                batch = [self._q.get(timeout=0.05)]
+            except queue.Empty:
+                continue
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            items = [it for it, _ in batch]
+            try:
+                results = self.fn(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"batch fn returned {len(results)} results "
+                        f"for {len(items)} items"
+                    )
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as exc:  # noqa: BLE001 — fail the waiters, not the worker
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(batch))
+
+    def close(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=1.0)
+
+
+class ServingApp:
+    """Request routing + batching over a Retriever (and optional
+    QAPipeline reader — mirroring ``cli serve``'s two modes)."""
+
+    def __init__(
+        self,
+        retriever,
+        qa=None,
+        *,
+        k: int = 10,
+        max_batch: int = 32,
+        max_wait_s: float = 0.005,
+        timeout_s: float = 60.0,
+    ):
+        self.retriever = retriever
+        self.qa = qa
+        self.k = k
+        self.timeout_s = timeout_s
+        self._search_batcher = MicroBatcher(
+            self._search_batch, max_batch, max_wait_s
+        )
+        self._qa_batcher = (
+            MicroBatcher(self._qa_batch, max_batch, max_wait_s)
+            if qa is not None
+            else None
+        )
+
+    # ---- batched backends (run on the batcher worker thread) ----
+
+    def _search_batch(self, items: list[tuple[str, int]]) -> list[dict]:
+        queries = [q for q, _ in items]
+        k = max(kk for _, kk in items)
+        rows = self.retriever.search(queries, k=k)
+        out = []
+        for (_, kk), row in zip(items, rows):
+            out.append(
+                {
+                    "results": [
+                        {
+                            "id": r.id,
+                            "score": round(r.score, 6),
+                            "doc": r.doc,
+                            "source": r.source,
+                        }
+                        for r in row[:kk]
+                    ]
+                }
+            )
+        return out
+
+    def _qa_batch(self, questions: list[str]) -> list[dict]:
+        answers = self.qa.answer(questions)
+        return [
+            {
+                "answer": a.answer,
+                "refused": a.refused,
+                "contexts": list(a.contexts),
+                "scores": [round(float(s), 6) for s in a.scores],
+            }
+            for a in answers
+        ]
+
+    # ---- request entry points (called from HTTP handler threads) ----
+
+    def search(self, query: str, k: Optional[int] = None) -> dict:
+        return self._search_batcher.submit((query, k or self.k)).result(
+            timeout=self.timeout_s
+        )
+
+    def answer(self, question: str) -> dict:
+        if self._qa_batcher is None:
+            raise LookupError("no reader configured (serve --reader-size)")
+        return self._qa_batcher.submit(question).result(
+            timeout=self.timeout_s
+        )
+
+    def health(self) -> dict:
+        stats = {"search": dict(self._search_batcher.stats)}
+        if self._qa_batcher is not None:
+            stats["qa"] = dict(self._qa_batcher.stats)
+        return {
+            "ok": True,
+            "index_size": self.retriever.store.size,
+            "qa": self.qa is not None,
+            "stats": stats,
+        }
+
+    def close(self) -> None:
+        self._search_batcher.close()
+        if self._qa_batcher is not None:
+            self._qa_batcher.close()
+
+
+def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
+    """ThreadingHTTPServer bound to ``app`` (port 0 = ephemeral).
+
+    Threaded handlers matter: each request blocks on its Future while the
+    batcher worker runs the TPU dispatch, so concurrency is what lets
+    batches form at all.
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args) -> None:  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:
+            if self.path == "/healthz":
+                self._reply(200, app.health())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self) -> None:
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as exc:
+                self._reply(400, {"error": f"bad request body: {exc}"})
+                return
+            try:
+                if self.path == "/search":
+                    query = req.get("query")
+                    if not isinstance(query, str) or not query.strip():
+                        self._reply(400, {"error": "missing 'query'"})
+                        return
+                    self._reply(200, app.search(query, req.get("k")))
+                elif self.path == "/qa":
+                    question = req.get("question")
+                    if not isinstance(question, str) or not question.strip():
+                        self._reply(400, {"error": "missing 'question'"})
+                        return
+                    self._reply(200, app.answer(question))
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except LookupError as exc:
+                self._reply(400, {"error": str(exc)})
+            except Exception as exc:  # noqa: BLE001 — report, don't kill the server
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
