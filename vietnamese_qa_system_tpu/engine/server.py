@@ -210,6 +210,14 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
     batches form at all.
     """
 
+    class Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5 — a burst of concurrent
+        # clients (the whole point of micro-batching) gets connection
+        # resets before the accept loop ever sees them
+        request_queue_size = 128
+        daemon_threads = True
+        allow_reuse_address = True
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args) -> None:  # quiet by default
             pass
@@ -255,4 +263,4 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
             except Exception as exc:  # noqa: BLE001 — report, don't kill the server
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
