@@ -126,7 +126,10 @@ def serving():
     retr = Retriever(
         params, cfg, tok, store, docstore, max_len=32, query_batch=16
     )
-    app = ServingApp(retr, k=3, max_batch=16, max_wait_s=0.02)
+    app = ServingApp(
+        retr, ingest=pipe, k=3, max_batch=16, max_wait_s=0.02,
+        max_ingest_texts=8,
+    )
     httpd = make_server(app, port=0)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -141,7 +144,8 @@ def test_healthz(serving):
     base, _, _ = serving
     with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
         got = json.loads(resp.read())
-    assert got["ok"] and got["index_size"] == 40 and got["qa"] is False
+    assert got["ok"] and got["index_size"] >= 40 and got["qa"] is False
+    assert got["ingest"] is True
 
 
 def test_search_self_retrieval(serving):
@@ -175,6 +179,31 @@ def test_concurrent_requests_batch_and_answer(serving):
         assert got["results"][0]["id"] == i, f"query {i} mis-routed"
     made = app._search_batcher.stats["batches"] - before["batches"]
     assert made < 16, "no micro-batching happened under concurrent load"
+
+
+def test_online_ingest_then_search(serving):
+    """POST /ingest grows the live index (no rebuild/restart — beyond the
+    reference's offline one-shot index build) and the new passage is
+    immediately retrievable."""
+    base, _, app = serving
+    new_text = "văn bản trực tuyến hoàn toàn mới về chủ đề đặc biệt"
+    got = _post(base + "/ingest", {"texts": [new_text], "sources": ["api"]})
+    assert got["ids"] == [40] and got["index_size"] == 41
+    found = _post(base + "/search", {"query": new_text, "k": 1})
+    assert found["results"][0]["id"] == 40
+    assert found["results"][0]["doc"] == new_text
+    assert found["results"][0]["source"] == "api"
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+        assert json.loads(resp.read())["index_size"] == 41
+
+
+def test_ingest_request_validation(serving):
+    base, _, _ = serving
+    for payload in ({}, {"texts": "not a list"}, {"texts": [1, 2]},
+                    {"texts": []}, {"texts": ["x"] * 9}):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(base + "/ingest", payload)
+        assert err.value.code == 400
 
 
 def test_qa_endpoint_without_reader_is_400(serving):

@@ -588,10 +588,15 @@ def cmd_serve(args) -> int:
         # concurrent requests share one batched TPU dispatch
         # (engine/server.py) instead of the reference's one-query-one-
         # dispatch loop (heavy_ranker.py:97-115)
-        from ..engine import ServingApp, make_server
+        from ..engine import IngestPipeline, ServingApp, make_server
 
+        ingest = IngestPipeline(
+            params, cfg, tok, store, docstore,
+            batch_size=args.max_batch, max_len=args.max_len,
+            lexical=lexical,
+        )
         app = ServingApp(
-            retriever, qa, k=args.k,
+            retriever, qa, ingest=ingest, k=args.k,
             max_batch=args.max_batch,
             max_wait_s=args.batch_wait_ms / 1000.0,
         )
@@ -600,7 +605,7 @@ def cmd_serve(args) -> int:
             f"serving {store.size} vectors on "
             f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
             f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms; "
-            f"endpoints: /healthz /search{' /qa' if qa else ''})"
+            f"endpoints: /healthz /search /ingest{' /qa' if qa else ''})"
         )
         try:
             httpd.serve_forever()

@@ -26,6 +26,12 @@ Endpoints (JSON over stdlib http.server — zero new dependencies):
 - ``POST /search``      {"query": str, "k": int?} -> ranked contexts
 - ``POST /qa``          {"question": str} -> generated answer + contexts
   (only when the server was built with a QAPipeline reader)
+- ``POST /ingest``      {"texts": [str, ...], "sources": [str,...]?} ->
+  {"ids": [...]} — ONLINE index growth (only when built with an
+  IngestPipeline): embeds on the TPU and appends to the live vector
+  store/doc store/BM25 index, no rebuild, no restart.  The reference's
+  index is an offline one-shot build (heavy_ranker.py:78-89, commented
+  out after first use); here streaming ingest is a serving feature.
 """
 
 from __future__ import annotations
@@ -118,15 +124,23 @@ class ServingApp:
         retriever,
         qa=None,
         *,
+        ingest=None,
         k: int = 10,
         max_batch: int = 32,
         max_wait_s: float = 0.005,
         timeout_s: float = 60.0,
+        max_ingest_texts: int = 4096,
     ):
         self.retriever = retriever
         self.qa = qa
+        self.ingest = ingest
         self.k = k
         self.timeout_s = timeout_s
+        self.max_ingest_texts = max_ingest_texts
+        # serializes index mutation against scoring: VectorStore.add's
+        # host-side tail rewrite and BM25's lazy _freeze are not safe
+        # against a concurrent search
+        self._lock = threading.Lock()
         self._search_batcher = MicroBatcher(
             self._search_batch, max_batch, max_wait_s
         )
@@ -141,7 +155,8 @@ class ServingApp:
     def _search_batch(self, items: list[tuple[str, int]]) -> list[dict]:
         queries = [q for q, _ in items]
         k = max(kk for _, kk in items)
-        rows = self.retriever.search(queries, k=k)
+        with self._lock:
+            rows = self.retriever.search(queries, k=k)
         out = []
         for (_, kk), row in zip(items, rows):
             out.append(
@@ -160,7 +175,8 @@ class ServingApp:
         return out
 
     def _qa_batch(self, questions: list[str]) -> list[dict]:
-        answers = self.qa.answer(questions)
+        with self._lock:
+            answers = self.qa.answer(questions)
         return [
             {
                 "answer": a.answer,
@@ -185,6 +201,23 @@ class ServingApp:
             timeout=self.timeout_s
         )
 
+    def add_texts(self, texts: Sequence[str], sources=None) -> dict:
+        if self.ingest is None:
+            raise LookupError("no ingest pipeline configured")
+        if not texts:
+            raise ValueError("empty 'texts'")
+        if len(texts) > self.max_ingest_texts:
+            raise ValueError(
+                f"too many texts in one request "
+                f"({len(texts)} > {self.max_ingest_texts}); split the upload"
+            )
+        with self._lock:
+            ids = self.ingest.add_texts(list(texts), sources)
+        return {
+            "ids": [int(i) for i in ids],
+            "index_size": self.retriever.store.size,
+        }
+
     def health(self) -> dict:
         stats = {"search": dict(self._search_batcher.stats)}
         if self._qa_batcher is not None:
@@ -193,6 +226,7 @@ class ServingApp:
             "ok": True,
             "index_size": self.retriever.store.size,
             "qa": self.qa is not None,
+            "ingest": self.ingest is not None,
             "stats": stats,
         }
 
@@ -256,9 +290,17 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                         self._reply(400, {"error": "missing 'question'"})
                         return
                     self._reply(200, app.answer(question))
+                elif self.path == "/ingest":
+                    texts = req.get("texts")
+                    if not isinstance(texts, list) or not all(
+                        isinstance(t, str) for t in texts
+                    ):
+                        self._reply(400, {"error": "'texts' must be a list of strings"})
+                        return
+                    self._reply(200, app.add_texts(texts, req.get("sources")))
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except LookupError as exc:
+            except (LookupError, ValueError) as exc:
                 self._reply(400, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 — report, don't kill the server
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
