@@ -222,3 +222,46 @@ def test_bad_requests_are_400(serving):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(base + "/nope", {"query": "x"})
     assert err.value.code == 404
+
+
+def test_non_dict_body_is_400(serving):
+    base, _, _ = serving
+    for body in ([1, 2], "hello", 7):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(base + "/search", body)
+        assert err.value.code == 400
+
+
+def test_invalid_k_rejected_without_failing_the_batch(serving):
+    """A malformed k must 400 its own request only — it is validated
+    before submit, so co-batched requests never see it."""
+    base, passages, _ = serving
+    for bad_k in (0, -1, "10", True, 99):  # max_k == server k == 3
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(base + "/search", {"query": passages[0], "k": bad_k})
+        assert err.value.code == 400, f"k={bad_k!r}"
+    # a valid request right after is untouched
+    got = _post(base + "/search", {"query": passages[0], "k": 2})
+    assert got["results"][0]["id"] == 0 and len(got["results"]) == 2
+
+
+def test_microbatcher_close_fails_queued_items():
+    gate = threading.Event()
+
+    def fn(items):
+        gate.wait(timeout=5.0)
+        return list(items)
+
+    b = MicroBatcher(fn, max_batch=1, max_wait_s=0.0)
+    first = b.submit(1)
+    time.sleep(0.05)  # worker picks up item 1 and blocks on the gate
+    stranded = b.submit(2)  # stays queued behind the blocked batch
+    # close while the worker is still wedged in batch 1: the queued item
+    # must be failed fast, not left to hang its waiter
+    b.close()
+    with pytest.raises(RuntimeError):
+        stranded.result(timeout=5.0)
+    with pytest.raises(RuntimeError):
+        b.submit(3)
+    gate.set()  # release the wedged batch; its own waiter still succeeds
+    assert first.result(timeout=5.0) == 1

@@ -543,10 +543,14 @@ def cmd_serve(args) -> int:
     if args.hybrid_weight < 1.0 and os.path.exists(bm25_path):
         lexical = BM25Index.load(bm25_path)
         dist_print(f"hybrid retrieval on (weight {args.hybrid_weight})")
+    # in HTTP mode every dispatch pads to query_batch — size it to the
+    # micro-batch cap, not the offline default of 256, or each small
+    # batch does 8x+ the needed encoder/top-k work
+    qbatch = args.max_batch if args.port is not None else 256
     retriever = Retriever(
         params, cfg, tok, store, docstore, max_len=args.max_len,
         lexical=lexical, hybrid_weight=args.hybrid_weight,
-        mode=args.search_mode,
+        mode=args.search_mode, query_batch=qbatch,
     )
 
     qa = None
@@ -596,7 +600,7 @@ def cmd_serve(args) -> int:
             lexical=lexical,
         )
         app = ServingApp(
-            retriever, qa, ingest=ingest, k=args.k,
+            retriever, qa, ingest=ingest, k=args.k, max_k=args.max_k,
             max_batch=args.max_batch,
             max_wait_s=args.batch_wait_ms / 1000.0,
         )
@@ -607,6 +611,18 @@ def cmd_serve(args) -> int:
             f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms; "
             f"endpoints: /healthz /search /ingest{' /qa' if qa else ''})"
         )
+        # SIGTERM (the normal supervisor/container stop signal) must run
+        # the same graceful path as ^C so ingested vectors get persisted
+        import signal
+
+        def _term(*_):
+            # NB: must not call httpd.shutdown() here — the handler runs
+            # ON the main thread inside serve_forever, and shutdown()
+            # waits for serve_forever to exit: deadlock.  Raising unwinds
+            # into the same except/finally as ^C.
+            raise KeyboardInterrupt
+
+        signal.signal(signal.SIGTERM, _term)
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:
@@ -614,6 +630,15 @@ def cmd_serve(args) -> int:
         finally:
             httpd.server_close()
             app.close()
+            if app.dirty:
+                # make /ingest writes survive a restart — the docstore is
+                # already durable sqlite; vectors and BM25 are in-memory
+                store.save(args.index)
+                if lexical is not None:
+                    lexical.save(bm25_path)
+                dist_print(
+                    f"index persisted -> {args.index} ({store.size} vectors)"
+                )
         return 0
 
     dist_print(f"index: {store.size} vectors; type a query (empty line quits)")
@@ -865,6 +890,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--max-batch", type=int, default=32,
                     help="max requests fused into one dispatch")
+    ps.add_argument("--max-k", type=int, default=None,
+                    help="largest per-request k the API accepts "
+                    "(default: --k); one top-k program is compiled at "
+                    "this value and responses are sliced")
     ps.add_argument("--batch-wait-ms", type=float, default=5.0,
                     help="how long a batch waits for co-riders after its "
                     "first request")

@@ -83,7 +83,18 @@ class IngestPipeline:
         sources: Optional[Sequence[str]] = None,
     ) -> np.ndarray:
         """Embed + index + persist docs.  Returns assigned global ids."""
-        vecs = self.embed_texts(texts)
+        return self.index_vectors(self.embed_texts(texts), texts, sources)
+
+    def index_vectors(
+        self,
+        vecs: np.ndarray,
+        texts: Sequence[str],
+        sources: Optional[Sequence[str]] = None,
+    ) -> np.ndarray:
+        """Stage 2 of add_texts — the index/docstore/BM25 mutation only.
+        Split out so a serving layer can run the (pure, slow) embed
+        outside its index lock and hold it just for this part
+        (engine/server.py::add_texts)."""
         ids = self.store.add(vecs)
         if self.docstore is not None:
             self.docstore.insert(ids, list(texts), sources)

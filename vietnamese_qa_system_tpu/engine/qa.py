@@ -71,6 +71,14 @@ class QAPipeline:
         return f"{QUESTION_PREFIX}\n{body}\n\n{RESPONSE_PREFIX}\n"
 
     def answer(self, questions: Sequence[str]) -> list[QAAnswer]:
+        prompts, metas = self.retrieve(questions)
+        return self.generate_answers(prompts, metas)
+
+    def retrieve(self, questions: Sequence[str]):
+        """Stage 1 — the only part that touches (mutable) index state:
+        search, refusal triage, prompt assembly.  Split from generation so
+        a serving layer can hold its index lock for just this stage
+        (engine/server.py::_qa_batch)."""
         hits = self.retriever.search(questions, k=self.k)
         prompts, metas = [], []
         for question, row in zip(questions, hits):
@@ -98,16 +106,29 @@ class QAPipeline:
                 )
             )
             prompts.append(self._build_prompt(question, [r.doc for r in kept]))
+        return prompts, metas
 
+    def generate_answers(
+        self, prompts: Sequence[Optional[str]], metas: list[QAAnswer]
+    ) -> list[QAAnswer]:
+        """Stage 2 — pure reader generation over the assembled prompts
+        (frozen params; no index state)."""
         live = [i for i, p in enumerate(prompts) if p is not None]
         if live:
             # seq2seq readers (the reference's mt5 experiments,
             # reference src/test.py:106-147) encode right-padded and emit
             # decoder-side tokens only; causal readers continue the prompt
             is_s2s = self.cfg.arch == "seq2seq"
+            # pad the batch dim to the next power of two: generate is
+            # jitted with batch as a static shape, so arbitrary batch
+            # sizes would each compile a fresh program (minutes over the
+            # axon remote-compile tunnel) — buckets cap it at log2(B)
+            n = len(live)
+            bucket = 1 << (n - 1).bit_length()
+            texts = [prompts[i] for i in live] + [" "] * (bucket - n)
             ids, mask = batch_encode(
                 self.tok,
-                [prompts[i] for i in live],
+                texts,
                 self.max_prompt_len,
                 pad_side="right" if is_s2s else "left",
             )

@@ -73,6 +73,8 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, item) -> Future:
+        if self._stop:
+            raise RuntimeError("batcher is closed")
         fut: Future = Future()
         self._q.put((item, fut))
         return fut
@@ -113,6 +115,15 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop = True
         self._thread.join(timeout=1.0)
+        # fail anything still queued instead of leaving its waiter to
+        # hang until the request timeout
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher closed"))
 
 
 class ServingApp:
@@ -126,6 +137,7 @@ class ServingApp:
         *,
         ingest=None,
         k: int = 10,
+        max_k: Optional[int] = None,
         max_batch: int = 32,
         max_wait_s: float = 0.005,
         timeout_s: float = 60.0,
@@ -135,12 +147,21 @@ class ServingApp:
         self.qa = qa
         self.ingest = ingest
         self.k = k
+        # every dispatch runs top-k at this one value and slices per
+        # request — distinct per-request k values would each compile a
+        # fresh top-k program (store._query_cache is keyed on k)
+        self.max_k = max(k, max_k or k)
         self.timeout_s = timeout_s
         self.max_ingest_texts = max_ingest_texts
+        # set once an ingest mutates the in-memory index, so the owner
+        # knows a save is needed for the writes to survive a restart
+        self.dirty = False
         # serializes index mutation against scoring: VectorStore.add's
         # host-side tail rewrite and BM25's lazy _freeze are not safe
         # against a concurrent search
         self._lock = threading.Lock()
+        # per-endpoint latency windows (seconds), newest-1024 each
+        self._latencies: dict[str, list[float]] = {}
         self._search_batcher = MicroBatcher(
             self._search_batch, max_batch, max_wait_s
         )
@@ -154,9 +175,8 @@ class ServingApp:
 
     def _search_batch(self, items: list[tuple[str, int]]) -> list[dict]:
         queries = [q for q, _ in items]
-        k = max(kk for _, kk in items)
         with self._lock:
-            rows = self.retriever.search(queries, k=k)
+            rows = self.retriever.search(queries, k=self.max_k)
         out = []
         for (_, kk), row in zip(items, rows):
             out.append(
@@ -175,8 +195,11 @@ class ServingApp:
         return out
 
     def _qa_batch(self, questions: list[str]) -> list[dict]:
+        # hold the index lock for retrieval only; the autoregressive
+        # decode is pure and must not block searches for its duration
         with self._lock:
-            answers = self.qa.answer(questions)
+            prompts, metas = self.qa.retrieve(questions)
+        answers = self.qa.generate_answers(prompts, metas)
         return [
             {
                 "answer": a.answer,
@@ -189,17 +212,33 @@ class ServingApp:
 
     # ---- request entry points (called from HTTP handler threads) ----
 
+    def _timed(self, endpoint: str, fut: Future):
+        t0 = time.monotonic()
+        try:
+            return fut.result(timeout=self.timeout_s)
+        finally:
+            lat = self._latencies.setdefault(endpoint, [])
+            lat.append(time.monotonic() - t0)
+            if len(lat) > 1024:  # ring: keep the most recent window
+                del lat[:-1024]
+
     def search(self, query: str, k: Optional[int] = None) -> dict:
-        return self._search_batcher.submit((query, k or self.k)).result(
-            timeout=self.timeout_s
-        )
+        # validate BEFORE submit: a bad k must fail only its own request,
+        # never the innocent co-riders of its micro-batch
+        if k is None:
+            k = self.k
+        if isinstance(k, bool) or not isinstance(k, int) or not (
+            1 <= k <= self.max_k
+        ):
+            raise ValueError(
+                f"'k' must be an int in [1, {self.max_k}], got {k!r}"
+            )
+        return self._timed("search", self._search_batcher.submit((query, k)))
 
     def answer(self, question: str) -> dict:
         if self._qa_batcher is None:
             raise LookupError("no reader configured (serve --reader-size)")
-        return self._qa_batcher.submit(question).result(
-            timeout=self.timeout_s
-        )
+        return self._timed("qa", self._qa_batcher.submit(question))
 
     def add_texts(self, texts: Sequence[str], sources=None) -> dict:
         if self.ingest is None:
@@ -211,8 +250,13 @@ class ServingApp:
                 f"too many texts in one request "
                 f"({len(texts)} > {self.max_ingest_texts}); split the upload"
             )
+        # the embed is pure and slow (TPU dispatches) — run it outside
+        # the lock; hold the lock only for the index/docstore/BM25 write
+        texts = list(texts)
+        vecs = self.ingest.embed_texts(texts)
         with self._lock:
-            ids = self.ingest.add_texts(list(texts), sources)
+            ids = self.ingest.index_vectors(vecs, texts, sources)
+        self.dirty = True
         return {
             "ids": [int(i) for i in ids],
             "index_size": self.retriever.store.size,
@@ -222,6 +266,16 @@ class ServingApp:
         stats = {"search": dict(self._search_batcher.stats)}
         if self._qa_batcher is not None:
             stats["qa"] = dict(self._qa_batcher.stats)
+        for endpoint, lat in self._latencies.items():
+            window = sorted(lat)
+            if window:
+                stats[endpoint]["latency_ms"] = {
+                    "n": len(window),
+                    "p50": round(window[len(window) // 2] * 1e3, 2),
+                    "p95": round(window[int(len(window) * 0.95)
+                                        if len(window) > 1 else 0] * 1e3, 2),
+                    "max": round(window[-1] * 1e3, 2),
+                }
         return {
             "ok": True,
             "index_size": self.retriever.store.size,
@@ -276,6 +330,9 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as exc:
                 self._reply(400, {"error": f"bad request body: {exc}"})
+                return
+            if not isinstance(req, dict):
+                self._reply(400, {"error": "request body must be a JSON object"})
                 return
             try:
                 if self.path == "/search":
