@@ -29,9 +29,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="stacked blocks under lax.scan — O(1)-in-depth "
+                    "compile for deep flash models on the remote tunnel")
     ap.add_argument("--lora-r", type=int, default=0,
                     help="train a LoRA adapter of this rank (0 = full FT)")
-    ap.add_argument("--quantize-base", choices=["int8", "nf4"], default=None)
+    ap.add_argument("--quantize-base", choices=["int8", "nf4", "nf4-dq"], default=None)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — the env var "
                          "is overridden by sitecustomize, see CLAUDE.md")
@@ -56,6 +59,10 @@ def main() -> None:
         "llama1b": mcfg.llama_1b_class,
         "tiny": mcfg.tiny_test,
     }[args.preset]()
+    if args.scan_layers:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, scan_layers=True)
 
     B, T = args.batch, args.seq
     key = jax.random.key(0)
