@@ -88,11 +88,17 @@ def main() -> None:
     tx = optax.adamw(1e-4)
     opt = tx.init(trainable)
 
-    def loss_fn(tr, batch):
+    # The (frozen, possibly quantized) base must be a jit ARGUMENT, not a
+    # closure capture: captured arrays are baked into the program as
+    # constants and shipped inside the tunnel's remote_compile request
+    # (minutes of upload / HTTP 413 for a 1B base — see CLAUDE.md).
+    base_arg = params if lora_cfg is not None else 0
+
+    def loss_fn(base, tr, batch):
         if lora_cfg is not None:
             from vietnamese_qa_system_tpu.models.lora import merge_lora
 
-            p = merge_lora(jax.lax.stop_gradient(params), tr, lora_cfg)
+            p = merge_lora(jax.lax.stop_gradient(base), tr, lora_cfg)
         else:
             p = tr
         loss, n = causal_lm.loss_fn(p, cfg, batch)
@@ -101,35 +107,39 @@ def main() -> None:
     if not args.no_remat:
         loss_fn = jax.checkpoint(loss_fn)
 
-    def one_step(carry, batch):
+    def one_step(base, carry, batch):
         p, o = carry
-        loss, g = jax.value_and_grad(loss_fn)(p, batch)
+        loss, g = jax.value_and_grad(loss_fn, argnums=1)(base, p, batch)
         upd, o = tx.update(g, o, p)
         p = optax.apply_updates(p, upd)
         return (p, o), loss
 
     @jax.jit
-    def run_steps(p, o, ids):
+    def run_steps(base, p, o, ids):
+        import functools
+
         batches = {
             "input_ids": ids,
             "attention_mask": jnp.ones_like(ids),
             "labels": ids,
         }
-        (p, o), losses = jax.lax.scan(one_step, (p, o), batches)
+        (p, o), losses = jax.lax.scan(
+            functools.partial(one_step, base), (p, o), batches
+        )
         return p, o, losses[-1]
 
     ids = jax.random.randint(
         jax.random.key(1), (args.steps, B, T), 0, cfg.vocab_size, jnp.int32
     )
     t0 = time.perf_counter()
-    trainable, opt, last = run_steps(trainable, opt, ids)
+    trainable, opt, last = run_steps(base_arg, trainable, opt, ids)
     np.asarray(last)
     compile_s = time.perf_counter() - t0
 
     dt = float("inf")
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        trainable, opt, last = run_steps(trainable, opt, ids)
+        trainable, opt, last = run_steps(base_arg, trainable, opt, ids)
         np.asarray(last)
         dt = min(dt, (time.perf_counter() - t0) / args.steps)
 
