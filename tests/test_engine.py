@@ -287,3 +287,16 @@ def test_qa_pipeline_seq2seq_reader(rng):
     out = qa.answer([docs[3]])
     assert len(out) == 1 and not out[0].refused
     assert out[0].answer is not None
+
+
+def test_dual_agreement_handles_empty_rows():
+    """An empty index (online-ingest warmup) yields empty result rows;
+    the agreement rule must answer None, not IndexError."""
+    from vietnamese_qa_system_tpu.engine.query import (
+        SearchResult, dual_agreement,
+    )
+
+    assert dual_agreement([[]], [[]]) == [None]
+    hit = [SearchResult(0, 0.9)]
+    assert dual_agreement([hit], [[]]) == [None]
+    assert dual_agreement([[]], [hit]) == [None]

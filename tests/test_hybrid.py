@@ -209,3 +209,31 @@ def test_native_bm25_speedup_sanity(rng):
         idx.scores(f"w{i} w{i+1} w{i+2}")
     dt = time.perf_counter() - t0
     assert dt < 2.0, dt
+
+
+def test_bm25_incremental_add_matches_fresh_index():
+    """Streaming ingest alternating with searches (the serving pattern)
+    must score identically to a one-shot build: the frozen posting arrays
+    are extended incrementally (per-term segment lists), never rebuilt."""
+    from vietnamese_qa_system_tpu.engine.lexical import BM25Index
+
+    docs = [
+        "hà nội là thủ đô của việt nam",
+        "phở là món ăn nổi tiếng",
+        "thành phố hồ chí minh lớn nhất việt nam",
+        "bánh mì việt nam nổi tiếng thế giới",
+        "vịnh hạ long là di sản thiên nhiên",
+    ]
+    inc = BM25Index()
+    inc.add([0, 1], docs[:2])
+    _ = inc.search("việt nam", k=5)  # freeze #1
+    inc.add([2, 3], docs[2:4])
+    _ = inc.search("nổi tiếng", k=5)  # incremental freeze #2
+    inc.add([4], docs[4:])
+
+    fresh = BM25Index()
+    fresh.add(list(range(len(docs))), docs)
+
+    for q in ("việt nam", "nổi tiếng", "thủ đô", "di sản", "phở bánh mì"):
+        assert inc.scores(q) == pytest.approx(fresh.scores(q))
+        assert inc.search(q, k=5) == pytest.approx(fresh.search(q, k=5))

@@ -266,3 +266,26 @@ def test_double_quant_stacked_matches_per_layer(rng):
             )
     w3 = np.asarray(dequantize_weight(q3, jnp.float32))
     assert w3.shape == w.shape
+
+
+def test_pick_block_never_degenerates_to_one():
+    """A non-power-of-two block request (96 on d_in=128) used to walk
+    96->48->24->12->6->3->1 and return 1 — one scale per ELEMENT, nf4
+    codes collapsed to sign bits.  It must land on 64 instead."""
+    from vietnamese_qa_system_tpu.models.quantize import (
+        _pick_block, dequantize_weight, quantize_weight,
+    )
+
+    assert _pick_block(128, 96) == 64
+    assert _pick_block(128, 64) == 64
+    assert _pick_block(6, 64) == 2
+    with pytest.raises(ValueError):
+        _pick_block(127, 64)  # odd d_in: nf4 packs pairs along d_in
+
+    w = jax.random.normal(jax.random.key(0), (128, 32), jnp.float32)
+    q = quantize_weight(w, "nf4", block=96)
+    deq = dequantize_weight(q, w.dtype)
+    # nf4 at block 64 reconstructs to a few percent; the degenerate
+    # per-element path had ~40% error (sign * absmax only)
+    rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
+    assert rel < 0.1

@@ -265,3 +265,94 @@ def test_microbatcher_close_fails_queued_items():
         b.submit(3)
     gate.set()  # release the wedged batch; its own waiter still succeeds
     assert first.result(timeout=5.0) == 1
+
+
+# ------------------------------------------- round-2 review regression tests
+
+
+def test_microbatcher_submit_after_close_raises():
+    b = MicroBatcher(lambda items: list(items), max_batch=2, max_wait_s=0.0)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(1)
+
+
+def test_search_on_index_smaller_than_k():
+    """Online-ingest-from-empty serving: a store smaller than max_k must
+    return the rows that exist, not fail the whole micro-batch with
+    store.topk's size<k ValueError."""
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(256, cfg.d_model, tile_n=128)
+    pipe = IngestPipeline(
+        params, cfg, tok, store, DocStore(), batch_size=8, max_len=32
+    )
+    retr = Retriever(
+        params, cfg, tok, store, pipe.docstore, max_len=32, query_batch=8
+    )
+    app = ServingApp(retr, ingest=pipe, k=5, max_k=10, max_batch=4)
+    try:
+        # empty index: valid request, zero results
+        assert app.search("xin chào", 5) == {"results": []}
+        app.add_texts(["một", "hai"])
+        out = app.search("một", 5)
+        assert len(out["results"]) == 2
+        # grow past k: full rows return
+        app.add_texts([f"đoạn {i}" for i in range(8)])
+        assert len(app.search("đoạn", 5)["results"]) == 5
+    finally:
+        app.close()
+
+
+def test_ingest_sources_validation(serving):
+    base, _, app = serving
+    size_before = app.retriever.store.size
+    for bad in (
+        {"texts": ["a", "b"], "sources": ["only-one"]},
+        {"texts": ["a", "b"], "sources": "ab"},
+        {"texts": ["a", "b"], "sources": [1, 2]},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/ingest", bad)
+        assert e.value.code == 400
+    # nothing was indexed by any failed request
+    assert app.retriever.store.size == size_before
+
+
+def test_index_vectors_failure_leaves_store_unchanged():
+    """index_vectors validates (and writes the docstore) BEFORE mutating
+    the vector store, so a failed ingest cannot strand doc-less vectors
+    that every later search would surface."""
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(64, cfg.d_model, tile_n=128)
+    pipe = IngestPipeline(
+        params, cfg, tok, store, DocStore(), batch_size=8, max_len=32
+    )
+    vecs = np.ones((2, cfg.d_model), np.float32)
+    with pytest.raises(ValueError, match="sources length"):
+        pipe.index_vectors(vecs, ["a", "b"], sources=["s"])
+    with pytest.raises(ValueError, match="vector count"):
+        pipe.index_vectors(vecs, ["a"])
+    over = store.capacity + 1  # capacity rounds up to tile-aligned shards
+    with pytest.raises(ValueError, match="store full"):
+        pipe.index_vectors(np.ones((over, cfg.d_model), np.float32),
+                           ["x"] * over)
+    assert store.size == 0
+
+
+def test_oversized_content_length_is_413(serving):
+    import socket
+
+    base, _, _ = serving
+    host, port = base.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=10) as s:
+        s.sendall(
+            b"POST /ingest HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Type: application/json\r\n"
+            b"Content-Length: 999999999999\r\n\r\n"
+        )
+        reply = s.recv(4096).decode()
+    assert "413" in reply.split("\r\n")[0]

@@ -23,7 +23,7 @@ def _naive_nll(h, w, targets):
     return -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
 
 
-@pytest.mark.parametrize("v,chunk", [(300, 128), (512, 128), (512, 512), (129, 128)])
+@pytest.mark.parametrize("v,chunk", [(300, 128), (512, 128), (512, 512), (129, 128), (100, 128)])
 def test_chunked_matches_naive_forward(rng, v, chunk):
     m, d = 24, 64
     h = jnp.asarray(rng.standard_normal((m, d), dtype=np.float32))

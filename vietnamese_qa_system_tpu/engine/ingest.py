@@ -11,22 +11,15 @@ host doc-store insert.  Restartable: the vector shards are the checkpoint
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
-import jax
 import numpy as np
 
 from ..data.tokenizer import batch_encode
-from ..models import encoder as encoder_model
+from ..models.encoder import jit_sentence_embed as _embed
 from .chunking import chunk_text
 from .docstore import DocStore
 from .store import VectorStore
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _embed(params, cfg, ids, mask):
-    return encoder_model.sentence_embed(params, cfg, ids, mask)
 
 
 class IngestPipeline:
@@ -94,10 +87,39 @@ class IngestPipeline:
         """Stage 2 of add_texts — the index/docstore/BM25 mutation only.
         Split out so a serving layer can run the (pure, slow) embed
         outside its index lock and hold it just for this part
-        (engine/server.py::add_texts)."""
-        ids = self.store.add(vecs)
+        (engine/server.py::add_texts).
+
+        Write order is chosen for failure safety: ids are deterministic
+        (``store.add`` assigns ``size..size+n-1``), so the docstore row
+        (the slowest, most failure-prone write — sqlite type errors land
+        here) commits FIRST.  A failure then leaves only doc rows without
+        vectors — invisible to search — instead of live vectors whose doc
+        fetch returns None on every later query."""
+        vecs = np.asarray(vecs, np.float32)
+        if sources is not None and len(sources) != len(texts):
+            raise ValueError(
+                f"sources length {len(sources)} != texts length {len(texts)}"
+            )
+        if vecs.ndim != 2 or vecs.shape[1] != self.store.dim:
+            raise ValueError(
+                f"expected (E, {self.store.dim}) vectors, got {vecs.shape}"
+            )
+        if vecs.shape[0] != len(texts):
+            raise ValueError(
+                f"vector count {vecs.shape[0]} != text count {len(texts)}"
+            )
+        if self.store.size + vecs.shape[0] > self.store.capacity:
+            raise ValueError(
+                f"store full: size={self.store.size} + {vecs.shape[0]} > "
+                f"capacity={self.store.capacity}"
+            )
+        ids = np.arange(
+            self.store.size, self.store.size + vecs.shape[0], dtype=np.int64
+        )
         if self.docstore is not None:
             self.docstore.insert(ids, list(texts), sources)
+        assigned = self.store.add(vecs)
+        assert np.array_equal(assigned, ids)
         if self.lexical is not None:
             self.lexical.add(ids, list(texts))
         return ids

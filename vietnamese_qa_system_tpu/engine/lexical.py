@@ -42,8 +42,12 @@ class BM25Index:
         self.doc_len: dict[int, int] = {}
         self.total_len = 0
         # frozen contiguous posting arrays for the native scorer
-        # (native/bm25.cpp); built lazily, invalidated by add()
+        # (native/bm25.cpp); built lazily, extended INCREMENTALLY after
+        # adds — a full rebuild would be an O(total postings) Python loop
+        # under the serving layer's index lock on every ingest/search
+        # alternation
         self._frozen = None
+        self._stale = False
 
     # ------------------------------------------------------------------ build
 
@@ -59,7 +63,7 @@ class BM25Index:
             self.total_len += len(toks)
             for term, tf in collections.Counter(toks).items():
                 self.postings[term].append((gid, tf))
-        self._frozen = None
+        self._stale = True
 
     @property
     def n_docs(self) -> int:
@@ -75,27 +79,44 @@ class BM25Index:
         return max(math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0), 1e-9)
 
     def _freeze(self):
-        """Flatten postings into contiguous per-term arrays once; queries
-        then concatenate a handful of slices for the C++ scorer instead of
-        walking python tuples."""
+        """Flatten postings into contiguous per-term arrays; queries then
+        concatenate a handful of slices for the C++ scorer instead of
+        walking python tuples.
+
+        Incremental: postings lists are append-only, so each freeze walks
+        only the postings added since the last one and appends a new
+        (start, end) segment per touched term (``ranges`` maps term →
+        segment LIST).  Streaming ingest therefore pays O(new postings)
+        per freeze, not O(index)."""
         import numpy as np
 
-        gids, tfs, dlens = [], [], []
-        ranges = {}
-        pos = 0
+        if self._frozen is None:
+            empty = np.empty(0, np.int64), np.empty(0, np.float64)
+            self._frozen = (empty[0], empty[1],
+                            np.empty(0, np.float64), {}, {})
+        f_gids, f_tf, f_dlen, ranges, counts = self._frozen
+        new_g: list[int] = []
+        new_tf: list[float] = []
+        new_dl: list[float] = []
+        pos = len(f_gids)
         for term, plist in self.postings.items():
-            for gid, tf in plist:
-                gids.append(gid)
-                tfs.append(float(tf))
-                dlens.append(float(self.doc_len[gid]))
-            ranges[term] = (pos, pos + len(plist))
-            pos += len(plist)
-        self._frozen = (
-            np.asarray(gids, np.int64),
-            np.asarray(tfs, np.float64),
-            np.asarray(dlens, np.float64),
-            ranges,
-        )
+            done = counts.get(term, 0)
+            fresh = len(plist) - done
+            if not fresh:
+                continue
+            for gid, tf in plist[done:]:
+                new_g.append(gid)
+                new_tf.append(float(tf))
+                new_dl.append(float(self.doc_len[gid]))
+            ranges.setdefault(term, []).append((pos, pos + fresh))
+            pos += fresh
+            counts[term] = len(plist)
+        if new_g:
+            f_gids = np.concatenate([f_gids, np.asarray(new_g, np.int64)])
+            f_tf = np.concatenate([f_tf, np.asarray(new_tf, np.float64)])
+            f_dlen = np.concatenate([f_dlen, np.asarray(new_dl, np.float64)])
+        self._frozen = (f_gids, f_tf, f_dlen, ranges, counts)
+        self._stale = False
         return self._frozen
 
     def _scores_native(self, terms, lib):
@@ -103,16 +124,18 @@ class BM25Index:
 
         import numpy as np
 
-        frozen = self._frozen or self._freeze()
-        f_gids, f_tf, f_dlen, ranges = frozen
+        if self._frozen is None or self._stale:
+            self._freeze()
+        f_gids, f_tf, f_dlen, ranges, _counts = self._frozen
         segs = []
         idfs = []
         for term in terms:
             idf = self._idf(term)
             if not idf or term not in ranges:
                 continue
-            segs.append(ranges[term])
-            idfs.append(idf)
+            for seg in ranges[term]:  # one idf per contiguous segment
+                segs.append(seg)
+                idfs.append(idf)
         if not segs:
             return {}
         g = np.concatenate([f_gids[s:e] for s, e in segs])

@@ -10,14 +10,12 @@ merged over ICI, and only then do ids resolve to text on the host.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Sequence
 
-import jax
 import numpy as np
 
 from ..data.tokenizer import batch_encode
-from ..models import encoder as encoder_model
+from ..models.encoder import jit_sentence_embed as _embed
 from .docstore import DocStore
 from .store import VectorStore
 
@@ -28,11 +26,6 @@ class SearchResult:
     score: float
     doc: Optional[str] = None
     source: Optional[str] = None
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _embed(params, cfg, ids, mask):
-    return encoder_model.sentence_embed(params, cfg, ids, mask)
 
 
 class Retriever:
@@ -86,9 +79,18 @@ class Retriever:
     def search(
         self, queries: Sequence[str], k: int = 10, *, fetch_docs: bool = True
     ) -> list[list[SearchResult]]:
+        # Return what exists: an index smaller than k (the normal state
+        # of online-ingest-from-empty serving) yields shorter rows, not a
+        # ValueError from store.topk's size < k contract.  During that
+        # warmup each distinct k_eff compiles its own top-k program
+        # (store._query_cache is keyed on k); once size >= k the value is
+        # stable.
+        k_eff = min(k, self.store.size)
+        if k_eff <= 0:
+            return [[] for _ in queries]
         qvecs = self.embed_queries(queries)
         if self.lexical is not None and self.hybrid_weight < 1.0:
-            return self._hybrid_search(queries, qvecs, k, fetch_docs)
+            return self._hybrid_search(queries, qvecs, k_eff, fetch_docs)
         results: list[list[SearchResult]] = []
         bs = self.query_batch
         for i in range(0, len(qvecs), bs):
@@ -96,13 +98,13 @@ class Retriever:
             n = len(block)
             if n < bs:
                 block = np.pad(block, ((0, bs - n), (0, 0)))
-            scores, ids = self.store.topk(block, k, mode=self.mode)
+            scores, ids = self.store.topk(block, k_eff, mode=self.mode)
             scores = np.asarray(scores[:n])
             ids = np.asarray(ids[:n])
             for r in range(n):
                 row = [
                     SearchResult(int(ids[r, j]), float(scores[r, j]))
-                    for j in range(k)
+                    for j in range(k_eff)
                 ]
                 if fetch_docs and self.docstore is not None:
                     fetched = self.docstore.get_rows(int(x.id) for x in row)
@@ -197,6 +199,9 @@ def dual_agreement(
     """
     out = []
     for ra, rb in zip(results_a, results_b):
+        if not ra or not rb:  # empty index → no hit, not an IndexError
+            out.append(None)
+            continue
         top_a, top_b = ra[0], rb[0]
         if top_a.id == top_b.id and (top_a.score + top_b.score) > threshold:
             merged = SearchResult(

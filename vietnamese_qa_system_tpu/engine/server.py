@@ -69,14 +69,19 @@ class MicroBatcher:
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._stop = False
+        # serializes the stop-check+enqueue against close(): without it a
+        # submit that passes the check while close() drains can land its
+        # item in a queue nobody reads, leaving the Future to time out
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, item) -> Future:
-        if self._stop:
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._submit_lock:
+            if self._stop:
+                raise RuntimeError("batcher is closed")
+            self._q.put((item, fut))
         return fut
 
     def _loop(self) -> None:
@@ -113,7 +118,8 @@ class MicroBatcher:
             self.stats["max_batch"] = max(self.stats["max_batch"], len(batch))
 
     def close(self) -> None:
-        self._stop = True
+        with self._submit_lock:
+            self._stop = True
         self._thread.join(timeout=1.0)
         # fail anything still queued instead of leaving its waiter to
         # hang until the request timeout
@@ -160,8 +166,12 @@ class ServingApp:
         # host-side tail rewrite and BM25's lazy _freeze are not safe
         # against a concurrent search
         self._lock = threading.Lock()
-        # per-endpoint latency windows (seconds), newest-1024 each
+        # per-endpoint latency windows (seconds), newest-1024 each;
+        # guarded by _lat_lock — handler threads insert keys while
+        # /healthz iterates (unsynchronized, that's a RuntimeError:
+        # "dictionary changed size during iteration")
         self._latencies: dict[str, list[float]] = {}
+        self._lat_lock = threading.Lock()
         self._search_batcher = MicroBatcher(
             self._search_batch, max_batch, max_wait_s
         )
@@ -217,10 +227,11 @@ class ServingApp:
         try:
             return fut.result(timeout=self.timeout_s)
         finally:
-            lat = self._latencies.setdefault(endpoint, [])
-            lat.append(time.monotonic() - t0)
-            if len(lat) > 1024:  # ring: keep the most recent window
-                del lat[:-1024]
+            with self._lat_lock:
+                lat = self._latencies.setdefault(endpoint, [])
+                lat.append(time.monotonic() - t0)
+                if len(lat) > 1024:  # ring: keep the most recent window
+                    del lat[:-1024]
 
     def search(self, query: str, k: Optional[int] = None) -> dict:
         # validate BEFORE submit: a bad k must fail only its own request,
@@ -250,6 +261,19 @@ class ServingApp:
                 f"too many texts in one request "
                 f"({len(texts)} > {self.max_ingest_texts}); split the upload"
             )
+        if sources is not None:
+            # a short list (or a plain string, which zips per character)
+            # would silently truncate the docstore insert, leaving indexed
+            # vectors with no document text
+            if isinstance(sources, str) or not isinstance(sources, (list, tuple)):
+                raise ValueError("'sources' must be a list of strings")
+            if len(sources) != len(texts):
+                raise ValueError(
+                    f"'sources' length {len(sources)} != 'texts' length "
+                    f"{len(texts)}"
+                )
+            if not all(s is None or isinstance(s, str) for s in sources):
+                raise ValueError("'sources' entries must be strings (or null)")
         # the embed is pure and slow (TPU dispatches) — run it outside
         # the lock; hold the lock only for the index/docstore/BM25 write
         texts = list(texts)
@@ -266,7 +290,9 @@ class ServingApp:
         stats = {"search": dict(self._search_batcher.stats)}
         if self._qa_batcher is not None:
             stats["qa"] = dict(self._qa_batcher.stats)
-        for endpoint, lat in self._latencies.items():
+        with self._lat_lock:
+            snapshot = {k: list(v) for k, v in self._latencies.items()}
+        for endpoint, lat in snapshot.items():
             window = sorted(lat)
             if window:
                 stats[endpoint]["latency_ms"] = {
@@ -307,6 +333,15 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
         allow_reuse_address = True
 
     class Handler(BaseHTTPRequestHandler):
+        # socket inactivity timeout (honored by StreamRequestHandler.setup):
+        # a client that promises Content-Length bytes and stalls would
+        # otherwise pin its handler thread forever
+        timeout = 65
+        # parsed before any body read: a lying Content-Length can't make
+        # the server buffer an arbitrarily large body before the
+        # max_ingest_texts check ever runs
+        max_body_bytes = 64 << 20
+
         def log_message(self, *args) -> None:  # quiet by default
             pass
 
@@ -327,9 +362,20 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
         def do_POST(self) -> None:
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n < 0 or n > self.max_body_bytes:
+                    self._reply(
+                        413,
+                        {"error": f"body of {n} bytes exceeds the "
+                                  f"{self.max_body_bytes}-byte limit"},
+                    )
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as exc:
                 self._reply(400, {"error": f"bad request body: {exc}"})
+                return
+            except (TimeoutError, OSError):
+                # stalled or vanished client — nothing useful to reply to
+                self.close_connection = True
                 return
             if not isinstance(req, dict):
                 self._reply(400, {"error": "request body must be a JSON object"})

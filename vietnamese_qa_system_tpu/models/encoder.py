@@ -10,6 +10,8 @@ inner-product retrieval.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -151,3 +153,14 @@ def sentence_embed(params, cfg: ModelConfig, ids, attn_mask):
     pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
     return pooled / jnp.maximum(norm, 1e-12)
+
+
+# One shared jitted entry point for every embed call site (ingest, query,
+# serving): distinct module-level `jax.jit` wrappers are distinct cache
+# entries, so `cli serve` (which builds both a Retriever and an
+# IngestPipeline over the SAME params/shapes) would compile the identical
+# encoder program twice — minutes of avoidable latency on the axon
+# remote-compile tunnel.
+jit_sentence_embed = functools.partial(jax.jit, static_argnames=("cfg",))(
+    sentence_embed
+)

@@ -56,12 +56,18 @@ NF4_LEVELS = jnp.array(
 
 
 def _pick_block(d_in: int, block: int) -> int:
-    """Largest power-of-two block <= requested that divides d_in (>= 2)."""
-    while block > 2 and (d_in % block or (block % 2)):
-        block //= 2
-    if d_in % block:
-        raise ValueError(f"no even block size divides d_in={d_in}")
-    return block
+    """Largest power-of-two block <= requested that divides d_in (>= 2).
+
+    The requested size is first rounded DOWN to a power of two: halving a
+    non-power-of-two request (e.g. 96 -> 48 -> ... -> 3) can walk past
+    every divisor and bottom out at 1, i.e. one scale per ELEMENT — nf4
+    codes would collapse to sign bits with all resolution in the scales."""
+    b = 1 << max(block.bit_length() - 1, 1)
+    while b > 2 and d_in % b:
+        b //= 2
+    if b < 2 or d_in % b:
+        raise ValueError(f"no even power-of-two block divides d_in={d_in}")
+    return b
 
 
 def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:

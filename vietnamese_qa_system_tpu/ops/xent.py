@@ -33,18 +33,6 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _pad_w(w, chunk: int):
-    d, v = w.shape
-    v_pad = _round_up(v, chunk)
-    if v_pad != v:
-        w = jnp.pad(w, ((0, 0), (0, v_pad - v)))
-    return w, v_pad
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def chunked_xent(h, w, targets, chunk: int = 4096):
     """Per-token negative log-likelihood, vocabulary streamed in chunks.
@@ -52,7 +40,13 @@ def chunked_xent(h, w, targets, chunk: int = 4096):
     h: (M, D) hidden states (any float dtype; matmuls run bf16/f32-accum).
     w: (D, V) classifier — ``tok_embed.T`` for tied heads.
     targets: (M,) int32 in [0, V).
-    chunk: vocab tile width (multiple of 128; W is zero-padded to it).
+    chunk: vocab tile width.  V need not be a multiple: the last chunk's
+    slice is CLAMPED to end at V and overlaps its predecessor, with the
+    already-counted columns masked out — no zero-padded copy of the whole
+    (D, V) classifier is ever materialized (real vocabularies are never
+    chunk multiples, and the padded copy would cost two full classifier
+    writes per step in the op whose purpose is cutting classifier HBM
+    traffic).
 
     Returns nll (M,) fp32.  Invalid positions should be masked by the
     CALLER (pass any in-range target, e.g. 0, and drop the output).
@@ -64,25 +58,28 @@ def chunked_xent(h, w, targets, chunk: int = 4096):
 def _xent_fwd_impl(h, w, targets, chunk):
     m_rows, d = h.shape
     v = w.shape[1]
-    wp, v_pad = _pad_w(w, chunk)
-    n_chunks = v_pad // chunk
+    chunk = min(chunk, v)
+    n_chunks = -(-v // chunk)
     hb = h.astype(jnp.bfloat16)
 
     def body(carry, ci):
         m, s, tl = carry
-        wc = jax.lax.dynamic_slice(wp, (0, ci * chunk), (d, chunk))
+        # last chunk: slice start clamps so the (d, chunk) window ends at
+        # V; columns already covered by the previous chunk are masked
+        start = jnp.minimum(ci * chunk, v - chunk)
+        wc = jax.lax.dynamic_slice(w, (0, start), (d, chunk))
         lc = jnp.dot(
             hb, wc.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )  # (M, chunk)
-        col = ci * chunk + jnp.arange(chunk)
-        lc = jnp.where(col[None, :] < v, lc, NEG_INF)
+        col = start + jnp.arange(chunk)
+        lc = jnp.where(col[None, :] >= ci * chunk, lc, NEG_INF)
         mc = jnp.max(lc, axis=1)
         m_new = jnp.maximum(m, mc)
         s = s * jnp.exp(m - m_new) + jnp.sum(
             jnp.exp(lc - m_new[:, None]), axis=1
         )
-        tloc = targets - ci * chunk
-        hit = (tloc >= 0) & (tloc < chunk)
+        tloc = targets - start
+        hit = (tloc >= 0) & (tloc < chunk) & (targets >= ci * chunk)
         tl_c = jnp.take_along_axis(
             lc, jnp.clip(tloc, 0, chunk - 1)[:, None], axis=1
         )[:, 0]
@@ -108,31 +105,40 @@ def _xent_bwd(chunk, res, g):
     h, w, targets, lse = res
     m_rows, d = h.shape
     v = w.shape[1]
-    wp, v_pad = _pad_w(w, chunk)
-    n_chunks = v_pad // chunk
+    chunk = min(chunk, v)
+    n_chunks = -(-v // chunk)
     hb = h.astype(jnp.bfloat16)
     gb = g.astype(jnp.float32)
 
-    def body(dh, ci):
-        wc = jax.lax.dynamic_slice(wp, (0, ci * chunk), (d, chunk))
+    def body(carry, ci):
+        dh, dw = carry
+        start = jnp.minimum(ci * chunk, v - chunk)
+        wc = jax.lax.dynamic_slice(w, (0, start), (d, chunk))
         lc = jnp.dot(
             hb, wc.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )
-        col = ci * chunk + jnp.arange(chunk)
+        col = start + jnp.arange(chunk)
+        valid = col[None, :] >= ci * chunk  # mask the clamped overlap
         p = jnp.exp(lc - lse[:, None])
-        p = jnp.where(col[None, :] < v, p, 0.0)
-        onehot = (col[None, :] == targets[:, None]).astype(jnp.float32)
+        p = jnp.where(valid, p, 0.0)
+        onehot = ((col[None, :] == targets[:, None]) & valid).astype(
+            jnp.float32
+        )
         dl = (p - onehot) * gb[:, None]  # (M, chunk) d_logits, never stored
         dlb = dl.astype(jnp.bfloat16)
         dh = dh + jnp.dot(
             dlb, wc.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
         )
         dwc = jnp.dot(hb.T, dlb, preferred_element_type=jnp.float32)
-        return dh, dwc
+        # accumulate in place at the column offset (read-modify-write of
+        # one chunk; overlapped columns contribute zero via the mask)
+        cur = jax.lax.dynamic_slice(dw, (0, start), (d, chunk))
+        dw = jax.lax.dynamic_update_slice(dw, cur + dwc, (0, start))
+        return (dh, dw), None
 
     dh0 = jnp.zeros((m_rows, d), jnp.float32)
-    dh, dwcs = jax.lax.scan(body, dh0, jnp.arange(n_chunks))
-    dw = jnp.transpose(dwcs, (1, 0, 2)).reshape(d, v_pad)[:, :v]
+    dw0 = jnp.zeros((d, v), jnp.float32)
+    (dh, dw), _ = jax.lax.scan(body, (dh0, dw0), jnp.arange(n_chunks))
     return dh.astype(h.dtype), dw.astype(w.dtype), None
 
 
