@@ -65,3 +65,41 @@ def test_trainer_async_checkpoint_resume(tmp_path):
         jax.tree.leaves(t2.state["params"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_crashed_partial_save_is_skipped_on_resume(tmp_path):
+    """meta.json is the commit marker: a step dir left by a crash mid-save
+    (truncated/missing files, no meta.json) must not be selected as the
+    resume point — the previous intact checkpoint is."""
+    mgr = CheckpointManager(str(tmp_path), keep=3)
+    state = {"w": jnp.arange(4.0)}
+    mgr.save(10, state, {"step": 10})
+
+    # simulate a crash while saving step 20: dir exists, state truncated,
+    # no meta.json commit marker
+    crash = tmp_path / "step_20"
+    crash.mkdir()
+    (crash / "state.npz").write_bytes(b"PK\x03\x04 truncated")
+
+    assert mgr.latest_step() == 10
+    restored, meta = mgr.restore({"w": jnp.zeros(4)})
+    assert meta["step"] == 10
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+
+    # the next completed save sweeps the crashed partial
+    mgr.save(30, state, {"step": 30})
+    assert not crash.exists()
+    assert mgr.latest_step() == 30
+
+
+def test_recommit_after_crash_clears_stale_partial(tmp_path):
+    """Re-saving the SAME step after a crash must not mix stale partial
+    files with the fresh write."""
+    mgr = CheckpointManager(str(tmp_path), keep=3)
+    crash = tmp_path / "step_5"
+    crash.mkdir()
+    (crash / "stale.bin").write_bytes(b"junk")
+    mgr.save(5, {"w": jnp.ones(2)}, {"step": 5})
+    assert not (crash / "stale.bin").exists()
+    restored, meta = mgr.restore({"w": jnp.zeros(2)})
+    assert meta["step"] == 5

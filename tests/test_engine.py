@@ -300,3 +300,43 @@ def test_dual_agreement_handles_empty_rows():
     hit = [SearchResult(0, 0.9)]
     assert dual_agreement([hit], [[]]) == [None]
     assert dual_agreement([[]], [hit]) == [None]
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+def test_store_load_empty_across_mesh_sizes(rng, tmp_path, dtype):
+    """An empty saved store must load onto a different mesh size without
+    crashing (int8_global has no calibrated scale yet — the reshard
+    branch used to evaluate `codes * None`)."""
+    mesh2 = create_mesh({SHARD_AXIS: 2}, devices=jax.devices()[:2])
+    store = VectorStore(512, 64, mesh=mesh2, dtype=dtype, tile_n=128)
+    path = str(tmp_path / "idx")
+    store.save(path)
+    mesh4 = create_mesh({SHARD_AXIS: 4}, devices=jax.devices()[:4])
+    loaded = VectorStore.load(path, mesh=mesh4)
+    assert loaded.size == 0
+    # and it must be usable: add then query
+    vecs = np.asarray(rng.standard_normal((32, 64)), np.float32)
+    loaded.add(vecs)
+    s, i = loaded.topk(vecs[:8], k=3)
+    assert np.asarray(i).shape == (8, 3)
+
+
+def test_store_add_bucketed_rows_do_not_corrupt(rng):
+    """Streaming adds with varying batch sizes (the pow-2 row bucketing
+    that bounds _write_block recompiles) must leave the index exactly
+    equal to a one-shot build."""
+    mesh = create_mesh({SHARD_AXIS: 2}, devices=jax.devices()[:2])
+    a = VectorStore(1024, 64, mesh=mesh, tile_n=128)
+    b = VectorStore(1024, 64, mesh=mesh, tile_n=128)
+    vecs = np.asarray(rng.standard_normal((200, 64)), np.float32)
+    a.add(vecs)
+    off = 0
+    for sz in (1, 7, 32, 3, 64, 93):  # varying sizes incl. partial tails
+        b.add(vecs[off : off + sz])
+        off += sz
+    assert off == 200 and a.size == b.size == 200
+    q = vecs[:16]
+    sa, ia = a.topk(q, k=5)
+    sb, ib = b.topk(q, k=5)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-6)

@@ -119,3 +119,74 @@ def test_dispatch_beam_vs_greedy(causal):
     assert greedy.shape == beam.shape == (2, 18)
     # beam's sequence log-prob can only match or beat greedy's (asserted
     # properly in test_models.py::test_beam_search_beats_greedy)
+
+
+def test_beam_min_new_tokens_suppresses_eos(causal):
+    """min_new_tokens in beam search: no beam may emit eos before the
+    minimum (the flag used to be silently ignored on beam paths)."""
+    cfg, params = causal
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, 260, (2, 8)).astype(np.int32)
+    mask = np.ones_like(ids)
+    out = gen_mod.beam_search(
+        params, cfg, ids, mask, max_new_tokens=6, num_beams=3,
+        eos_id=tok.eos_id, min_new_tokens=4,
+    )
+    new = np.asarray(out)[:, 8:]
+    assert not (new[:, :4] == tok.eos_id).any()
+
+
+def test_beam_repetition_penalty_changes_output(causal):
+    """A huge repetition penalty must alter beam output on a model whose
+    unpenalized beams repeat (tiny untrained models loop immediately)."""
+    cfg, params = causal
+    rng = np.random.default_rng(2)
+    ids = rng.integers(4, 260, (2, 8)).astype(np.int32)
+    mask = np.ones_like(ids)
+    plain = np.asarray(gen_mod.beam_search(
+        params, cfg, ids, mask, max_new_tokens=8, num_beams=2,
+    ))[:, 8:]
+    pen = np.asarray(gen_mod.beam_search(
+        params, cfg, ids, mask, max_new_tokens=8, num_beams=2,
+        repetition_penalty=8.0,
+    ))[:, 8:]
+    # the penalized run may not emit any token twice: every generated id
+    # (absent eos/dup padding) must be unique per row and unseen in the
+    # prompt — the direct HF-semantics contract, stronger than "differs"
+    for r in range(2):
+        toks = [t for t in pen[r]]
+        assert len(set(toks)) == len(toks), f"row {r} repeated under penalty"
+        assert not set(toks) & set(ids[r].tolist())
+    assert not np.array_equal(plain, pen)
+
+
+def test_seq2seq_sampled_respects_penalty_and_min_new():
+    cfg = tiny_test("seq2seq")
+    params = init_model_params(cfg, jax.random.key(0))
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(3)
+    ids = rng.integers(4, 260, (2, 10)).astype(np.int32)
+    mask = np.ones_like(ids)
+    out = gen_mod.generate_seq2seq(
+        params, cfg, ids, mask, max_new_tokens=8, temperature=0.0,
+        repetition_penalty=8.0, min_new_tokens=5, eos_id=tok.eos_id,
+        bos_id=0,
+    )
+    out = np.asarray(out)
+    assert not (out[:, :5] == tok.eos_id).any()
+    for r in range(2):
+        row = [t for t in out[r] if t != tok.eos_id]
+        assert len(set(row)) == len(row), f"row {r} repeated under penalty"
+
+
+def test_ngram_on_beam_raises_clearly(causal):
+    cfg, params = causal
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(4)
+    ids = rng.integers(4, 260, (1, 6)).astype(np.int32)
+    g = gen_mod.GenerationConfig(num_beams=2, no_repeat_ngram_size=3)
+    with pytest.raises(ValueError, match="no_repeat_ngram_size"):
+        gen_mod.generate_with_config(
+            params, cfg, ids, np.ones_like(ids), g, eos_id=tok.eos_id
+        )

@@ -237,3 +237,16 @@ def test_bm25_incremental_add_matches_fresh_index():
     for q in ("việt nam", "nổi tiếng", "thủ đô", "di sản", "phở bánh mì"):
         assert inc.scores(q) == pytest.approx(fresh.scores(q))
         assert inc.search(q, k=5) == pytest.approx(fresh.search(q, k=5))
+
+
+def test_hybrid_large_k_respects_kernel_cap():
+    """Hybrid candidate fan-out (4*k) must clamp to the fast-kernel lane
+    cap (128) instead of crashing every search for k > 32."""
+    docs = [f"tài liệu {i} về chủ đề {i % 9}" for i in range(200)]
+    r = _build(docs, lexical=None)
+    bm = BM25Index()
+    bm.add(list(range(len(docs))), docs)
+    r.lexical = bm
+    rows = r.search(["chủ đề"], k=40)
+    assert len(rows[0]) == 40
+    assert len({x.id for x in rows[0]}) == 40

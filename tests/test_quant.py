@@ -39,3 +39,18 @@ def test_zero_row_safe():
     q, s = quantize_int8(x)
     assert np.isfinite(np.asarray(s)).all()
     assert (np.asarray(q) == 0).all()
+
+
+def test_quantize_int8_ragged_rows_matches_reference(rng):
+    """Row counts that aren't tile multiples are padded+sliced — the old
+    tile_rows=1 fallback violated Mosaic's block rules on real TPU."""
+    from vietnamese_qa_system_tpu.ops import quantize_int8
+    from vietnamese_qa_system_tpu.ops.quant import quantize_int8_reference
+
+    for n in (1, 7, 100, 257, 1000):
+        x = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+        q, s = quantize_int8(x)
+        q_ref, s_ref = quantize_int8_reference(x)
+        assert q.shape == (n, 64) and s.shape == (n,)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)

@@ -356,3 +356,13 @@ def test_oversized_content_length_is_413(serving):
         )
         reply = s.recv(4096).decode()
     assert "413" in reply.split("\r\n")[0]
+
+
+def test_serving_max_k_over_kernel_cap_fails_at_startup():
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(256, cfg.d_model, tile_n=128)
+    retr = Retriever(params, cfg, tok, store, max_len=32, query_batch=8)
+    with pytest.raises(ValueError, match="128"):
+        ServingApp(retr, k=10, max_k=200)

@@ -326,3 +326,45 @@ def test_dynamic_valid_n_partial_large_tile(rng):
     assert int(jnp.max(i)) < valid
     rs, ri = matmul_topk_reference(q, cb, k, valid_n=valid)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_int8_exact_mode_is_a_true_oracle(rng):
+    """mode="exact" on an int8 corpus must return the TRUE top-k under
+    the quantized scoring function (it used to silently run the bucketed
+    fast kernel).  Verified against a numpy double-precision recompute of
+    the same int8 arithmetic."""
+    b, n, d, k = 8, 1024, 128, 10
+    q, c = _make(rng, b, n, d)
+    cq, cs = quantize_int8(c)
+    s, i = matmul_topk(q, cq, k, corpus_scales=cs, mode="exact", tile_n=256)
+
+    # independent recompute: same per-row query quantization, int32 dot
+    qf = np.asarray(q, np.float64)
+    qscale = np.maximum(np.abs(qf).max(axis=1, keepdims=True), 1e-12) / 127.0
+    q_i8 = np.clip(np.round(qf / qscale), -127, 127)
+    raw = q_i8 @ np.asarray(cq, np.float64).T  # exact integers in f64
+    full = raw * np.asarray(cs, np.float64)[None, :] * qscale
+    i_np = np.argsort(-full, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(i), i_np)
+
+    # and with a dynamic valid_n masking the tail
+    s2, i2 = matmul_topk(
+        q, cq, k, corpus_scales=cs, mode="exact", valid_n=700, tile_n=256
+    )
+    i2_np = np.argsort(-full[:, :700], axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(i2), i2_np)
+
+
+def test_int8_global_exact_mode(rng):
+    from vietnamese_qa_system_tpu.ops.quant import quantize_int8_global
+
+    b, n, d, k = 4, 512, 64, 5
+    q, c = _make(rng, b, n, d)
+    cq, gscale = quantize_int8_global(c)
+    s, i = matmul_topk(q, cq, k, corpus_scales=gscale, mode="exact")
+    qf = np.asarray(q, np.float64)
+    qscale = np.maximum(np.abs(qf).max(axis=1, keepdims=True), 1e-12) / 127.0
+    q_i8 = np.clip(np.round(qf / qscale), -127, 127)
+    full = (q_i8 @ np.asarray(cq, np.float64).T) * float(gscale) * qscale
+    i_np = np.argsort(-full, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(i), i_np)

@@ -125,6 +125,13 @@ class Retriever:
         from .lexical import fuse_scores
 
         m = min(max(4 * k, 20), self.store.size)
+        if self.mode != "exact":
+            # fast/turbo kernels cap k at one vector lane (ops/topk.py
+            # LANES=128); an uncapped 4*k candidate request would raise
+            # inside matmul_topk for every search with k > 32
+            from ..ops.topk import LANES
+
+            m = min(m, LANES)
         results: list[list[SearchResult]] = []
         bs = self.query_batch
         dense_s = np.zeros((len(qvecs), m), np.float32)

@@ -157,6 +157,12 @@ class ServingApp:
         # request — distinct per-request k values would each compile a
         # fresh top-k program (store._query_cache is keyed on k)
         self.max_k = max(k, max_k or k)
+        if getattr(retriever, "mode", "fast") != "exact" and self.max_k > 128:
+            raise ValueError(
+                f"max_k={self.max_k} exceeds the fast/turbo kernel cap of "
+                f"128 (ops/topk.py LANES); use mode='exact' or a smaller k "
+                f"— failing at startup beats a 500 on every request"
+            )
         self.timeout_s = timeout_s
         self.max_ingest_texts = max_ingest_texts
         # set once an ingest mutates the in-memory index, so the owner

@@ -133,6 +133,14 @@ class VectorStore:
         combined = np.concatenate([self._tail, new], axis=0)
         n_total = combined.shape[0]
         rows = -(-n_total // s)
+        # bucket the written row count to a power of two (capped at the
+        # remaining capacity): _write_block/_write_scales compile per
+        # distinct block SHAPE, and streaming ingest with naturally
+        # varying batch sizes would otherwise pay a fresh (remote-tunnel)
+        # compile per new size, serialized under the serving index lock.
+        # Rows past the data are zeros written into not-yet-used capacity.
+        cap_rows = self.cap_per_shard - row_base
+        rows = min(1 << (rows - 1).bit_length(), cap_rows)
         padded = np.zeros((rows * s, self.dim), np.float32)
         padded[:n_total] = combined
         block = jnp.asarray(padded.reshape(rows, s, self.dim).transpose(1, 0, 2))
@@ -289,6 +297,11 @@ class VectorStore:
         vecs = np.load(os.path.join(path, "vectors.npy"))
         # reshard onto the (possibly different) current mesh
         flat = vecs.reshape(meta["n_shards"], -1, meta["dim"])
+        if meta["n_shards"] != store.n_shards and meta["size"] == 0:
+            # empty store: nothing to re-add (and int8_global has no
+            # calibrated scale yet — `flat * None` would TypeError below)
+            store.global_scale = meta.get("global_scale")
+            return store
         if meta["n_shards"] != store.n_shards:
             # Round-robin ids are mesh-size dependent; re-add in id order.
             # vectors.npy holds *quantized codes* for the int8 dtypes, so

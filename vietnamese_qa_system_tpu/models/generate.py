@@ -56,6 +56,17 @@ def generate_with_config(
 
     Returns (B, T+max_new) for causal (prompt included) and
     (B, max_new) for seq2seq — matching generate()/generate_seq2seq()."""
+    if gen.no_repeat_ngram_size > 0 and (
+        gen.num_beams > 1 or cfg.arch == "seq2seq"
+    ):
+        # the n-gram ban needs the generated-sequence buffer the causal
+        # sampled loop carries; silently ignoring the flag would hide
+        # repeated n-grams from a caller who asked to ban them
+        raise ValueError(
+            "no_repeat_ngram_size is only supported on the causal "
+            "sampled/greedy path (num_beams=1); got "
+            f"num_beams={gen.num_beams}, arch={cfg.arch!r}"
+        )
     if cfg.arch == "seq2seq":
         if gen.num_beams > 1:
             return beam_search_seq2seq(
@@ -65,6 +76,8 @@ def generate_with_config(
                 eos_id=eos_id,
                 bos_id=bos_id,
                 length_penalty=gen.length_penalty,
+                repetition_penalty=gen.repetition_penalty,
+                min_new_tokens=gen.min_new_tokens,
             )
         return generate_seq2seq(
             params, cfg, ids, attn_mask,
@@ -72,6 +85,8 @@ def generate_with_config(
             temperature=gen.temperature,
             top_k=gen.top_k,
             top_p=gen.top_p,
+            repetition_penalty=gen.repetition_penalty,
+            min_new_tokens=gen.min_new_tokens,
             eos_id=eos_id,
             bos_id=bos_id,
             key=jax.random.key(gen.seed),
@@ -83,6 +98,8 @@ def generate_with_config(
             num_beams=gen.num_beams,
             eos_id=eos_id,
             length_penalty=gen.length_penalty,
+            repetition_penalty=gen.repetition_penalty,
+            min_new_tokens=gen.min_new_tokens,
         )
     return generate(
         params, cfg, ids, attn_mask,
@@ -303,7 +320,8 @@ def generate(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p"
+        "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p",
+        "repetition_penalty", "min_new_tokens",
     ),
 )
 def generate_seq2seq(
@@ -316,6 +334,8 @@ def generate_seq2seq(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    min_new_tokens: int = 0,
     eos_id: int | None = None,
     bos_id: int = 0,
     key=None,
@@ -345,7 +365,7 @@ def generate_seq2seq(
         )
 
     def step(carry, step_key):
-        cache, tok, done, idx = carry
+        cache, tok, done, idx, seen = carry
         pos = jnp.broadcast_to(idx[None, None], (b, 1))
         dec_mask = (jj <= idx).astype(jnp.bool_)  # (1, 1, total) broadcast
         logits, new_cache = s2s.decode(
@@ -359,23 +379,53 @@ def generate_seq2seq(
             cache=cache,
             cache_index=idx,
         )
-        nxt = sample(logits[:, 0], step_key)
+        lg = logits[:, 0].astype(jnp.float32)
+        if repetition_penalty != 1.0:
+            lg = jnp.where(
+                seen,
+                jnp.where(lg > 0, lg / repetition_penalty,
+                          lg * repetition_penalty),
+                lg,
+            )
+        if eos_id is not None and min_new_tokens > 0:
+            lg = jnp.where(
+                (idx < min_new_tokens)
+                & (jnp.arange(lg.shape[-1])[None, :] == eos_id),
+                -1e30,
+                lg,
+            )
+        nxt = sample(lg, step_key)
         if eos_id is not None:
             nxt = jnp.where(done, eos_id, nxt)
             done = done | (nxt == eos_id)
-        return (new_cache, nxt, done, idx + 1), nxt
+        if repetition_penalty != 1.0:
+            seen = seen | (
+                jnp.arange(seen.shape[-1])[None, :] == nxt[:, None]
+            )
+        return (new_cache, nxt, done, idx + 1, seen), nxt
 
     tok0 = jnp.full((b,), bos_id, jnp.int32)
     done0 = jnp.zeros((b,), jnp.bool_)
+    # token-seen table for the repetition penalty (decoder stream only —
+    # the encoder input is not part of the generated id stream); a (B, 1)
+    # placeholder when the penalty is off so the carry shape stays static
+    if repetition_penalty != 1.0:
+        seen0 = jnp.arange(cfg.vocab_size)[None, :] == bos_id
+        seen0 = jnp.broadcast_to(seen0, (b, cfg.vocab_size))
+    else:
+        seen0 = jnp.zeros((b, 1), jnp.bool_)
     keys = jax.random.split(key, max_new_tokens)
-    _, toks = jax.lax.scan(step, (cache, tok0, done0, jnp.int32(0)), keys)
+    _, toks = jax.lax.scan(
+        step, (cache, tok0, done0, jnp.int32(0), seen0), keys
+    )
     return toks.T
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_id",
-                     "bos_id", "length_penalty"),
+                     "bos_id", "length_penalty", "repetition_penalty",
+                     "min_new_tokens"),
 )
 def beam_search_seq2seq(
     params,
@@ -388,6 +438,8 @@ def beam_search_seq2seq(
     eos_id: int | None = None,
     bos_id: int = 0,
     length_penalty: float = 1.0,
+    repetition_penalty: float = 1.0,
+    min_new_tokens: int = 0,
 ):
     """Encoder-decoder beam search (num_beams capability of the
     reference's GenerationConfig on the seq2seq eval path,
@@ -435,8 +487,24 @@ def beam_search_seq2seq(
     done0 = jnp.zeros((b, w), jnp.bool_)
 
     def step(carry, step_idx):
-        cache, last_logits, scores, toks, done = carry
-        logp = jax.nn.log_softmax(last_logits, axis=-1).reshape(b, w, v)
+        cache, last_logits, scores, toks, done, seen = carry
+        ll = last_logits
+        if repetition_penalty != 1.0:  # HF semantics: on logits, pre-softmax
+            flat_seen = seen.reshape(b * w, v)
+            ll = jnp.where(
+                flat_seen,
+                jnp.where(ll > 0, ll / repetition_penalty,
+                          ll * repetition_penalty),
+                ll,
+            )
+        if eos_id is not None and min_new_tokens > 0:
+            ll = jnp.where(
+                (step_idx < min_new_tokens)
+                & (jnp.arange(v)[None, :] == eos_id),
+                neg,
+                ll,
+            )
+        logp = jax.nn.log_softmax(ll, axis=-1).reshape(b, w, v)
         if eos_id is not None:
             eos_onehot = jnp.arange(v)[None, None, :] == eos_id
             logp = jnp.where(
@@ -451,15 +519,25 @@ def beam_search_seq2seq(
         new_done = done[batch_idx, parent]
         if eos_id is not None:
             new_done = new_done | (token == eos_id)
+        if repetition_penalty != 1.0:  # reorder by parent, then mark token
+            seen = seen[batch_idx, parent] | (
+                jnp.arange(v)[None, None, :] == token[:, :, None]
+            )
         flat_parent = (batch_idx * w + parent).reshape(b * w)
         cache = _reorder_cache(cache, flat_parent)
         logits, cache = decode_step(
             cache, token.reshape(b * w), step_idx + 1
         )
-        return (cache, logits, top_s, toks, new_done), None
+        return (cache, logits, top_s, toks, new_done, seen), None
 
-    (cache, _, scores, toks, done), _ = jax.lax.scan(
-        step, (cache, last_logits, scores0, toks0, done0),
+    if repetition_penalty != 1.0:
+        seen0 = jnp.broadcast_to(
+            jnp.arange(v)[None, None, :] == bos_id, (b, w, v)
+        )
+    else:  # (B, W, 1) placeholder keeps the carry static when off
+        seen0 = jnp.zeros((b, w, 1), jnp.bool_)
+    (cache, _, scores, toks, done, _), _ = jax.lax.scan(
+        step, (cache, last_logits, scores0, toks0, done0, seen0),
         jnp.arange(max_new_tokens),
     )
     if eos_id is not None:
@@ -480,7 +558,8 @@ def beam_search_seq2seq(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_id",
-                     "length_penalty"),
+                     "length_penalty", "repetition_penalty",
+                     "min_new_tokens"),
 )
 def beam_search(
     params,
@@ -492,6 +571,8 @@ def beam_search(
     num_beams: int = 4,
     eos_id: int | None = None,
     length_penalty: float = 1.0,
+    repetition_penalty: float = 1.0,
+    min_new_tokens: int = 0,
 ):
     """Batched beam search with a KV cache (num_beams capability of the
     reference's GenerationConfig, trainer.py:390-413).
@@ -507,28 +588,33 @@ def beam_search(
     total = t + max_new_tokens
     neg = -1e30
 
-    # expand prompts to (B*W, T)
-    ids_w = jnp.repeat(ids, w, axis=0)
-    mask_w = jnp.repeat(attn_mask, w, axis=0)
-    positions = jnp.maximum(jnp.cumsum(mask_w, axis=1) - 1, 0)
-    n_prompt = jnp.sum(mask_w, axis=1).reshape(b, w)
+    # Prefill ONCE at batch B (all W beams of a row share the prompt —
+    # prefilling at B*W would recompute identical logits/KV W times, the
+    # dominant cost for long prompts), then expand the cache and logits
+    # to (B*W) by a repeat-gather.  beam_search_seq2seq encodes once the
+    # same way.
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
+    n_prompt = jnp.tile(jnp.sum(attn_mask, axis=1)[:, None], (1, w))
 
     cache = _make_cache(
-        cfg, b * w, total, cfg.n_layers,
+        cfg, b, total, cfg.n_layers,
         stacked=causal_lm.blocks_stacked(params),
     )
     j = jnp.arange(total)[None, None, :]
     q_pos = jnp.arange(t)[None, :, None]
-    key_valid = jnp.concatenate(
-        [mask_w.astype(jnp.bool_), jnp.zeros((b * w, max_new_tokens), jnp.bool_)],
+    key_valid_b = jnp.concatenate(
+        [attn_mask.astype(jnp.bool_), jnp.zeros((b, max_new_tokens), jnp.bool_)],
         axis=1,
     )
-    prefill_mask = (j <= q_pos) & key_valid[:, None, :]
+    prefill_mask = (j <= q_pos) & key_valid_b[:, None, :]
     logits, cache = causal_lm.forward(
-        params, cfg, ids_w, prefill_mask,
+        params, cfg, ids, prefill_mask,
         positions=positions, cache=cache, cache_index=0,
     )
-    last_logits = logits[:, -1].astype(jnp.float32)  # (B*W, V)
+    expand = jnp.repeat(jnp.arange(b), w)  # row i -> beams i*w..i*w+w-1
+    cache = _reorder_cache(cache, expand)
+    key_valid = key_valid_b[expand]
+    last_logits = logits[:, -1].astype(jnp.float32)[expand]  # (B*W, V)
     v = last_logits.shape[-1]
 
     # beam 0 starts live, the rest start at -inf so the first expansion
@@ -541,8 +627,24 @@ def beam_search(
     done0 = jnp.zeros((b, w), jnp.bool_)
 
     def step(carry, step_idx):
-        cache, last_logits, scores, toks, done = carry
-        logp = jax.nn.log_softmax(last_logits, axis=-1).reshape(b, w, v)
+        cache, last_logits, scores, toks, done, seen = carry
+        ll = last_logits
+        if repetition_penalty != 1.0:  # HF semantics: on logits, pre-softmax
+            flat_seen = seen.reshape(b * w, v)
+            ll = jnp.where(
+                flat_seen,
+                jnp.where(ll > 0, ll / repetition_penalty,
+                          ll * repetition_penalty),
+                ll,
+            )
+        if eos_id is not None and min_new_tokens > 0:
+            ll = jnp.where(
+                (step_idx < min_new_tokens)
+                & (jnp.arange(v)[None, :] == eos_id),
+                neg,
+                ll,
+            )
+        logp = jax.nn.log_softmax(ll, axis=-1).reshape(b, w, v)
         if eos_id is not None:
             # finished beams may only "continue" with eos at no cost
             eos_onehot = (
@@ -564,6 +666,10 @@ def beam_search(
         new_done = done[batch_idx, parent]
         if eos_id is not None:
             new_done = new_done | (token == eos_id)
+        if repetition_penalty != 1.0:  # reorder by parent, then mark token
+            seen = seen[batch_idx, parent] | (
+                jnp.arange(v)[None, None, :] == token[:, :, None]
+            )
 
         # reorder the KV cache: rows are (B*W); gather along beams
         flat_parent = (batch_idx * w + parent).reshape(b * w)
@@ -580,10 +686,20 @@ def beam_search(
             params, cfg, token.reshape(b * w, 1), step_mask,
             positions=pos, cache=cache, cache_index=cache_slot,
         )
-        return (cache, logits[:, 0].astype(jnp.float32), top_s, toks, new_done), None
+        return (cache, logits[:, 0].astype(jnp.float32), top_s, toks,
+                new_done, seen), None
 
-    (cache, _, scores, toks, done), _ = jax.lax.scan(
-        step, (cache, last_logits, beam_scores0, toks0, done0),
+    if repetition_penalty != 1.0:
+        # prompt tokens count as seen (HF applies the penalty over the
+        # full input_ids stream for causal models — same as generate())
+        seen0_b = jnp.zeros((b, v), jnp.bool_).at[
+            jnp.arange(b)[:, None], ids
+        ].max(attn_mask.astype(jnp.bool_))
+        seen0 = jnp.broadcast_to(seen0_b[:, None, :], (b, w, v))
+    else:  # (B, W, 1) placeholder keeps the carry static when off
+        seen0 = jnp.zeros((b, w, 1), jnp.bool_)
+    (cache, _, scores, toks, done, _), _ = jax.lax.scan(
+        step, (cache, last_logits, beam_scores0, toks0, done0, seen0),
         jnp.arange(max_new_tokens),
     )
 

@@ -62,15 +62,22 @@ def quantize_int8(x, *, tile_rows: int = 256, interpret: bool | None = None):
     """Quantize (N, D) floats to int8 with per-row scales.
 
     Returns ``(values (N, D) int8, scales (N,) f32)``.
+
+    Ragged row counts are zero-PADDED to the tile multiple and sliced
+    back (per-row scheme: pad rows can't affect real rows).  The old
+    tile_rows=1 fallback violated Mosaic's block rules on real TPU (row
+    block must be divisible by 8 or span the array) — it only ever ran
+    in CPU interpret mode.
     """
     n, d = x.shape
-    tile_rows = min(tile_rows, n)
-    if n % tile_rows:
-        tile_rows = 1  # fallback for ragged row counts (still correct)
+    tile_rows = min(tile_rows, -(-n // 8) * 8)
+    n_pad = -(-n // tile_rows) * tile_rows
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
     q, scale = _quantize_int8(
         x, tile_rows=tile_rows, interpret=_should_interpret(interpret)
     )
-    return q, scale.reshape(n)
+    return q[:n], scale.reshape(n_pad)[:n]
 
 
 def dequantize_int8(q, scales, dtype=jnp.float32):

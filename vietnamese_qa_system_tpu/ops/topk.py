@@ -700,6 +700,26 @@ def matmul_topk(
         qscale = jnp.maximum(qmax, 1e-12) / 127.0
         q_i8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
         cs = jnp.asarray(corpus_scales, jnp.float32)
+        if mode == "exact":
+            # Exact oracle for quantized scoring, via XLA rather than a
+            # silently-downgraded fast kernel (the int8 Pallas kernels
+            # implement only the bucketed fast/turbo selections): the SAME
+            # query quantization feeds an int8×int8→int32 full-score
+            # matmul — exact integers, and the i32→f32 cast is lossless
+            # below 2^24 (a 768-dim dot of ±127 maxes at ~1.2e7) — then
+            # lax.top_k (same lowest-index tie rule).  Materializes (B, N)
+            # scores; this is the recall-gate path, not the serving path.
+            raw = jax.lax.dot_general(
+                q_i8, corpus,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s_full = raw * (cs if cs.ndim == 0 else cs[None, :])
+            s_full = s_full * qscale
+            row = jnp.arange(n_pad)
+            s_full = jnp.where(row[None, :] < valid_n, s_full, -jnp.inf)
+            s, i = jax.lax.top_k(s_full, k)
+            return s[:b], i[:b].astype(jnp.int32)
         if cs.ndim == 0:
             # global scale (quantize_int8_global): raw int32 scores in the
             # kernel, all scaling applied here on the tiny (B, k) output

@@ -225,10 +225,16 @@ class CheckpointManager:
         os.makedirs(directory, exist_ok=True)
 
     def _step_dirs(self) -> list[tuple[int, str]]:
+        """Complete checkpoints only: meta.json is the COMMIT MARKER —
+        written last in save(), so a directory without it is a crashed
+        partial write (truncated state.npz / missing shard files) that
+        resume must skip, not crash on."""
         out = []
         for name in os.listdir(self.directory):
             m = re.fullmatch(r"step_(\d+)", name)
-            if m:
+            if m and os.path.exists(
+                os.path.join(self.directory, name, "meta.json")
+            ):
                 out.append((int(m.group(1)), os.path.join(self.directory, name)))
         return sorted(out)
 
@@ -239,6 +245,14 @@ class CheckpointManager:
 
     def save(self, step: int, state, metadata: Optional[dict] = None) -> str:
         path = os.path.join(self.directory, f"step_{step}")
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "meta.json")
+        ):
+            # leftover of a crashed save of this same step: clear it so
+            # stale partial files can't mix with the fresh write
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         if self.sharded:
             if self.host_of is None:
@@ -251,9 +265,21 @@ class CheckpointManager:
                     save_pytree_sharded(
                         path, state, host_id=h, host_of=self.host_of
                     )
-        else:
+        elif jax.process_index() == 0:
+            # non-sharded multi-host: exactly ONE writer — concurrent
+            # np.savez of the same path from N hosts interleaves into a
+            # corrupt zip
             save_pytree(os.path.join(path, "state.npz"), state)
+        if jax.process_count() > 1:
+            # every host's shard files must be on disk before the commit
+            # marker appears
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_save_{step}")
         if jax.process_index() == 0:
+            # COMMIT MARKER — written last; _step_dirs ignores dirs
+            # without it, so a crash anywhere above leaves the previous
+            # checkpoint as the resume point instead of a broken one
             meta: dict[str, Any] = {"step": step}
             if metadata:
                 meta.update(metadata)
@@ -310,8 +336,16 @@ class CheckpointManager:
             self._pending = None
 
     def _gc(self) -> None:
+        import shutil
+
         dirs = self._step_dirs()
         for _, path in dirs[: max(0, len(dirs) - self.keep)]:
-            import shutil
-
             shutil.rmtree(path, ignore_errors=True)
+        # sweep crashed partials (no commit marker): runs only at the end
+        # of a completed save, so no in-flight write can be swept
+        complete = {p for _, p in dirs}
+        for name in os.listdir(self.directory):
+            if re.fullmatch(r"step_(\d+)", name):
+                p = os.path.join(self.directory, name)
+                if p not in complete:
+                    shutil.rmtree(p, ignore_errors=True)

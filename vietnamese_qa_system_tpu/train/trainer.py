@@ -417,7 +417,6 @@ class Trainer:
         self,
         train_batches: Callable[[], Iterable[dict]],
         *,
-        eval_batches: Optional[Callable[[], Iterable[dict]]] = None,
         eval_fn: Optional[Callable[[Any, int], dict]] = None,
         max_steps: Optional[int] = None,
     ):
