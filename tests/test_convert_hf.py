@@ -796,3 +796,57 @@ def test_bloom_export_roundtrip_and_auto_dispatch(tmp_path):
         np.testing.assert_allclose(
             ours, model(ids).logits.numpy(), atol=0.05, rtol=0.05
         )
+
+
+def test_hf_tokenizer_special_token_id_zero(tmp_path):
+    """A legitimate special token at id 0 (pythia/GPT-NeoX put
+    <|endoftext|> there) must survive HFTokenizer's id resolution — a
+    falsy-zero `or` fallback would silently replace it with pad."""
+    from vietnamese_qa_system_tpu.data.tokenizer import HFTokenizer
+
+    vocab = ["<|endoftext|>", "[PAD]", "xin", "chao"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    tok_hf = transformers.BertTokenizerFast(
+        str(vocab_file),
+        eos_token="<|endoftext|>",
+        bos_token="<|endoftext|>",
+        pad_token="[PAD]",
+        unk_token="[PAD]",
+        cls_token="[PAD]",
+        sep_token="[PAD]",
+        mask_token="[PAD]",
+    )
+    tok_dir = tmp_path / "tok0"
+    tok_hf.save_pretrained(str(tok_dir))
+    tok = HFTokenizer(str(tok_dir))
+    assert tok.eos_id == 0
+    assert tok.bos_id == 0
+    assert tok.pad_id == 1
+
+
+def test_export_t5_special_token_ids(tmp_path):
+    """export_t5 must write the TRAINING tokenizer's special-token ids into
+    the HF config (ByteTokenizer: eos=2) — a hardcoded HF-T5 eos=1 makes HF
+    generate() stop on the wrong token for natively trained models."""
+    import json
+    import jax
+
+    from vietnamese_qa_system_tpu.models import ModelConfig
+    from vietnamese_qa_system_tpu.models.convert_hf import export_t5
+    from vietnamese_qa_system_tpu.train.trainer import init_model_params
+
+    cfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=64, d_model=32,
+        n_heads=2, d_kv=8, n_layers=1, n_decoder_layers=1, d_ff=64,
+        mlp_gated=True, tie_embeddings=False, relative_attention_buckets=8,
+        relative_attention_max_distance=16, attention_bias=False,
+    )
+    params = init_model_params(cfg, jax.random.key(0))
+    out = tmp_path / "export"
+    export_t5(params, cfg, str(out), pad_token_id=0, eos_token_id=2)
+    with open(out / "config.json") as f:
+        hf_cfg = json.load(f)
+    assert hf_cfg["eos_token_id"] == 2
+    assert hf_cfg["pad_token_id"] == 0
+    assert hf_cfg["decoder_start_token_id"] == 0

@@ -209,6 +209,41 @@ def test_seq2seq_collation(jsonl_files):
     assert (batch["labels"] != IGNORE_INDEX).any()
 
 
+def test_seq2seq_long_labels_use_target_ladder(jsonl_files):
+    """Labels get their own bucket ladder (target_max_len): with
+    target_max_len > max_len a long target must widen the label array,
+    not overflow the input ladder's top bucket."""
+    f1, _ = jsonl_files
+    dl = QADataLoader(
+        ByteTokenizer(), task="seq2seq", max_len=64, target_max_len=256,
+        batch_size=2,
+    )
+    long_answer = "dài " * 50  # ~200 bytes > max_len=64
+    examples = [
+        {"input_ids": dl.tok.encode("câu hỏi"), "labels": dl.tok.encode(long_answer)},
+        {"input_ids": dl.tok.encode("hỏi"), "labels": dl.tok.encode("ngắn")},
+    ]
+    batch = next(dl.batches(examples, shuffle=False))
+    assert batch["input_ids"].shape[1] <= 64
+    assert batch["labels"].shape[1] == 256
+    assert (batch["labels"][0] != IGNORE_INDEX).sum() == len(examples[0]["labels"])
+
+
+def test_causal_overlong_target_truncates_not_negative_slice():
+    """skip_too_long=False with a target longer than max_len must cap the
+    total at max_len (prompt dropped first, then the target tail) — the
+    old `prompt[:max_len - len(target)]` slice went negative and produced
+    sequences LONGER than max_len."""
+    tok = ByteTokenizer()
+    dl = QADataLoader(tok, max_len=32, batch_size=1, skip_too_long=False)
+    ex = dl._tokenize({"prompt": "p" * 20, "target": "t" * 64})
+    assert ex is not None
+    assert len(ex["input_ids"]) == 32
+    assert len(ex["labels"]) == 32
+    # completion-only masking: every kept token is target, none is prompt
+    assert all(l != IGNORE_INDEX for l in ex["labels"])
+
+
 def test_epoch_shuffle_deterministic(jsonl_files):
     f1, _ = jsonl_files
     dl = QADataLoader(ByteTokenizer(), max_len=256, batch_size=4)

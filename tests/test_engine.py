@@ -180,6 +180,26 @@ def test_e2e_ingest_query_recall(rng):
     assert results[0][0].score > 0.99
 
 
+def test_search_large_k_falls_back_to_exact(rng):
+    """k above the fast kernel's lane cap (ops/topk.py LANES=128) must fall
+    back to the exact full-score path instead of raising inside
+    matmul_topk (the hybrid path had this guard; the dense path lacked it)."""
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(512, cfg.d_model, tile_n=128)
+    docstore = DocStore()
+    pipe = IngestPipeline(params, cfg, tok, store, docstore,
+                          batch_size=32, max_len=16)
+    pipe.add_texts([f"tài liệu {i}" for i in range(300)])
+    retr = Retriever(params, cfg, tok, store, docstore,
+                     max_len=16, query_batch=4)
+    rows = retr.search(["tài liệu 7"], k=200, fetch_docs=False)
+    assert len(rows[0]) == 200
+    ids = [r.id for r in rows[0]]
+    assert len(set(ids)) == 200  # distinct, real candidates
+
+
 def test_dual_agreement_threshold():
     a = [[SearchResult(1, 0.3, "d")], [SearchResult(2, 0.1)]]
     b = [[SearchResult(1, 0.2, "d")], [SearchResult(3, 0.9)]]

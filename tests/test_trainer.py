@@ -197,6 +197,65 @@ def test_resume_mid_epoch(tmp_path, sized):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_resume_epoch_aware_factory(tmp_path):
+    """A factory taking the epoch index sees the SAME per-epoch shuffle on
+    a resumed run as the original run saw: the trainer passes the epoch
+    explicitly, so neither the resume len() probe nor fully-skipped epochs
+    can drift the order (a call-counting closure drifts on both)."""
+    vocab = tiny_test("causal").vocab_size
+    rng = np.random.default_rng(0)
+    data = rng.integers(4, vocab, (3, 8, 16)).astype(np.int32)
+
+    def make_factory(trained_log):
+        def factory(epoch):
+            # per-epoch deterministic permutation — resume must reproduce it
+            order = np.random.default_rng(epoch).permutation(3)
+            return [
+                {
+                    "input_ids": data[i],
+                    "attention_mask": np.ones_like(data[i]),
+                    "labels": data[i],
+                    "_tag": np.full((8,), epoch * 10 + i, np.int32),
+                }
+                for i in order
+            ]
+
+        return factory
+
+    class TagTrainer(Trainer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.seen = []
+
+        def _device_batch(self, batch):
+            batch = dict(batch)
+            self.seen.append(int(batch.pop("_tag")[0]))
+            return super()._device_batch(batch)
+
+    base = dict(
+        model=tiny_test("causal"),
+        lr=1e-3,
+        epochs=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        save_every_steps=1,
+        log_dir=str(tmp_path),
+        mesh_axes={"data": 1},
+    )
+    straight = TagTrainer(TrainConfig(**base), total_steps=12)
+    straight.fit(make_factory(None))
+    assert int(straight.state["step"]) == 12
+
+    base2 = dict(base, checkpoint_dir=str(tmp_path / "ckpt2"))
+    t1 = TagTrainer(TrainConfig(**base2), total_steps=12)
+    t1.fit(make_factory(None), max_steps=8)  # dies mid-epoch 2
+    t2 = TagTrainer(TrainConfig(**base2, resume=True), total_steps=12)
+    t2.fit(make_factory(None))
+    assert t1.seen + t2.seen == straight.seen, (
+        f"resumed batch order diverged: {t1.seen} + {t2.seen} "
+        f"!= {straight.seen}"
+    )
+
+
 @pytest.mark.parametrize(
     "strategy,axes",
     [

@@ -289,18 +289,26 @@ def cmd_train(args) -> int:
             if shown >= args.print_samples:
                 break
 
-    steps_per_epoch = max(len(train_examples) // args.batch_size, 1)
+    if args.pack:
+        # packing concatenates all token streams and cuts max_len blocks
+        # (data/loader.py::pack_examples), so the step count follows the
+        # BLOCK count — example count would over-state total_steps and
+        # leave the LR schedule mostly undecayed at the true end of training
+        total_tokens = sum(len(ex["input_ids"]) for ex in train_examples)
+        steps_per_epoch = max((total_tokens // args.max_len) // args.batch_size, 1)
+    else:
+        steps_per_epoch = max(len(train_examples) // args.batch_size, 1)
     total = args.max_steps or steps_per_epoch * args.epochs
     init_params = None
     if args.init_params:
         init_params = load_converted_params(args.init_params, model)
     trainer = Trainer(cfg, total_steps=total, params=init_params)
 
-    epoch_counter = {"n": 0}
-
-    def train_batches():
-        epoch_counter["n"] += 1
-        return dl.batches(train_examples, epoch=epoch_counter["n"])
+    def train_batches(epoch: int):
+        # epoch index comes from the trainer so resumed runs reproduce the
+        # exact per-epoch shuffle order of the original run (a call-counting
+        # closure would drift by the trainer's len() probe on resume).
+        return dl.batches(train_examples, epoch=epoch)
 
     def eval_fn(state, epoch):
         metrics = {}
@@ -384,17 +392,26 @@ def _gen_batches(dl, examples, tok, args):
     from ..data.loader import IGNORE_INDEX
 
     bs = args.batch_size
-    for i in range(0, len(examples) - bs + 1, bs):
+    for i in range(0, len(examples), bs):
+        # keep the tail: dropping it silently yields ZERO batches when the
+        # eval set is smaller than batch_size (a short final batch costs one
+        # extra eval-only compile, which is fine)
         group = examples[i : i + bs]
         prompts = []
         for ex in group:
-            ids = ex["input_ids"]
-            labels = ex["labels"]
-            n_prompt = sum(1 for l in labels if l == IGNORE_INDEX)
-            prompts.append(ids[:n_prompt])
-        width = max(len(p) for p in prompts)
-        ids = np.full((bs, width), tok.pad_id, np.int32)
-        mask = np.zeros((bs, width), np.int32)
+            if dl.task == "seq2seq":
+                # encoder input IS the prompt; labels carry no IGNORE
+                # prompt-prefix to count for seq2seq examples
+                prompts.append(list(ex["input_ids"]))
+            else:
+                ids = ex["input_ids"]
+                labels = ex["labels"]
+                n_prompt = sum(1 for l in labels if l == IGNORE_INDEX)
+                prompts.append(ids[:n_prompt])
+        n = len(group)
+        width = max(max(len(p) for p in prompts), 1)
+        ids = np.full((n, width), tok.pad_id, np.int32)
+        mask = np.zeros((n, width), np.int32)
         for r, pr in enumerate(prompts):
             ids[r, width - len(pr):] = pr
             mask[r, width - len(pr):] = 1
@@ -779,7 +796,14 @@ def cmd_convert_ckpt(args) -> int:
         elif model.arch == "seq2seq" and model.seq2seq_family == "t5":
             from ..models.convert_hf import export_t5
 
-            export_t5(merged, model, args.out_dir)
+            # exported special-token ids must match the tokenizer the model
+            # was TRAINED with (ByteTokenizer: eos=2; HF t5 default: eos=1)
+            # or HF generate() stops on the wrong token
+            tok = _tokenizer(args.tokenizer)
+            export_t5(
+                merged, model, args.out_dir,
+                pad_token_id=tok.pad_id, eos_token_id=tok.eos_id,
+            )
         else:
             dist_print(
                 "hf export supports causal and t5-family seq2seq models",
@@ -938,7 +962,12 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--format", default="hf", choices=["hf", "npz"])
     pv.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pv.add_argument("--model-size", default="tiny",
-                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m"])
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
+                             "llama1b", "bloom560m", "mt5small",
+                             "seq2seq-small"])
+    pv.add_argument("--tokenizer", default="byte",
+                    help="tokenizer the checkpoint was trained with; sets "
+                    "the exported special-token ids (t5 export)")
     pv.add_argument("--model-config", default=None)
     pv.add_argument("--use-lora", action="store_true")
     pv.add_argument("--lora-r", type=int, default=8)

@@ -76,6 +76,12 @@ class QADataLoader:
         self.skip_too_long = skip_too_long
         self.pack = pack
         self.buckets = list(buckets) if buckets else _buckets_for(max_len)
+        # seq2seq labels have their own length budget (target_max_len), so
+        # they need their own ladder — reusing the input ladder would cap
+        # label width at max_len and overflow when target_max_len > max_len.
+        self.label_buckets = (
+            list(buckets) if buckets else _buckets_for(target_max_len)
+        )
         self.stats = {"skipped_too_long": 0, "loaded": 0}
 
     # ------------------------------------------------------------- loading
@@ -141,7 +147,13 @@ class QADataLoader:
         if total > self.max_len:
             if self.skip_too_long:
                 return None  # reference skips too-long causal examples
-            prompt_ids = prompt_ids[: self.max_len - len(target_ids)]
+            # truncate-from-the-prompt first (keep the completion intact),
+            # then hard-cap the target itself: a plain `max_len - len(target)`
+            # slice goes negative for over-long targets and would silently
+            # truncate the prompt from the END while still exceeding max_len.
+            keep_prompt = max(self.max_len - len(target_ids), 0)
+            prompt_ids = prompt_ids[:keep_prompt]
+            target_ids = target_ids[: self.max_len]
         ids = prompt_ids + target_ids
         # completion-only masking: prompt tokens never contribute to loss
         labels = [IGNORE_INDEX] * len(prompt_ids) + list(target_ids)
@@ -166,11 +178,12 @@ class QADataLoader:
 
     # ------------------------------------------------------------ batching
 
-    def _bucket_len(self, n: int) -> int:
-        for b in self.buckets:
+    def _bucket_len(self, n: int, buckets: Optional[Sequence[int]] = None) -> int:
+        ladder = self.buckets if buckets is None else buckets
+        for b in ladder:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        return ladder[-1]
 
     def _collate_causal(self, group: list[dict]) -> dict:
         width = self._bucket_len(max(len(ex["input_ids"]) for ex in group))
@@ -187,16 +200,19 @@ class QADataLoader:
 
     def _collate_seq2seq(self, group: list[dict]) -> dict:
         in_w = self._bucket_len(max(len(ex["input_ids"]) for ex in group))
-        lb_w = self._bucket_len(max(len(ex["labels"]) for ex in group))
+        lb_w = self._bucket_len(
+            max(len(ex["labels"]) for ex in group), self.label_buckets
+        )
         b = len(group)
         ids = np.full((b, in_w), self.tok.pad_id, np.int32)
         mask = np.zeros((b, in_w), np.int32)
         labels = np.full((b, lb_w), IGNORE_INDEX, np.int32)
         for r, ex in enumerate(group):
-            n = len(ex["input_ids"])
-            ids[r, :n] = ex["input_ids"]
+            n = min(len(ex["input_ids"]), in_w)
+            ids[r, :n] = ex["input_ids"][:n]
             mask[r, :n] = 1
-            labels[r, : len(ex["labels"])] = ex["labels"]
+            m = min(len(ex["labels"]), lb_w)
+            labels[r, :m] = ex["labels"][:m]
         return {"input_ids": ids, "attention_mask": mask, "labels": labels}
 
     @staticmethod

@@ -74,9 +74,16 @@ class HFTokenizer:
         if self._tok.pad_token is None:
             self._tok.pad_token = self._tok.eos_token
         self.vocab_size = len(self._tok)
-        self.pad_id = self._tok.pad_token_id or 0
-        self.bos_id = self._tok.bos_token_id or self.pad_id
-        self.eos_id = self._tok.eos_token_id or self.pad_id
+
+        def _id(value, fallback):
+            # explicit None check: id 0 is a legitimate special token
+            # (pythia/GPT-NeoX put <|endoftext|> at 0) and `or` would
+            # silently replace it with the fallback
+            return fallback if value is None else value
+
+        self.pad_id = _id(self._tok.pad_token_id, 0)
+        self.bos_id = _id(self._tok.bos_token_id, self.pad_id)
+        self.eos_id = _id(self._tok.eos_token_id, self.pad_id)
 
     def encode(self, text: str, *, add_bos: bool = False, add_eos: bool = False):
         ids = self._tok.encode(text, add_special_tokens=False)

@@ -88,6 +88,15 @@ class Retriever:
         k_eff = min(k, self.store.size)
         if k_eff <= 0:
             return [[] for _ in queries]
+        # fast/turbo kernels keep the running top-k in one vector lane
+        # (ops/topk.py LANES=128); for larger k fall back to the exact
+        # full-score path instead of raising deep inside matmul_topk.
+        mode = self.mode
+        if mode != "exact":
+            from ..ops.topk import LANES
+
+            if k_eff > LANES:
+                mode = "exact"
         qvecs = self.embed_queries(queries)
         if self.lexical is not None and self.hybrid_weight < 1.0:
             return self._hybrid_search(queries, qvecs, k_eff, fetch_docs)
@@ -98,7 +107,7 @@ class Retriever:
             n = len(block)
             if n < bs:
                 block = np.pad(block, ((0, bs - n), (0, 0)))
-            scores, ids = self.store.topk(block, k_eff, mode=self.mode)
+            scores, ids = self.store.topk(block, k_eff, mode=mode)
             scores = np.asarray(scores[:n])
             ids = np.asarray(ids[:n])
             for r in range(n):

@@ -1325,10 +1325,21 @@ def to_t5_state_dict(params, cfg: ModelConfig) -> dict:
     return out
 
 
-def export_t5(params, cfg: ModelConfig, out_dir: str) -> str:
+def export_t5(
+    params,
+    cfg: ModelConfig,
+    out_dir: str,
+    *,
+    pad_token_id: int = 0,
+    eos_token_id: int = 1,
+    decoder_start_token_id: int = 0,
+) -> str:
     """Write a transformers-loadable T5/mT5 model directory (the seq2seq
     side of the reference's --convert_cpkt capability,
-    reference src/models/trainer.py:772-774)."""
+    reference src/models/trainer.py:772-774).  Special-token ids default to
+    the HF T5 convention (eos=1); models trained with another tokenizer
+    (ByteTokenizer: eos=2) must pass their own ids or HF `generate()` will
+    stop on the wrong token."""
     import torch
     from transformers import T5Config, T5ForConditionalGeneration
 
@@ -1345,9 +1356,9 @@ def export_t5(params, cfg: ModelConfig, out_dir: str) -> str:
         feed_forward_proj="gated-gelu" if cfg.mlp_gated else "relu",
         tie_word_embeddings=cfg.tie_embeddings,
         layer_norm_epsilon=cfg.norm_eps,
-        decoder_start_token_id=0,
-        pad_token_id=0,
-        eos_token_id=1,
+        decoder_start_token_id=decoder_start_token_id,
+        pad_token_id=pad_token_id,
+        eos_token_id=eos_token_id,
     )
     model = T5ForConditionalGeneration(hf_cfg)
     sd = {

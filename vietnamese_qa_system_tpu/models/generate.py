@@ -274,16 +274,28 @@ def generate(
         )
 
     done0 = jnp.zeros((b,), jnp.bool_)
-    # token-seen table for the repetition penalty (prompt tokens count)
-    seen0 = (
-        jnp.zeros((b, cfg.vocab_size), jnp.bool_)
-        .at[jnp.arange(b)[:, None], ids]
-        .max(attn_mask.astype(jnp.bool_))
-    )
-    # full left-padded sequence buffer for n-gram banning
-    seq_buf0 = jnp.concatenate(
-        [ids, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
-    )
+    # the (B, vocab) seen table / (B, total) sequence buffer ride the scan
+    # carry — keep them as (B, 1) placeholders when the features that read
+    # them are off, so greedy/sampled decode doesn't scatter-update dead
+    # state every token (the other drivers already do this)
+    needs_seen = repetition_penalty != 1.0 or no_repeat_ngram_size == 1
+    needs_buf = no_repeat_ngram_size >= 2
+    if needs_seen:
+        # token-seen table for the repetition penalty (prompt tokens count)
+        seen0 = (
+            jnp.zeros((b, cfg.vocab_size), jnp.bool_)
+            .at[jnp.arange(b)[:, None], ids]
+            .max(attn_mask.astype(jnp.bool_))
+        )
+    else:
+        seen0 = jnp.zeros((b, 1), jnp.bool_)
+    if needs_buf:
+        # full left-padded sequence buffer for n-gram banning
+        seq_buf0 = jnp.concatenate(
+            [ids, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+        )
+    else:
+        seq_buf0 = jnp.zeros((b, 1), jnp.int32)
     pad_start = t - n_prompt  # first real token per row (left padding)
 
     def step(carry, step_key):
@@ -292,10 +304,12 @@ def generate(
         if eos_id is not None:
             tok = jnp.where(done, eos_id, tok)
             done = done | (tok == eos_id)
-        seen = seen.at[jnp.arange(b), tok].set(True)
-        seq_buf = jax.lax.dynamic_update_slice(
-            seq_buf, tok[:, None], (0, t + step_idx)
-        )
+        if needs_seen:
+            seen = seen.at[jnp.arange(b), tok].set(True)
+        if needs_buf:
+            seq_buf = jax.lax.dynamic_update_slice(
+                seq_buf, tok[:, None], (0, t + step_idx)
+            )
         # decode position: logical position = n_prompt + step_idx
         pos = (n_prompt + step_idx)[:, None]  # (B, 1)
         cache_slot = t + step_idx
@@ -351,6 +365,8 @@ def generate_seq2seq(
     if key is None:
         key = jax.random.key(0)
     enc_out = s2s.encode(params, cfg, enc_ids, enc_mask)
+    # cross-attention K/V once per sequence, not once per generated token
+    cross_kv = s2s.precompute_cross_kv(params, cfg, enc_out)
 
     total = max_new_tokens + 1  # slot 0 holds BOS
     cache = _make_cache(
@@ -378,6 +394,7 @@ def generate_seq2seq(
             positions=pos,
             cache=cache,
             cache_index=idx,
+            cross_kv=cross_kv,
         )
         lg = logits[:, 0].astype(jnp.float32)
         if repetition_penalty != 1.0:
@@ -456,6 +473,9 @@ def beam_search_seq2seq(
     enc_out = s2s.encode(params, cfg, enc_ids, enc_mask)
     enc_out_w = jnp.repeat(enc_out, w, axis=0)  # (B*W, T, D)
     enc_mask_w = jnp.repeat(enc_mask, w, axis=0)
+    # cross K/V once per sequence; beams of one row share the encoder input
+    # so the per-step parent reorder leaves these invariant (like enc_out_w)
+    cross_kv_w = s2s.precompute_cross_kv(params, cfg, enc_out_w)
 
     total = max_new_tokens + 1  # slot 0 holds BOS
     cache = _make_cache(
@@ -472,6 +492,7 @@ def beam_search_seq2seq(
         logits, new_cache = s2s.decode(
             params, cfg, tok[:, None], enc_out_w, enc_mask_w, dec_mask,
             positions=pos, cache=cache, cache_index=idx,
+            cross_kv=cross_kv_w,
         )
         return logits[:, 0].astype(jnp.float32), new_cache
 

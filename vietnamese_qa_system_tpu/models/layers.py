@@ -189,6 +189,19 @@ def _split_heads(x, n_heads: int):
     return x.reshape(b, t, n_heads, d // n_heads)
 
 
+def cross_attention_kv(p, enc_out, n_heads: int) -> dict:
+    """Project encoder output to head-split cross-attention K/V ONCE per
+    sequence (the cross half of HF past_key_values).  Feed the result to
+    ``attention(static_kv=...)``.  Under one jit XLA's loop-invariant code
+    motion already hoists these projections out of a lax.scan decode loop
+    (measured neutral, scripts/probe_cross_kv.py); the explicit cache
+    guarantees it for eager/per-step callers and keeps the scan body lean."""
+    return {
+        "k": _split_heads(dense(p["wk"], enc_out), n_heads),
+        "v": _split_heads(dense(p["wv"], enc_out), n_heads),
+    }
+
+
 def attention(
     p,
     x,
@@ -204,6 +217,7 @@ def attention(
     bias=None,
     scale=None,
     n_kv_heads=None,
+    static_kv=None,
 ):
     """Multi-head attention.
 
@@ -221,12 +235,20 @@ def attention(
     - ``n_kv_heads``: grouped-query attention (llama family) — k/v carry
       fewer heads; query head h reads kv head h // (n_heads // n_kv_heads).
       The KV cache stores the UNREPEATED heads (memory win is the point).
+    - ``static_kv``: precomputed head-split K/V dict (cross-attention; see
+      :func:`cross_attention_kv`) — skips the wk/wv projections entirely.
     """
     kv_in = x if kv_x is None else kv_x
     kv_h = n_heads if n_kv_heads is None else n_kv_heads
     q = _split_heads(dense(p["wq"], x), n_heads)
-    k = _split_heads(dense(p["wk"], kv_in), kv_h)
-    v = _split_heads(dense(p["wv"], kv_in), kv_h)
+    if static_kv is not None:
+        # precomputed cross-attention K/V (cross_attention_kv): the encoder
+        # projections are sequence-invariant, so decode loops compute them
+        # once instead of once per generated token
+        k, v = static_kv["k"], static_kv["v"]
+    else:
+        k = _split_heads(dense(p["wk"], kv_in), kv_h)
+        v = _split_heads(dense(p["wv"], kv_in), kv_h)
 
     if rope is not None:
         cos, sin = rope
@@ -371,6 +393,7 @@ def block(
     activation: str = "gelu",
     n_kv_heads=None,
     activation_dtype=None,
+    cross_kv=None,
 ):
     """``activation_dtype`` (e.g. bf16) keeps the residual stream and norm
     outputs in that dtype — the mixed-precision activation policy that
@@ -415,13 +438,14 @@ def block(
         m = mlp(p["mlp"], layernorm(p["ln2"], x, eps, out_dtype=adt), activation)
         return x + cast(h) + cast(m), new_cache
     x = x + cast(h)
-    if enc_out is not None:
+    if enc_out is not None or cross_kv is not None:
         h, _ = attention(
             p["cross_attn"],
             layernorm(p["ln_cross"], x, eps, out_dtype=adt),
             n_heads=n_heads,
             mask=enc_mask,
             kv_x=enc_out,
+            static_kv=cross_kv,
         )
         x = x + cast(h)
     x = x + cast(mlp(p["mlp"], layernorm(p["ln2"], x, eps, out_dtype=adt), activation))

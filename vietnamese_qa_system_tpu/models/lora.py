@@ -98,9 +98,13 @@ def merge_lora(params, adapter, cfg: LoraConfig):
 
     Used both inside the train step (functional 'wrap') and for export
     (capability of reference merge_and_unload, trainer.py:150-157).
-    The base is passed through ``stop_gradient`` so differentiating the
-    merged forward w.r.t. `adapter` trains only the adapter.
+    The base is passed through ``stop_gradient`` HERE so differentiating
+    the merged forward w.r.t. either argument trains only the adapter —
+    callers don't need to wrap the base themselves (a no-op outside jit
+    and under a second wrap).
     """
+    params = jax.lax.stop_gradient(params)
+
     def walk(p, a):
         if a is None:
             return p

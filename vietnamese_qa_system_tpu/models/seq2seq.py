@@ -59,6 +59,19 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
     return layernorm(params["enc_ln_f"], x, cfg.norm_eps)
 
 
+def precompute_cross_kv(params, cfg: ModelConfig, enc_out):
+    """Per-layer cross-attention K/V, computed once per sequence.  Decode
+    loops pass this to ``decode(cross_kv=...)`` so each generated token
+    reuses the projections instead of re-running dense(wk/wv, enc_out) in
+    every layer at every step (the HF past_key_values cross half)."""
+    from .layers import cross_attention_kv
+
+    return [
+        cross_attention_kv(p_blk["cross_attn"], enc_out, cfg.n_heads)
+        for p_blk in params["dec_blocks"]
+    ]
+
+
 def decode(
     params,
     cfg: ModelConfig,
@@ -71,6 +84,7 @@ def decode(
     cache=None,
     cache_index=None,
     hidden_only: bool = False,
+    cross_kv=None,
 ):
     b, t = dec_ids.shape
     if positions is None:
@@ -78,7 +92,7 @@ def decode(
     x = params["tok_embed"][dec_ids]
     rope = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     cross_mask = jnp.broadcast_to(
-        padding_mask(enc_mask), (b, t, enc_out.shape[1])
+        padding_mask(enc_mask), (b, t, enc_mask.shape[1])
     )
     if cache is None:
         self_mask = causal_mask(t)
@@ -92,11 +106,17 @@ def decode(
                 rope=rope, positions=positions, eps=cfg.norm_eps,
             )
     else:
+        if cross_kv is None:
+            # same work as projecting inside each layer; decode loops
+            # (models/generate.py) hoist this out of their step scan
+            cross_kv = precompute_cross_kv(params, cfg, enc_out)
         new_caches = []
-        for p_blk, layer_cache in zip(params["dec_blocks"], cache):
+        for p_blk, layer_cache, layer_ckv in zip(
+            params["dec_blocks"], cache, cross_kv
+        ):
             x, nc = block(
                 p_blk, x, n_heads=cfg.n_heads, mask=dec_mask,
-                enc_out=enc_out, enc_mask=cross_mask,
+                enc_mask=cross_mask, cross_kv=layer_ckv,
                 rope=rope, positions=positions,
                 cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
             )

@@ -255,6 +255,24 @@ def _logits(params, cfg: ModelConfig, x):
     return _matmul(x, params["tok_embed"].T)
 
 
+def precompute_cross_kv(params, cfg: ModelConfig, enc_out):
+    """Per-layer cross-attention K/V computed once per sequence (the HF
+    past_key_values cross half).  Stacked params return a stacked pytree
+    with a leading layer dim so the decode scan consumes it as xs."""
+    from .layers import cross_attention_kv
+
+    if t5_stacked(params):
+        return jax.vmap(
+            lambda p_blk: cross_attention_kv(
+                p_blk["cross_attn"], enc_out, cfg.n_heads
+            )
+        )(params["dec_blocks"])
+    return [
+        cross_attention_kv(p_blk["cross_attn"], enc_out, cfg.n_heads)
+        for p_blk in params["dec_blocks"]
+    ]
+
+
 def decode(
     params,
     cfg: ModelConfig,
@@ -267,6 +285,7 @@ def decode(
     cache=None,
     cache_index=None,
     hidden_only: bool = False,
+    cross_kv=None,
 ):
     """Same signature/contract as :func:`seq2seq.decode` so the shared
     generation/beam-search drivers (models/generate.py) dispatch on the
@@ -275,7 +294,7 @@ def decode(
     b, t = dec_ids.shape
     x = params["tok_embed"][dec_ids]
     cross_mask = jnp.broadcast_to(
-        padding_mask(enc_mask), (b, t, enc_out.shape[1])
+        padding_mask(enc_mask), (b, t, enc_mask.shape[1])
     )
 
     if cache is None:
@@ -330,7 +349,12 @@ def decode(
         # per-step bias row for the current query position (cache_index)
         q_pos = jnp.zeros((1,), jnp.int32) + cache_index
         self_bias = _dec_bias(params["dec_rel_bias"], q_pos, total, cfg)
-        def dec_layer_cached(h, p_blk, layer_cache):
+        if cross_kv is None:
+            # same work as projecting inside each layer; decode loops
+            # (models/generate.py) hoist this out of their step scan
+            cross_kv = precompute_cross_kv(params, cfg, enc_out)
+
+        def dec_layer_cached(h, p_blk, layer_cache, layer_ckv):
             a, nc = attention(
                 p_blk["attn"], layernorm(p_blk["ln1"], h, cfg.norm_eps),
                 n_heads=cfg.n_heads, mask=dec_mask, bias=self_bias,
@@ -340,8 +364,8 @@ def decode(
             a, _ = attention(
                 p_blk["cross_attn"],
                 layernorm(p_blk["ln_cross"], h, cfg.norm_eps),
-                n_heads=cfg.n_heads, kv_x=enc_out, mask=cross_mask,
-                scale=1.0,
+                n_heads=cfg.n_heads, mask=cross_mask,
+                scale=1.0, static_kv=layer_ckv,
             )
             h = h + a
             h = h + _ffn(
@@ -351,16 +375,20 @@ def decode(
 
         if t5_stacked(params):
             def body(h, xs):
-                p_blk, layer_cache = xs
-                return dec_layer_cached(h, p_blk, layer_cache)
+                p_blk, layer_cache, layer_ckv = xs
+                return dec_layer_cached(h, p_blk, layer_cache, layer_ckv)
 
             x, new_caches = jax.lax.scan(
-                body, x.astype(jnp.float32), (params["dec_blocks"], cache)
+                body,
+                x.astype(jnp.float32),
+                (params["dec_blocks"], cache, cross_kv),
             )
         else:
             new_caches = []
-            for p_blk, layer_cache in zip(params["dec_blocks"], cache):
-                x, nc = dec_layer_cached(x, p_blk, layer_cache)
+            for p_blk, layer_cache, layer_ckv in zip(
+                params["dec_blocks"], cache, cross_kv
+            ):
+                x, nc = dec_layer_cached(x, p_blk, layer_cache, layer_ckv)
                 new_caches.append(nc)
     x = layernorm(params["dec_ln_f"], x, cfg.norm_eps)
     if hidden_only:

@@ -93,7 +93,13 @@ def generative_eval(
         else:
             out = np.asarray(gen)
         prompt_len = ids_np.shape[1]
-        n_tokens += out[:, prompt_len:].size
+        # count only tokens actually generated (up to and excluding the
+        # pad/eos fill after early stopping) — the fixed-width buffer size
+        # would overstate tokens/s by up to max_new_tokens/actual_len
+        tail = out[:, prompt_len:]
+        n_tokens += int(
+            ((tail != tokenizer.pad_id) & (tail != tokenizer.eos_id)).sum()
+        )
         for r in range(out.shape[0]):
             prompt = tokenizer.decode(
                 [t for t in ids_np[r] if t != tokenizer.pad_id]
@@ -114,7 +120,12 @@ def generative_eval(
         mask = jnp.asarray(batch["attention_mask"])
         gen = gen_mod.generate_with_config(
             params, cfg, ids, mask, gen_config,
-            eos_id=tokenizer.eos_id, bos_id=tokenizer.bos_id,
+            eos_id=tokenizer.eos_id,
+            # seq2seq decoder start = 0 — the shift-right convention both
+            # training losses use (seq2seq.loss_fn / t5: decoder_start =
+            # pad = 0); priming eval with the tokenizer's BOS would condition
+            # generation on a token the decoder never saw in training
+            bos_id=0 if cfg.arch == "seq2seq" else tokenizer.bos_id,
         )  # async dispatch
         if pending is not None:
             flush(pending)

@@ -198,22 +198,27 @@ def make_optimizer(
     weight_decay: float = 0.0,
     max_grad_norm: Optional[float] = 1.0,
     b1: float = 0.9,
-    b2: float = 0.999,
+    b2: Optional[float] = None,
     eps: float = 1e-8,
 ) -> optax.GradientTransformation:
     """adamw | lion | adamw8bit | lion8bit (+ global-norm clipping).
 
     Covers the reference's optimizer surface (--optim_name, train.py:62;
     AdamW default trainer.py:183, Paged*8bit via scripts).
+
+    ``b2=None`` picks the family default (adam 0.999, lion 0.99); an
+    explicit value is honoured as given for either family.
     """
+    if b2 is None:
+        b2 = 0.99 if name.startswith("lion") else 0.999
     if name == "adamw":
         core = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
     elif name == "adamw8bit":
         core = scale_by_adam8bit(b1=b1, b2=b2, eps=eps)
     elif name == "lion":
-        core = optax.scale_by_lion(b1=b1, b2=min(b2, 0.99))
+        core = optax.scale_by_lion(b1=b1, b2=b2)
     elif name == "lion8bit":
-        core = scale_by_lion8bit(b1=b1, b2=min(b2, 0.99))
+        core = scale_by_lion8bit(b1=b1, b2=b2)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     parts = []

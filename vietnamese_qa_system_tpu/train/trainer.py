@@ -96,6 +96,23 @@ class TrainConfig:
     profile_dir: str = "runs/profile"
 
 
+def _factory_wants_epoch(factory: Callable) -> bool:
+    """True if the batch factory accepts a positional epoch-index argument
+    (the resume-safe contract; zero-arg factories remain supported)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(factory)
+    except (TypeError, ValueError):
+        return False
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL):
+            return True
+        if p.kind in (p.KEYWORD_ONLY,) and p.default is p.empty:
+            return False
+    return False
+
+
 def init_model_params(cfg: ModelConfig, key):
     if cfg.arch == "causal":
         return init_causal_lm(key, cfg)
@@ -415,16 +432,25 @@ class Trainer:
 
     def fit(
         self,
-        train_batches: Callable[[], Iterable[dict]],
+        train_batches: Callable[..., Iterable[dict]],
         *,
         eval_fn: Optional[Callable[[Any, int], dict]] = None,
         max_steps: Optional[int] = None,
     ):
         """train_batches: factory returning one epoch's iterable of host
         batches {"input_ids","attention_mask","labels"} with a global batch
-        dim.  Resume fast-forwards within the epoch (capability of
-        accelerate `skip_first_batches`, reference trainer.py:784-787)."""
+        dim.  A factory taking one positional argument receives the epoch
+        index — required for per-epoch shuffles to survive resume: a
+        call-counting closure would see one extra probe call on resumed
+        runs (and none for already-completed epochs), silently changing
+        the shuffle order vs the original run.  Resume fast-forwards
+        within the epoch (capability of accelerate `skip_first_batches`,
+        reference trainer.py:784-787)."""
         cfg = self.cfg
+        wants_epoch = _factory_wants_epoch(train_batches)
+        epoch_iter = (
+            (lambda e: train_batches(e)) if wants_epoch else (lambda e: train_batches())
+        )
         step = self.start_step
         last_save = time.time()
         profiling = False
@@ -444,7 +470,7 @@ class Trainer:
         skip = self.start_step
         steps_per_epoch = None
         if skip > 0:
-            probe = train_batches()
+            probe = epoch_iter(0)
             if hasattr(probe, "__len__"):
                 steps_per_epoch = len(probe)
         for epoch in range(cfg.epochs):
@@ -455,7 +481,7 @@ class Trainer:
             t0 = time.time()
             n_batches = 0
             with MemoryTracker() as mem:
-                for i, batch in enumerate(train_batches()):
+                for i, batch in enumerate(epoch_iter(epoch)):
                     n_batches = i + 1
                     if skip > 0:
                         skip -= 1
