@@ -602,6 +602,9 @@ def cmd_serve(args) -> int:
         qa = QAPipeline(
             retriever, rparams, rcfg, tok,
             k=args.k, min_score=args.min_score,
+            speculative=args.speculative,
+            draft_tokens=args.draft_tokens,
+            draft_ngram=args.draft_ngram,
         )
 
     if args.port is not None:
@@ -727,10 +730,19 @@ def cmd_chat(args) -> int:
         # left padding so generation continues from the prompt's last token
         pad_side = "right" if model.arch == "seq2seq" else "left"
         ids, mask = batch_encode(tok, [prompt], args.max_len, pad_side=pad_side)
+        use_spec = (
+            args.speculative != "none"
+            and model.arch == "causal"
+            and args.temperature == 0.0
+            and args.num_beams == 1
+        )
         gen = gen_mod.GenerationConfig(
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature,
             num_beams=args.num_beams,
+            speculative=args.speculative if use_spec else "none",
+            draft_tokens=args.draft_tokens,
+            draft_ngram=args.draft_ngram,
         )
         out = gen_mod.generate_with_config(
             params, model, np.asarray(ids), np.asarray(mask), gen,
@@ -907,6 +919,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantize the reader's dense weights for decode "
                     "(2x/4x less HBM traffic per generated token)")
     ps.add_argument("--min-score", type=float, default=0.2)
+    ps.add_argument("--speculative", choices=["none", "ngram"], default="ngram",
+                    help="prompt-lookup speculative decoding for the reader "
+                    "(lossless greedy; RAG answers quote contexts, so "
+                    "drafts hit often — default on for causal readers)")
+    ps.add_argument("--draft-tokens", type=int, default=8)
+    ps.add_argument("--draft-ngram", type=int, default=3)
     ps.add_argument("--port", type=int, default=None,
                     help="serve an HTTP JSON API on this port instead of "
                     "the REPL (0 = ephemeral); micro-batches concurrent "
@@ -949,6 +967,12 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
                     help="quantize dense weights for decode (2x/4x less "
                     "HBM traffic per generated token)")
+    pc.add_argument("--speculative", choices=["none", "ngram"],
+                    default="ngram",
+                    help="prompt-lookup speculative decoding (lossless; "
+                    "applies only to greedy causal chat, ignored otherwise)")
+    pc.add_argument("--draft-tokens", type=int, default=8)
+    pc.add_argument("--draft-ngram", type=int, default=3)
     pc.add_argument("--seed", type=int, default=42)
     pc.set_defaults(fn=cmd_chat)
 

@@ -51,6 +51,9 @@ class QAPipeline:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         seed: int = 0,
+        speculative: str = "none",
+        draft_tokens: int = 8,
+        draft_ngram: int = 3,
     ):
         self.retriever = retriever
         self.params = reader_params
@@ -61,6 +64,16 @@ class QAPipeline:
         self.max_prompt_len = max_prompt_len
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
+        # prompt-lookup speculative decode (lossless; causal+greedy only).
+        # RAG answers quote the retrieved [CTX i] passages, so the drafter
+        # hits exactly where this pipeline spends its decode time.
+        self.speculative = (
+            speculative
+            if reader_cfg.arch == "causal" and temperature == 0.0
+            else "none"
+        )
+        self.draft_tokens = draft_tokens
+        self.draft_ngram = draft_ngram
         self.rng = random.Random(seed)
 
     def _build_prompt(self, question: str, contexts: Sequence[str]) -> str:
@@ -140,6 +153,9 @@ class QAPipeline:
                 gen_mod.GenerationConfig(
                     max_new_tokens=self.max_new_tokens,
                     temperature=self.temperature,
+                    speculative=self.speculative,
+                    draft_tokens=self.draft_tokens,
+                    draft_ngram=self.draft_ngram,
                 ),
                 eos_id=self.tok.eos_id,
             )

@@ -118,8 +118,10 @@ def _window_mask(q_slots, k_slots, window: int):
     position distance on every path we run (right-padded training batches:
     slot == position; left-padded decode: query and key positions shift by
     the same per-row pad offset), so this is exact for GPT-Neo local
-    attention while staying shape-static."""
-    return (q_slots[:, None] - k_slots[None, :]) < window
+    attention while staying shape-static.  ``q_slots`` may be (T,) or — on
+    the speculative path with per-row cache cursors — (B, T), yielding a
+    broadcastable (B, T, K) mask."""
+    return (q_slots[..., :, None] - k_slots[None, :]) < window
 
 
 def hidden_states(
@@ -234,7 +236,10 @@ def hidden_states(
         mask = attn_mask
         local_mask = None
         if has_local:
-            q_slots = cache_index + jnp.arange(t)
+            if getattr(cache_index, "ndim", 0) == 1:
+                q_slots = cache_index[:, None] + jnp.arange(t)[None, :]
+            else:
+                q_slots = cache_index + jnp.arange(t)
             k_slots = jnp.arange(cache[0]["k"].shape[1])
             local_mask = mask & _window_mask(
                 q_slots, k_slots, cfg.attention_window

@@ -40,6 +40,11 @@ class GenerationConfig:
     num_beams: int = 1
     length_penalty: float = 1.0
     seed: int = 0
+    # "ngram" = prompt-lookup speculative decoding (lossless greedy;
+    # beyond-parity serving capability — see generate_speculative)
+    speculative: str = "none"
+    draft_tokens: int = 8
+    draft_ngram: int = 3
 
 
 def generate_with_config(
@@ -66,6 +71,38 @@ def generate_with_config(
             "no_repeat_ngram_size is only supported on the causal "
             "sampled/greedy path (num_beams=1); got "
             f"num_beams={gen.num_beams}, arch={cfg.arch!r}"
+        )
+    if gen.speculative not in ("none", "ngram"):
+        raise ValueError(
+            f"unknown speculative mode {gen.speculative!r} (none|ngram)"
+        )
+    if gen.speculative == "ngram":
+        # lossless only for plain greedy: sampling, beams and logit
+        # post-processors change the per-step choice the verifier checks
+        unsupported = []
+        if cfg.arch == "seq2seq":
+            unsupported.append("seq2seq arch")
+        if gen.num_beams > 1:
+            unsupported.append("num_beams > 1")
+        if gen.temperature != 0.0:
+            unsupported.append("temperature > 0")
+        if gen.repetition_penalty != 1.0:
+            unsupported.append("repetition_penalty")
+        if gen.no_repeat_ngram_size > 0:
+            unsupported.append("no_repeat_ngram_size")
+        if gen.min_new_tokens > 0:
+            unsupported.append("min_new_tokens")
+        if unsupported:
+            raise ValueError(
+                "speculative decoding is greedy-causal only; unsupported "
+                f"options set: {', '.join(unsupported)}"
+            )
+        return generate_speculative(
+            params, cfg, ids, attn_mask,
+            max_new_tokens=gen.max_new_tokens,
+            eos_id=eos_id,
+            draft_tokens=gen.draft_tokens,
+            draft_ngram=gen.draft_ngram,
         )
     if cfg.arch == "seq2seq":
         if gen.num_beams > 1:
@@ -328,6 +365,226 @@ def generate(
         step, (cache, last_logits, done0, jnp.int32(0), seen0, seq_buf0), keys
     )
     out = jnp.concatenate([ids, toks.T], axis=1)
+    return out
+
+
+def _ngram_draft(seq_buf, cur_end, pad_start, gamma: int, ngram: int):
+    """Prompt-lookup drafting: propose the ``gamma`` tokens that followed
+    the most recent earlier occurrence of the stream's last ``ngram``
+    tokens.  Pure gather/compare — no draft model.  RAG/QA answers copy
+    retrieved context heavily, so matches are common exactly where decode
+    throughput matters (the serve path).
+
+    seq_buf: (B, L) prompt+generated stream (left-padded prompts).
+    cur_end: (B,) exclusive end of the decided stream.
+    pad_start: (B,) first real token per row.
+    Returns (B, gamma) draft tokens (garbage when no match — the verifier
+    rejects bad drafts, so correctness never depends on draft quality).
+    """
+    b, length = seq_buf.shape
+    b_idx = jnp.arange(b)[:, None]
+    tail_idx = jnp.clip(
+        cur_end[:, None] - ngram + jnp.arange(ngram)[None, :], 0, length - 1
+    )
+    tail = seq_buf[b_idx, tail_idx]  # (B, ngram)
+    # windows[p] = seq_buf[p : p+ngram]; match against the tail
+    win = jnp.stack(
+        [seq_buf[:, q : length - ngram + 1 + q] for q in range(ngram)], axis=-1
+    )  # (B, L-ngram+1, ngram)
+    p_idx = jnp.arange(length - ngram + 1)
+    ok = (
+        jnp.all(win == tail[:, None, :], axis=-1)
+        & (p_idx[None, :] >= pad_start[:, None])
+        # strictly before the tail itself, fully inside the decided stream
+        & (p_idx[None, :] + ngram < cur_end[:, None])
+    )
+    best = jnp.max(jnp.where(ok, p_idx[None, :], -1), axis=1)  # (B,)
+    # The match hypothesis is "the stream continues as it did after the
+    # match", i.e. it is periodic with period dist = (cur_end-ngram) - p.
+    # The continuation start is cur_end - dist, so draft j reads
+    # seq[cur_end - dist + (j mod dist)]: for far-back matches (RAG
+    # context copies, dist >= gamma) this is the plain following-token
+    # lookup; for matches near the stream end (short loops, dist < gamma)
+    # the mod wraps instead of running past the decided region into
+    # uninitialized fill.  No-match fallback: dist=1 repeats the last
+    # token (cheap; usually rejected, costing one plain step).
+    dist = jnp.where(
+        best >= 0, cur_end - ngram - best, jnp.ones_like(cur_end)
+    )
+    d_idx = jnp.clip(
+        (cur_end - dist)[:, None]
+        + (jnp.arange(gamma)[None, :] % dist[:, None]),
+        0,
+        length - 1,
+    )
+    return seq_buf[b_idx, d_idx]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "eos_id", "draft_tokens", "draft_ngram",
+        "return_stats",
+    ),
+)
+def generate_speculative(
+    params,
+    cfg: ModelConfig,
+    ids,
+    attn_mask,
+    *,
+    max_new_tokens: int = 32,
+    eos_id: int | None = None,
+    draft_tokens: int = 8,
+    draft_ngram: int = 3,
+    return_stats: bool = False,
+):
+    """Lossless greedy decode via prompt-lookup speculative decoding.
+
+    Output is token-identical to ``generate(temperature=0)`` — speculation
+    only changes HOW MANY model passes produce it.  (One caveat, shared
+    with HF assisted generation: the 1-token step and the multi-token
+    verify window reduce their matmuls in different orders, so an argmax
+    whose top-2 logit margin is ~float-epsilon can flip; scripts/
+    probe_spec.py checks any observed divergence is such a tie.)  Each iteration drafts
+    ``draft_tokens`` tokens by n-gram lookup over the prompt+generated
+    stream (:func:`_ngram_draft`), verifies the whole window in ONE model
+    pass, and accepts the longest prefix that matches the model's own
+    greedy choices (plus the model's correction token).  Decode at serving
+    batch sizes is weight-streaming-bound (docs/BENCHMARKS.md "Greedy
+    decode": 0.82 ms/step ≈ the 250 MB bf16 weight stream), so accepted
+    drafts are a direct multiple on tokens/s.
+
+    TPU-first mechanics: a ``lax.while_loop`` with static shapes; rows
+    accept different draft counts, so each row keeps its own cache cursor
+    (per-row scatter writes in layers.attention) and the KV slots of
+    rejected drafts are overwritten by the next window before they can be
+    attended.  The reference has no speculative path (HF `generate` in
+    reference src/models/trainer.py:942-946 decodes one token per pass);
+    this is a beyond-parity serving capability.
+
+    Returns (B, T+max_new) like ``generate``; with ``return_stats`` also a
+    dict with ``iterations`` (model passes) and ``drafted_accepted``.
+    """
+    b, t = ids.shape
+    gamma = draft_tokens
+    ngram = draft_ngram
+    if gamma < 1:
+        raise ValueError(f"draft_tokens must be >= 1, got {gamma}")
+    if ngram < 1:
+        raise ValueError(f"draft_ngram must be >= 1, got {ngram}")
+    total = t + max_new_tokens + gamma  # window may overhang by gamma slots
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
+    n_prompt = jnp.sum(attn_mask, axis=1)
+    pad_start = t - n_prompt
+
+    cache = _make_cache(
+        cfg, b, total, cfg.n_layers, stacked=causal_lm.blocks_stacked(params)
+    )
+    j = jnp.arange(total)[None, None, :]
+    q_pos = jnp.arange(t)[None, :, None]
+    key_valid = jnp.concatenate(
+        [
+            attn_mask.astype(jnp.bool_),
+            jnp.zeros((b, total - t), jnp.bool_),
+        ],
+        axis=1,
+    )
+    prefill_mask = (j <= q_pos) & key_valid[:, None, :]
+    logits, cache = causal_lm.forward(
+        params, cfg, ids, prefill_mask,
+        positions=positions, cache=cache, cache_index=0,
+    )
+    g0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    # produced token i lives at seq_buf[:, t+i]; one dump column at the end
+    # absorbs masked writes so clipping can never corrupt a real slot
+    buf_len = t + max_new_tokens + 1
+    dump = t + max_new_tokens
+    fill = eos_id if eos_id is not None else 0
+    seq_buf0 = jnp.concatenate(
+        [ids, jnp.full((b, max_new_tokens + 1), fill, jnp.int32)], axis=1
+    )
+    seq_buf0 = seq_buf0.at[:, t].set(g0)
+    n_dec0 = jnp.zeros((b,), jnp.int32)  # index of the pending token
+    done0 = (
+        (g0 == eos_id) if eos_id is not None else jnp.zeros((b,), jnp.bool_)
+    )
+    b_idx = jnp.arange(b)[:, None]
+    s_win = jnp.arange(gamma + 1)
+
+    def cond(carry):
+        _, _, n_dec, done, _, _ = carry
+        return jnp.any(~done & (n_dec < max_new_tokens - 1))
+
+    def body(carry):
+        cache, seq_buf, n_dec, done, iters, n_spec = carry
+        cur_end = t + n_dec + 1
+        drafts = _ngram_draft(seq_buf, cur_end, pad_start, gamma, ngram)
+        pending = seq_buf[jnp.arange(b), t + n_dec]
+        window = jnp.concatenate([pending[:, None], drafts], axis=1)
+        pos = (n_prompt + n_dec)[:, None] + s_win[None, :]
+        write_at = t + n_dec  # (B,) per-row cache cursors
+        jj = jnp.arange(total)[None, None, :]
+        gen_ok = (jj >= t) & (
+            jj <= (t + n_dec[:, None, None] + s_win[None, :, None])
+        )
+        mask = key_valid[:, None, :] | gen_ok  # (B, gamma+1, total)
+        logits, cache = causal_lm.forward(
+            params, cfg, window, mask,
+            positions=pos, cache=cache, cache_index=write_at,
+        )
+        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, gamma+1)
+        # draft s (window col s, s>=1) holds iff the model's greedy pick
+        # after col s-1 equals it, and every earlier draft held
+        hold = jnp.cumprod(
+            (y[:, :gamma] == window[:, 1:]).astype(jnp.int32), axis=1
+        )
+        a = jnp.sum(hold, axis=1)  # (B,) accepted drafts in [0, gamma]
+        bonus = jnp.take_along_axis(y, a[:, None], axis=1)[:, 0]
+        # writes: produced indices n_dec+1 .. n_dec+a+1 get [d_1..d_a, bonus]
+        jw = jnp.arange(gamma + 1)[None, :]
+        drafts_pad = jnp.concatenate(
+            [window[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1
+        )
+        vals = jnp.where(jw < a[:, None], drafts_pad, bonus[:, None])
+        idx_prod = n_dec[:, None] + 1 + jw
+        write_ok = (
+            (jw <= a[:, None])
+            & ~done[:, None]
+            & (idx_prod < max_new_tokens)
+        )
+        slots = jnp.where(write_ok, t + idx_prod, dump)
+        seq_buf = seq_buf.at[b_idx, slots].set(
+            jnp.where(write_ok, vals, seq_buf[b_idx, slots])
+        )
+        n_written = jnp.sum(write_ok, axis=1)
+        # drafts that became real output tokens (everything written except
+        # the one correction/bonus token the model produces anyway)
+        n_spec = n_spec + jnp.sum(
+            jnp.where(done, 0, jnp.maximum(n_written - 1, 0))
+        )
+        if eos_id is not None:
+            done = done | jnp.any(write_ok & (vals == eos_id), axis=1)
+        n_dec = n_dec + n_written
+        return cache, seq_buf, n_dec, done, iters + 1, n_spec
+
+    _, seq_buf, n_dec, _, iters, n_spec = jax.lax.while_loop(
+        cond,
+        body,
+        (cache, seq_buf0, n_dec0, done0, jnp.int32(0), jnp.int32(0)),
+    )
+    toks = seq_buf[:, t : t + max_new_tokens]
+    if eos_id is not None:
+        # identical tail semantics to generate(): everything after the
+        # first eos becomes eos
+        seen = jnp.cumsum((toks == eos_id).astype(jnp.int32), axis=1)
+        toks = jnp.where(seen > 1, eos_id, toks)
+        # rows that hit max_new without eos keep their real tokens; rows
+        # that finished early were already eos-filled at init
+    out = jnp.concatenate([ids, toks], axis=1)
+    if return_stats:
+        return out, {"iterations": iters, "drafted_accepted": n_spec}
     return out
 
 

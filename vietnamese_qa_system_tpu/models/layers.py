@@ -258,12 +258,22 @@ def attention(
 
     new_cache = None
     if cache is not None:
-        k = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
-        )
-        v = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
-        )
+        if getattr(cache_index, "ndim", 0) == 1:
+            # per-row write offsets (B,) — speculative decode: rows accept
+            # different numbers of drafted tokens, so their cache cursors
+            # diverge and the uniform dynamic_update_slice no longer fits.
+            # Scatter the (B, t) window at slots cache_index[b] + arange(t).
+            b_idx = jnp.arange(k.shape[0])[:, None]
+            slots = cache_index[:, None] + jnp.arange(k.shape[1])[None, :]
+            k = cache["k"].at[b_idx, slots].set(k.astype(cache["k"].dtype))
+            v = cache["v"].at[b_idx, slots].set(v.astype(cache["v"].dtype))
+        else:
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+            )
         new_cache = {"k": k, "v": v}
 
     if kv_h != n_heads:
