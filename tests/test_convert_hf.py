@@ -850,3 +850,134 @@ def test_export_t5_special_token_ids(tmp_path):
     assert hf_cfg["eos_token_id"] == 2
     assert hf_cfg["pad_token_id"] == 0
     assert hf_cfg["decoder_start_token_id"] == 0
+
+
+def test_qwen2_logits_and_greedy_match_transformers():
+    """Qwen2 family (llama layout + q/k/v-only biases, GQA, tied
+    embeddings, rope_theta=1e6 — the strongest multilingual open weights
+    for Vietnamese): converted pytree must reproduce HF logits and greedy
+    decode.  Covers the attention_bias="qkv" init/import contract."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_llama,
+        qwen2_config,
+    )
+
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=6, num_key_value_heads=2,
+        intermediate_size=96, max_position_embeddings=64,
+        rope_theta=1e6, tie_word_embeddings=True,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(17)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = qwen2_config(hf_cfg)
+    assert cfg.attention_bias == "qkv" and cfg.n_kv_heads == 2
+    params = convert_llama(model.state_dict(), cfg)
+    blk = params["blocks"][0]["attn"]
+    assert "b" in blk["wq"] and "b" in blk["wk"] and "b" in blk["wv"]
+    assert "b" not in blk["wo"]
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 128, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.ones((2, 16), jnp.int32),
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+    out = np.asarray(generate.generate(
+        params, cfg, jnp.asarray(ids, jnp.int32),
+        jnp.ones((2, 16), jnp.int32), max_new_tokens=8, eos_id=None,
+    ))
+    hf_out = model.generate(
+        torch.from_numpy(ids), max_new_tokens=8, do_sample=False,
+        pad_token_id=0,
+    ).numpy()
+    np.testing.assert_array_equal(out, hf_out)
+
+
+def test_qwen2_export_roundtrip_and_auto_dispatch(tmp_path):
+    """our pytree -> export_causal_auto (qkv bias -> Qwen2 dir) ->
+    transformers reload matches; load_causal_auto dispatches back."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_llama,
+        export_causal_auto,
+        load_causal_auto,
+        qwen2_config,
+    )
+
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+        tie_word_embeddings=False, use_sliding_window=False,
+    )
+    torch.manual_seed(19)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = qwen2_config(hf_cfg)
+    params = convert_llama(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "qwen2_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "qwen2"
+
+    rng = np.random.default_rng(10)
+    ids = torch.from_numpy(rng.integers(0, 96, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
+        )
+
+    params2, cfg2 = load_causal_auto(out_dir)
+    assert cfg2.attention_bias == "qkv"
+    ours = np.asarray(
+        causal_lm.forward(
+            params2, cfg2, jnp.asarray(ids.numpy(), jnp.int32),
+            jnp.ones((2, 12), jnp.int32),
+        )
+    )
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            ours, model(ids).logits.numpy(), atol=0.05, rtol=0.05
+        )
+
+
+def test_qwen2_init_bias_layout_and_training_smoke():
+    """attention_bias="qkv" random init matches the import layout (q/k/v
+    biased, o/mlp bias-free) and trains a step under LoRA+sharding."""
+    import jax
+
+    from vietnamese_qa_system_tpu.models import ModelConfig
+    from vietnamese_qa_system_tpu.models.causal_lm import init_causal_lm
+    from vietnamese_qa_system_tpu.train.trainer import Trainer, TrainConfig
+
+    cfg = ModelConfig(
+        arch="causal", vocab_size=64, d_model=32, n_heads=4, n_kv_heads=2,
+        n_layers=2, d_ff=64, norm="rmsnorm", mlp_gated=True,
+        attention_bias="qkv", rope_theta=1e6,
+    )
+    params = init_causal_lm(jax.random.key(0), cfg)
+    blk = params["blocks"][0]
+    assert "b" in blk["attn"]["wq"] and "b" in blk["attn"]["wv"]
+    assert "b" not in blk["attn"]["wo"] and "b" not in blk["mlp"]["wi"]
+
+    tr = Trainer(TrainConfig(model=cfg, lr=1e-3, epochs=1, log_every=100),
+                 total_steps=2)
+    rng = np.random.default_rng(0)
+
+    def batches(epoch=0):
+        for _ in range(2):
+            ids = rng.integers(4, 60, (8, 16)).astype(np.int32)
+            yield {"input_ids": ids, "attention_mask": np.ones_like(ids),
+                   "labels": ids.copy()}
+
+    state = tr.fit(batches)
+    assert np.isfinite(float(np.asarray(
+        state["params"]["blocks"][0]["attn"]["wq"]["b"]).sum()))

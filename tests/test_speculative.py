@@ -180,3 +180,22 @@ def test_generation_config_dispatch_and_guards():
     ):
         with pytest.raises(ValueError):
             generate_with_config(params, cfg, ids, mask, bad, eos_id=2)
+
+
+def test_speculative_over_quantized_base():
+    """Serving composition: int8/nf4 decode bases (dequant-at-use in
+    layers.dense) must ride the speculative path unchanged — quantization
+    cuts the per-pass weight stream, speculation cuts the pass count."""
+    from vietnamese_qa_system_tpu.models import quantize_dense_tree
+
+    cfg = ModelConfig(**BASE)
+    base = _mk(cfg)
+    ids, mask = _prompts(np.random.default_rng(6), 2, 16)
+    for fmt in ("int8", "nf4"):
+        params = quantize_dense_tree(base, fmt)
+        ref = generate(params, cfg, ids, mask, max_new_tokens=16, eos_id=2)
+        out = generate_speculative(
+            params, cfg, ids, mask, max_new_tokens=16, eos_id=2,
+            draft_tokens=4, draft_ngram=2,
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

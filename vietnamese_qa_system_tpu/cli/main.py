@@ -28,7 +28,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     g.add_argument("--model-size", default="tiny",
                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                            "llama1b", "bloom560m", "mt5small",
+                            "llama1b", "qwen2-05b", "bloom560m", "mt5small",
                             "seq2seq-small"],
                    help="preset size (reference used gpt-neo-125m / "
                         "pythia-410m; mt5small = its seq2seq experiments)")
@@ -150,6 +150,7 @@ def _model_config(args):
         "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
         "llama1b": mcfg.llama_1b_class,
+        "qwen2-05b": mcfg.qwen2_05b_class,
         "bloom560m": mcfg.bloom_560m_class,
         "mt5small": mcfg.mt5_small_class,
         "seq2seq-small": mcfg.seq2seq_native_small,
@@ -582,6 +583,7 @@ def cmd_serve(args) -> int:
             "gpt125m": mcfg.gpt_125m_class,
             "gptneo125m": mcfg.gpt_neo_125m,
             "pythia410m": mcfg.pythia_410m_class,
+            "qwen2-05b": mcfg.qwen2_05b_class,
             "bloom560m": mcfg.bloom_560m_class,
         }
         rcfg = presets_r[args.reader_size]()
@@ -912,7 +914,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--seed", type=int, default=42)
     ps.add_argument("--reader-size", default=None,
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "bloom560m"],
+                             "qwen2-05b", "bloom560m"],
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
     ps.add_argument("--reader-quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
@@ -952,7 +954,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pc.add_argument("--model-size", default="tiny",
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "llama1b", "bloom560m", "mt5small",
+                             "llama1b", "qwen2-05b", "bloom560m", "mt5small",
                              "seq2seq-small"])
     pc.add_argument("--model-config", default=None)
     pc.add_argument("--scan-layers", action="store_true",
@@ -987,7 +989,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pv.add_argument("--model-size", default="tiny",
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "llama1b", "bloom560m", "mt5small",
+                             "llama1b", "qwen2-05b", "bloom560m", "mt5small",
                              "seq2seq-small"])
     pv.add_argument("--tokenizer", default="byte",
                     help="tokenizer the checkpoint was trained with; sets "

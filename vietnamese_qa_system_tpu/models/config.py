@@ -81,7 +81,10 @@ class ModelConfig:
     # SwiGLU gated MLPs, grouped-query attention, bias-free projections.
     n_kv_heads: int | None = None  # None = multi-head (no GQA)
     mlp_gated: bool = False
-    attention_bias: bool = True
+    # True = biases everywhere (GPT families), False = bias-free (llama),
+    # "qkv" = biases on the q/k/v projections only (Qwen2 family — the
+    # strongest multilingual open weights for Vietnamese today)
+    attention_bias: bool | str = True
     # T5-family knobs (the reference's mt5 seq2seq path, src/test.py:106-147):
     # "t5" selects models/t5.py (T5 RMS norms, per-stack shared relative
     # bias, unscaled attention, gated-gelu FFN) for arch="seq2seq";
@@ -214,6 +217,22 @@ def llama_1b_class() -> ModelConfig:
         n_kv_heads=8, n_layers=22, d_ff=5632, max_seq_len=2048,
         norm="rmsnorm", mlp_gated=True, attention_bias=False,
         tie_embeddings=False, norm_eps=1e-5, use_flash_attention=True,
+    )
+
+
+def qwen2_05b_class() -> ModelConfig:
+    """Faithful Qwen2-0.5B layout (Qwen2/2.5 are the strongest multilingual
+    open-weights family for Vietnamese): llama-style RMSNorm/SwiGLU/GQA
+    with q/k/v-only biases, tied embeddings, rope_theta=1e6 — real Qwen2
+    weights import via models/convert_hf.py::load_qwen2 (the reference
+    loads any such model through AutoModelForCausalLM,
+    reference src/models/trainer.py:536-551)."""
+    return ModelConfig(
+        arch="causal", vocab_size=151936, d_model=896, n_heads=14,
+        n_kv_heads=2, n_layers=24, d_ff=4864, max_seq_len=2048,
+        rope_theta=1e6, norm="rmsnorm", mlp_gated=True,
+        attention_bias="qkv", tie_embeddings=True, norm_eps=1e-6,
+        use_flash_attention=True,
     )
 
 

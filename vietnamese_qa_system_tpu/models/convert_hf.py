@@ -440,6 +440,38 @@ def llama_config(hf_cfg) -> ModelConfig:
     )
 
 
+def qwen2_config(hf_cfg) -> ModelConfig:
+    """transformers Qwen2Config -> ModelConfig: the llama layout with
+    q/k/v-only projection biases and (typically) rope_theta=1e6 + tied
+    embeddings.  Qwen2/2.5 is the strongest multilingual open-weights
+    family for Vietnamese; the reference would load it through its
+    AutoModelForCausalLM path (reference src/models/trainer.py:536-551)."""
+    if bool(getattr(hf_cfg, "use_sliding_window", False)):
+        raise NotImplementedError(
+            "Qwen2 sliding-window attention variants are not supported"
+        )
+    base = llama_config(hf_cfg)
+    import dataclasses
+
+    return dataclasses.replace(base, attention_bias="qkv")
+
+
+def load_qwen2(model_dir: str):
+    """Local transformers Qwen2 directory -> (params, ModelConfig).
+    The state-dict layout matches llama (plus q/k/v biases, which
+    :func:`convert_llama` already imports when present)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = qwen2_config(hf_cfg)
+    params = convert_llama(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
 def convert_llama(state_dict: Mapping, cfg: ModelConfig) -> dict:
     """HF Llama state dict -> this framework's causal-LM pytree.
 
@@ -582,6 +614,10 @@ def to_llama_state_dict(params, cfg: ModelConfig) -> dict:
             out[pre + f"self_attn.{theirs}.weight"] = np.asarray(
                 blk["attn"][ours]["w"], np.float32
             ).T
+            if "b" in blk["attn"][ours]:  # Qwen2: q/k/v carry biases
+                out[pre + f"self_attn.{theirs}.bias"] = np.asarray(
+                    blk["attn"][ours]["b"], np.float32
+                )
         out[pre + "post_attention_layernorm.weight"] = np.asarray(
             blk["ln2"]["scale"], np.float32
         )
@@ -616,6 +652,37 @@ def export_llama(params, cfg: ModelConfig, out_dir: str) -> str:
         attention_bias=False,
     )
     model = LlamaForCausalLM(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_llama_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
+def export_qwen2(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable Qwen2 model directory (llama state
+    dict plus the q/k/v biases :func:`to_llama_state_dict` emits)."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.d_model,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.kv_heads,
+        intermediate_size=cfg.d_ff,
+        max_position_embeddings=cfg.max_seq_len,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        tie_word_embeddings=cfg.tie_embeddings,
+        use_sliding_window=False,
+    )
+    model = Qwen2ForCausalLM(hf_cfg)
     sd = {
         k: torch.from_numpy(v.copy())
         for k, v in to_llama_state_dict(params, cfg).items()
@@ -883,6 +950,8 @@ def export_causal_auto(params, cfg: ModelConfig, out_dir: str) -> str:
     if blocks_stacked(params):
         params = unstack_blocks(params, cfg.n_layers)
     if cfg.norm == "rmsnorm" or cfg.mlp_gated:
+        if cfg.attention_bias == "qkv":
+            return export_qwen2(params, cfg, out_dir)
         return export_llama(params, cfg, out_dir)
     if cfg.positional == "alibi":
         return export_bloom(params, cfg, out_dir)
@@ -908,6 +977,8 @@ def load_causal_auto(model_dir: str):
         return load_gpt2(model_dir)
     if model_type in ("llama", "mistral"):
         return load_llama(model_dir)
+    if model_type == "qwen2":
+        return load_qwen2(model_dir)
     if model_type == "bloom":
         return load_bloom(model_dir)
     return load_gpt_neox(model_dir)

@@ -173,14 +173,17 @@ def alibi_bias(n_heads: int, key_positions):
 
 
 def init_attention(key, d_model: int, n_heads: int, *, n_kv_heads=None,
-                   use_bias: bool = True):
+                   use_bias=True):
+    """``use_bias``: True = all projections biased (GPT families), False =
+    bias-free (llama), "qkv" = q/k/v only (Qwen2 family)."""
     ks = jax.random.split(key, 4)
     kv_dim = d_model if n_kv_heads is None else d_model // n_heads * n_kv_heads
+    qkv_bias = use_bias in (True, "qkv")
     return {
-        "wq": init_dense(ks[0], d_model, d_model, use_bias=use_bias),
-        "wk": init_dense(ks[1], d_model, kv_dim, use_bias=use_bias),
-        "wv": init_dense(ks[2], d_model, kv_dim, use_bias=use_bias),
-        "wo": init_dense(ks[3], d_model, d_model, use_bias=use_bias),
+        "wq": init_dense(ks[0], d_model, d_model, use_bias=qkv_bias),
+        "wk": init_dense(ks[1], d_model, kv_dim, use_bias=qkv_bias),
+        "wv": init_dense(ks[2], d_model, kv_dim, use_bias=qkv_bias),
+        "wo": init_dense(ks[3], d_model, d_model, use_bias=use_bias is True),
     }
 
 
@@ -364,7 +367,7 @@ def mlp(p, x, activation: str = "gelu"):
 def init_block(key, d_model: int, n_heads: int, d_ff: int, *,
                cross: bool = False, norm: str = "layernorm",
                gated_mlp: bool = False, n_kv_heads=None,
-               use_bias: bool = True):
+               use_bias=True):
     ks = jax.random.split(key, 5)
     init_norm = init_rmsnorm if norm == "rmsnorm" else init_layernorm
     p = {
@@ -373,8 +376,9 @@ def init_block(key, d_model: int, n_heads: int, d_ff: int, *,
             ks[0], d_model, n_heads, n_kv_heads=n_kv_heads, use_bias=use_bias
         ),
         "ln2": init_norm(d_model),
+        # "qkv" (Qwen2) biases the attention projections only
         "mlp": init_mlp(ks[1], d_model, d_ff, gated=gated_mlp,
-                        use_bias=use_bias),
+                        use_bias=use_bias is True),
     }
     if cross:
         p["ln_cross"] = init_norm(d_model)
