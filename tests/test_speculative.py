@@ -173,13 +173,83 @@ def test_generation_config_dispatch_and_guards():
     ref = generate(params, cfg, ids, mask, max_new_tokens=8, eos_id=2)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
     for bad in (
-        GenerationConfig(speculative="ngram", temperature=0.7),
         GenerationConfig(speculative="ngram", num_beams=2),
         GenerationConfig(speculative="ngram", repetition_penalty=1.2),
         GenerationConfig(speculative="magic"),
     ):
         with pytest.raises(ValueError):
             generate_with_config(params, cfg, ids, mask, bad, eos_id=2)
+    # sampling IS supported (distribution-exact rejection sampling)
+    out = generate_with_config(
+        params, cfg, ids, mask,
+        GenerationConfig(max_new_tokens=8, speculative="ngram",
+                         temperature=0.8, top_k=20),
+        eos_id=2,
+    )
+    assert np.asarray(out).shape == (2, 18)
+
+
+def test_speculative_sampling_marginals_exact():
+    """Sampled speculation must draw from EXACTLY the target distribution.
+    With a tiny vocabulary the per-position marginals are enumerable:
+    compare the empirical distribution of generated tokens (4096 iid rows)
+    at produced positions 1 and 2 — positions that pass through the
+    accept/resample machinery — against the exact enumerated marginal.
+    A plain sampled generate() run is measured as calibration control."""
+    from vietnamese_qa_system_tpu.models.causal_lm import forward
+
+    v = 13
+    cfg = ModelConfig(arch="causal", vocab_size=v, d_model=16, n_heads=2,
+                      n_layers=1, d_ff=32, max_seq_len=64)
+    params = _mk(cfg, seed=3)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, v, (1, 6)).astype(np.int32)
+    n_rows = 4096
+    ids = jnp.asarray(np.tile(prompt, (n_rows, 1)))
+    mask = jnp.ones((n_rows, prompt.shape[1]), jnp.int32)
+
+    def dist_after(prefix_batch):
+        """softmax over the last position for each prefix row."""
+        lg = np.asarray(forward(
+            params, cfg, jnp.asarray(prefix_batch),
+            jnp.ones(prefix_batch.shape, jnp.int32),
+        ))[:, -1].astype(np.float64)
+        e = np.exp(lg - lg.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    # exact marginals at produced positions 0, 1, 2 by enumeration
+    p0 = dist_after(prompt)[0]                                   # (V,)
+    pre1 = np.concatenate(
+        [np.tile(prompt, (v, 1)), np.arange(v)[:, None]], axis=1
+    ).astype(np.int32)
+    p1_cond = dist_after(pre1)                                   # (V, V)
+    m1 = p0 @ p1_cond
+    pairs = np.stack(np.meshgrid(np.arange(v), np.arange(v),
+                                 indexing="ij"), -1).reshape(-1, 2)
+    pre2 = np.concatenate(
+        [np.tile(prompt, (v * v, 1)), pairs], axis=1
+    ).astype(np.int32)
+    p2_cond = dist_after(pre2).reshape(v, v, v)
+    m2 = np.einsum("i,ij,ijk->k", p0, p1_cond, p2_cond)
+
+    t = prompt.shape[1]
+    tol = 0.08  # TV noise at N=4096, V=13 is ~0.03
+    for name, sample_fn in (
+        ("speculative", lambda: generate_speculative(
+            params, cfg, ids, mask, max_new_tokens=4, eos_id=None,
+            draft_tokens=3, draft_ngram=2, temperature=1.0,
+            key=jax.random.key(42),
+        )),
+        ("plain control", lambda: generate(
+            params, cfg, ids, mask, max_new_tokens=4, eos_id=None,
+            temperature=1.0, key=jax.random.key(43),
+        )),
+    ):
+        toks = np.asarray(sample_fn())[:, t:]
+        for pos, exact in ((0, p0), (1, m1), (2, m2)):
+            emp = np.bincount(toks[:, pos], minlength=v) / n_rows
+            tv = 0.5 * np.abs(emp - exact).sum()
+            assert tv < tol, f"{name} pos {pos}: TV {tv:.3f}"
 
 
 def test_speculative_over_quantized_base():
@@ -199,3 +269,32 @@ def test_speculative_over_quantized_base():
             draft_tokens=4, draft_ngram=2,
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_top_p_threshold_mask_matches_sort_reference():
+    """The bisection nucleus (no full-vocab sort — measured 4x faster
+    per sampled decode step on chip) must keep exactly the HF sorted-
+    prefix set, except at boundary probability TIES where it keeps all
+    tied tokens (a sort keeps an arbitrary subset)."""
+    from vietnamese_qa_system_tpu.models.generate import _top_p_mask
+
+    rng = np.random.default_rng(0)
+    f = jax.jit(_top_p_mask, static_argnums=1)
+    for v in (16, 503):
+        for trial in range(10):
+            logits = jnp.asarray(rng.normal(0, 3, (3, v)).astype(np.float32))
+            for top_p in (0.1, 0.5, 0.9, 0.97):
+                got = np.asarray(f(logits, top_p))
+                l = np.asarray(logits, np.float64)
+                p = np.exp(l - l.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                for r in range(3):
+                    order = np.argsort(-p[r])
+                    cum = np.cumsum(p[r][order])
+                    keep_sorted = cum - p[r][order] < top_p
+                    ref = np.zeros(v, bool)
+                    ref[order] = keep_sorted
+                    if not np.array_equal(got[r], ref):
+                        diff = got[r] != ref
+                        boundary = p[r][order][keep_sorted.sum() - 1]
+                        assert np.allclose(p[r][diff], boundary, rtol=1e-4)

@@ -735,7 +735,6 @@ def cmd_chat(args) -> int:
         use_spec = (
             args.speculative != "none"
             and model.arch == "causal"
-            and args.temperature == 0.0
             and args.num_beams == 1
         )
         gen = gen_mod.GenerationConfig(

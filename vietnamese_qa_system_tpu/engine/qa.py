@@ -64,13 +64,12 @@ class QAPipeline:
         self.max_prompt_len = max_prompt_len
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
-        # prompt-lookup speculative decode (lossless; causal+greedy only).
-        # RAG answers quote the retrieved [CTX i] passages, so the drafter
-        # hits exactly where this pipeline spends its decode time.
+        # prompt-lookup speculative decode (token-exact greedy /
+        # distribution-exact sampled; causal only).  RAG answers quote the
+        # retrieved [CTX i] passages, so the drafter hits exactly where
+        # this pipeline spends its decode time.
         self.speculative = (
-            speculative
-            if reader_cfg.arch == "causal" and temperature == 0.0
-            else "none"
+            speculative if reader_cfg.arch == "causal" else "none"
         )
         self.draft_tokens = draft_tokens
         self.draft_ngram = draft_ngram

@@ -77,15 +77,15 @@ def generate_with_config(
             f"unknown speculative mode {gen.speculative!r} (none|ngram)"
         )
     if gen.speculative == "ngram":
-        # lossless only for plain greedy: sampling, beams and logit
-        # post-processors change the per-step choice the verifier checks
+        # greedy is token-exact; sampling is distribution-exact (rejection
+        # sampling).  History-dependent logit post-processors (penalties,
+        # n-gram bans) would break the verify-window independence, and
+        # beams/seq2seq have no speculative driver.
         unsupported = []
         if cfg.arch == "seq2seq":
             unsupported.append("seq2seq arch")
         if gen.num_beams > 1:
             unsupported.append("num_beams > 1")
-        if gen.temperature != 0.0:
-            unsupported.append("temperature > 0")
         if gen.repetition_penalty != 1.0:
             unsupported.append("repetition_penalty")
         if gen.no_repeat_ngram_size > 0:
@@ -94,8 +94,8 @@ def generate_with_config(
             unsupported.append("min_new_tokens")
         if unsupported:
             raise ValueError(
-                "speculative decoding is greedy-causal only; unsupported "
-                f"options set: {', '.join(unsupported)}"
+                "speculative decoding is causal greedy/sampled only; "
+                f"unsupported options set: {', '.join(unsupported)}"
             )
         return generate_speculative(
             params, cfg, ids, attn_mask,
@@ -103,6 +103,10 @@ def generate_with_config(
             eos_id=eos_id,
             draft_tokens=gen.draft_tokens,
             draft_ngram=gen.draft_ngram,
+            temperature=gen.temperature,
+            top_k=gen.top_k,
+            top_p=gen.top_p,
+            key=jax.random.key(gen.seed),
         )
     if cfg.arch == "seq2seq":
         if gen.num_beams > 1:
@@ -154,27 +158,53 @@ def generate_with_config(
 
 
 
+def _top_p_mask(logits, top_p: float, iters: int = 26):
+    """Nucleus keep-mask by THRESHOLD BISECTION instead of a full-vocab
+    sort.  The nucleus {minimal sorted prefix with mass >= top_p} equals
+    {p_i >= tau*} for tau* = sup{tau : mass(p >= tau) >= top_p} (modulo
+    exact probability ties at the boundary, where this keeps ALL tied
+    tokens and a sort keeps an arbitrary subset).  mass(tau) is monotone,
+    so 26 halvings pin tau* to p_max/2^26 — each iteration is one
+    elementwise select+sum over (..., V), which the VPU streams, vs an
+    O(V log^2 V) bitonic argsort: measured 8.4 -> 2.0 ms/step on the
+    plain sampled decode path (gpt-125m-class, B=8, top_p=0.95, v5e)."""
+    p = jax.nn.softmax(logits, axis=-1)
+    lo = jnp.zeros(p.shape[:-1] + (1,), p.dtype)
+    hi = jnp.max(p, axis=-1, keepdims=True)
+
+    def step(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(p >= mid, p, 0.0), axis=-1, keepdims=True)
+        ok = mass >= top_p
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, step, (lo, hi))
+    return p >= lo
+
+
+def _process_logits(logits, *, temperature, top_k, top_p):
+    """Temperature/top-k/nucleus logit processing over (..., V): the
+    softmax of the result IS the sampling target distribution (shared by
+    the per-token samplers and speculative rejection sampling)."""
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p < 1.0:
+        logits = jnp.where(_top_p_mask(logits, top_p), logits, -1e30)
+    return logits
+
+
 def _sample_logits(logits, key, *, temperature, top_k, top_p):
     """Greedy / temperature / top-k / nucleus sampling over (B, V) logits —
     capability of the reference's GenerationConfig surface (top_k, top_p,
     temperature, reference src/models/trainer.py:390-413)."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits.astype(jnp.float32) / temperature
-    if top_k and top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
-        logits = jnp.where(logits < kth, -1e30, logits)
-    if top_p < 1.0:
-        sort_idx = jnp.argsort(-logits, axis=-1)
-        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until the cumulative mass first exceeds top_p
-        keep_sorted = cum - probs < top_p
-        keep = jnp.zeros_like(keep_sorted).at[
-            jnp.arange(logits.shape[0])[:, None], sort_idx
-        ].set(keep_sorted)
-        logits = jnp.where(keep, logits, -1e30)
+    logits = _process_logits(
+        logits, temperature=temperature, top_k=top_k, top_p=top_p
+    )
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
@@ -424,7 +454,7 @@ def _ngram_draft(seq_buf, cur_end, pad_start, gamma: int, ngram: int):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "eos_id", "draft_tokens", "draft_ngram",
-        "return_stats",
+        "temperature", "top_k", "top_p", "return_stats",
     ),
 )
 def generate_speculative(
@@ -437,23 +467,41 @@ def generate_speculative(
     eos_id: int | None = None,
     draft_tokens: int = 8,
     draft_ngram: int = 3,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    key=None,
     return_stats: bool = False,
 ):
-    """Lossless greedy decode via prompt-lookup speculative decoding.
+    """Lossless greedy OR distribution-exact sampled decode via
+    prompt-lookup speculative decoding.
 
-    Output is token-identical to ``generate(temperature=0)`` — speculation
-    only changes HOW MANY model passes produce it.  (One caveat, shared
-    with HF assisted generation: the 1-token step and the multi-token
-    verify window reduce their matmuls in different orders, so an argmax
-    whose top-2 logit margin is ~float-epsilon can flip; scripts/
-    probe_spec.py checks any observed divergence is such a tie.)  Each iteration drafts
-    ``draft_tokens`` tokens by n-gram lookup over the prompt+generated
-    stream (:func:`_ngram_draft`), verifies the whole window in ONE model
-    pass, and accepts the longest prefix that matches the model's own
-    greedy choices (plus the model's correction token).  Decode at serving
-    batch sizes is weight-streaming-bound (docs/BENCHMARKS.md "Greedy
-    decode": 0.82 ms/step ≈ the 250 MB bf16 weight stream), so accepted
-    drafts are a direct multiple on tokens/s.
+    Greedy (``temperature=0``): output is token-identical to
+    ``generate(temperature=0)`` — speculation only changes HOW MANY model
+    passes produce it.  (One caveat, shared with HF assisted generation:
+    the 1-token step and the multi-token verify window reduce their
+    matmuls in different orders, so an argmax whose top-2 logit margin is
+    ~float-epsilon can flip; scripts/probe_spec.py checks any observed
+    divergence is such a tie.)
+
+    Sampled (``temperature>0``, with top-k/top-p): exact rejection
+    sampling over the POINT-MASS draft distribution (the speculative
+    sampling correctness argument of Leviathan et al. 2023 specialized to
+    a deterministic drafter): draft token d at a position with target
+    distribution p is accepted with probability p(d); on rejection the
+    replacement is drawn from p renormalized with d excluded, so the
+    marginal is p(x) exactly — the SAME distribution plain sampled
+    ``generate`` draws from, at fewer model passes (per-position
+    marginals verified against enumerated exact marginals in
+    tests/test_speculative.py).
+
+    Each iteration drafts ``draft_tokens`` tokens by n-gram lookup over
+    the prompt+generated stream (:func:`_ngram_draft`), verifies the
+    whole window in ONE model pass, and accepts the longest holding
+    prefix plus a correction/bonus token.  Decode at serving batch sizes
+    is weight-streaming-bound (docs/BENCHMARKS.md "Greedy decode":
+    0.82 ms/step ≈ the 250 MB bf16 weight stream), so accepted drafts are
+    a direct multiple on tokens/s.
 
     TPU-first mechanics: a ``lax.while_loop`` with static shapes; rows
     accept different draft counts, so each row keeps its own cache cursor
@@ -495,7 +543,12 @@ def generate_speculative(
         params, cfg, ids, prefill_mask,
         positions=positions, cache=cache, cache_index=0,
     )
-    g0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    if key is None:
+        key = jax.random.key(0)
+    key, k0 = jax.random.split(key)
+    g0 = _sample_logits(
+        logits[:, -1], k0, temperature=temperature, top_k=top_k, top_p=top_p
+    )
 
     # produced token i lives at seq_buf[:, t+i]; one dump column at the end
     # absorbs masked writes so clipping can never corrupt a real slot
@@ -514,11 +567,11 @@ def generate_speculative(
     s_win = jnp.arange(gamma + 1)
 
     def cond(carry):
-        _, _, n_dec, done, _, _ = carry
+        _, _, n_dec, done, _, _, _ = carry
         return jnp.any(~done & (n_dec < max_new_tokens - 1))
 
     def body(carry):
-        cache, seq_buf, n_dec, done, iters, n_spec = carry
+        cache, seq_buf, n_dec, done, iters, n_spec, loop_key = carry
         cur_end = t + n_dec + 1
         drafts = _ngram_draft(seq_buf, cur_end, pad_start, gamma, ngram)
         pending = seq_buf[jnp.arange(b), t + n_dec]
@@ -534,14 +587,42 @@ def generate_speculative(
             params, cfg, window, mask,
             positions=pos, cache=cache, cache_index=write_at,
         )
-        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, gamma+1)
-        # draft s (window col s, s>=1) holds iff the model's greedy pick
-        # after col s-1 equals it, and every earlier draft held
-        hold = jnp.cumprod(
-            (y[:, :gamma] == window[:, 1:]).astype(jnp.int32), axis=1
-        )
-        a = jnp.sum(hold, axis=1)  # (B,) accepted drafts in [0, gamma]
-        bonus = jnp.take_along_axis(y, a[:, None], axis=1)[:, 0]
+        if temperature == 0.0:
+            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, gamma+1)
+            # draft s (window col s, s>=1) holds iff the model's greedy
+            # pick after col s-1 equals it, and every earlier draft held
+            hold = jnp.cumprod(
+                (y[:, :gamma] == window[:, 1:]).astype(jnp.int32), axis=1
+            )
+            a = jnp.sum(hold, axis=1)  # (B,) accepted drafts in [0, gamma]
+            bonus = jnp.take_along_axis(y, a[:, None], axis=1)[:, 0]
+        else:
+            # exact rejection sampling against the point-mass drafter:
+            # accept d with prob p(d); replace a rejected d by a draw from
+            # p with d excluded (renormalized) — marginal is exactly p
+            loop_key, k_u, k_r = jax.random.split(loop_key, 3)
+            proc = _process_logits(
+                logits, temperature=temperature, top_k=top_k, top_p=top_p
+            )  # (B, gamma+1, V); softmax(proc) is the target distribution
+            logp = jax.nn.log_softmax(proc, axis=-1)
+            p_draft = jnp.exp(
+                jnp.take_along_axis(
+                    logp[:, :gamma], window[:, 1:, None], axis=-1
+                )[..., 0]
+            )  # (B, gamma): target prob of each draft at its position
+            u = jax.random.uniform(k_u, (b, gamma))
+            hold = jnp.cumprod((u < p_draft).astype(jnp.int32), axis=1)
+            a = jnp.sum(hold, axis=1)
+            # one categorical per window position: positions < gamma ban
+            # their (rejected) draft token, position gamma (all accepted)
+            # samples the bonus from the unmodified target
+            v = proc.shape[-1]
+            ban = jax.nn.one_hot(window[:, 1:], v, dtype=jnp.bool_)
+            proc = proc.at[:, :gamma].set(
+                jnp.where(ban, -1e30, proc[:, :gamma])
+            )
+            res = jax.random.categorical(k_r, proc, axis=-1).astype(jnp.int32)
+            bonus = jnp.take_along_axis(res, a[:, None], axis=1)[:, 0]
         # writes: produced indices n_dec+1 .. n_dec+a+1 get [d_1..d_a, bonus]
         jw = jnp.arange(gamma + 1)[None, :]
         drafts_pad = jnp.concatenate(
@@ -567,12 +648,12 @@ def generate_speculative(
         if eos_id is not None:
             done = done | jnp.any(write_ok & (vals == eos_id), axis=1)
         n_dec = n_dec + n_written
-        return cache, seq_buf, n_dec, done, iters + 1, n_spec
+        return cache, seq_buf, n_dec, done, iters + 1, n_spec, loop_key
 
-    _, seq_buf, n_dec, _, iters, n_spec = jax.lax.while_loop(
+    _, seq_buf, n_dec, _, iters, n_spec, _ = jax.lax.while_loop(
         cond,
         body,
-        (cache, seq_buf0, n_dec0, done0, jnp.int32(0), jnp.int32(0)),
+        (cache, seq_buf0, n_dec0, done0, jnp.int32(0), jnp.int32(0), key),
     )
     toks = seq_buf[:, t : t + max_new_tokens]
     if eos_id is not None:
