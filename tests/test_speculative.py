@@ -298,3 +298,30 @@ def test_top_p_threshold_mask_matches_sort_reference():
                         diff = got[r] != ref
                         boundary = p[r][order][keep_sorted.sum() - 1]
                         assert np.allclose(p[r][diff], boundary, rtol=1e-4)
+
+
+def test_generate_under_tensor_parallel_sharding():
+    """DS-TP inference capability (reference ds_inference.py): generation
+    over tp-sharded params must be bit-identical to single-device decode,
+    for both the plain and the speculative driver (the per-row cache
+    scatter must compose with GSPMD-propagated head sharding)."""
+    from vietnamese_qa_system_tpu.core.mesh import create_mesh
+    from vietnamese_qa_system_tpu.parallel.sharding import (
+        param_sharding,
+        shard_params,
+    )
+
+    cfg = ModelConfig(**{**BASE, "d_model": 64, "n_heads": 8, "d_ff": 128})
+    params = _mk(cfg)
+    mesh = create_mesh({"model": 8})
+    sp = shard_params(params, param_sharding(params, mesh, strategy="tp"))
+    ids, mask = _prompts(np.random.default_rng(7), 2, 16)
+    ref = np.asarray(generate(params, cfg, ids, mask,
+                              max_new_tokens=12, eos_id=2))
+    tp = np.asarray(generate(sp, cfg, ids, mask, max_new_tokens=12, eos_id=2))
+    np.testing.assert_array_equal(ref, tp)
+    tps = np.asarray(generate_speculative(
+        sp, cfg, ids, mask, max_new_tokens=12, eos_id=2,
+        draft_tokens=4, draft_ngram=2,
+    ))
+    np.testing.assert_array_equal(ref, tps)

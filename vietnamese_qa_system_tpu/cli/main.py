@@ -125,6 +125,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--min-new-tokens", type=int, default=0)
     g.add_argument("--num-beams", type=int, default=1)
     g.add_argument("--length-penalty", type=float, default=1.0)
+    g.add_argument("--speculative", choices=["none", "ngram"], default="none",
+                   help="prompt-lookup speculative decoding for generative "
+                   "eval (token-exact greedy / distribution-exact sampled; "
+                   "causal models without penalties/beams only)")
+    g.add_argument("--draft-tokens", type=int, default=8)
+    g.add_argument("--draft-ngram", type=int, default=3)
     g.add_argument("--print-samples", type=int, default=0,
                    help="decode and print N training examples before "
                    "training (reference trainer.py:417-437 sample dump)")
@@ -339,6 +345,16 @@ def cmd_train(args) -> int:
                     num_beams=args.num_beams,
                     length_penalty=args.length_penalty,
                     seed=args.seed,
+                    speculative=(
+                        args.speculative
+                        if model.arch == "causal" and args.num_beams == 1
+                        and args.repetition_penalty == 1.0
+                        and args.no_repeat_ngram_size == 0
+                        and args.min_new_tokens == 0
+                        else "none"
+                    ),
+                    draft_tokens=args.draft_tokens,
+                    draft_ngram=args.draft_ngram,
                 ),
                 log_dir=os.path.join(args.log_dir, "predictions"),
                 epoch=epoch,
