@@ -190,3 +190,16 @@ def test_cli_convert_ckpt(dataset, tmp_path):
         str(tmp_path / "exported")
     )
     assert model.config.model_type == "gpt_neox"
+
+
+def test_cli_chat_draft_model_smoke(monkeypatch, capsys):
+    """--speculative draft wires a small draft model through the chat REPL
+    (draft-model speculative decoding; greedy output stays token-exact)."""
+    answers = iter(["xin chào", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = main(["chat", "--max-new-tokens", "4", "--max-len", "32",
+               "--speculative", "draft", "--draft-size", "tiny",
+               "--draft-tokens", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "model>" in out

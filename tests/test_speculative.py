@@ -325,3 +325,107 @@ def test_generate_under_tensor_parallel_sharding():
         draft_tokens=4, draft_ngram=2,
     ))
     np.testing.assert_array_equal(ref, tps)
+
+
+DRAFT = dict(arch="causal", vocab_size=97, d_model=16, n_heads=2,
+             n_layers=1, d_ff=32, max_seq_len=256)
+
+
+def test_draft_model_greedy_matches_regardless_of_draft():
+    """Draft-model speculation: greedy output must be token-identical to
+    plain greedy no matter how bad the draft is (an unrelated random
+    draft accepts ~nothing; correctness must not depend on it)."""
+    from vietnamese_qa_system_tpu.models.generate import (
+        generate_speculative_draft,
+    )
+
+    cfg = ModelConfig(**BASE)
+    dcfg = ModelConfig(**DRAFT)
+    params, dparams = _mk(cfg), _mk(dcfg, seed=5)
+    ids, mask = _prompts(np.random.default_rng(8), 3, 16)
+    ref = generate(params, cfg, ids, mask, max_new_tokens=20, eos_id=2)
+    out = generate_speculative_draft(
+        params, cfg, dparams, dcfg, ids, mask,
+        max_new_tokens=20, eos_id=2, draft_tokens=4,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_draft_model_self_draft_accepts_everything():
+    """With draft == target, every draft matches the target argmax
+    (modulo fp ties), so the pass count approaches ceil(new/(gamma+1))."""
+    from vietnamese_qa_system_tpu.models.generate import (
+        generate_speculative_draft,
+    )
+
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    ids, mask = _prompts(np.random.default_rng(9), 2, 12)
+    out, st = generate_speculative_draft(
+        params, cfg, params, cfg, ids, mask,
+        max_new_tokens=20, eos_id=None, draft_tokens=4, return_stats=True,
+    )
+    ref = generate(params, cfg, ids, mask, max_new_tokens=20, eos_id=None)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert int(st["iterations"]) <= 10  # perfect drafter: 4 passes
+
+
+def test_draft_model_vocab_mismatch_raises():
+    from vietnamese_qa_system_tpu.models.generate import (
+        generate_speculative_draft,
+    )
+
+    cfg = ModelConfig(**BASE)
+    dcfg = ModelConfig(**{**DRAFT, "vocab_size": 64})
+    ids, mask = _prompts(np.random.default_rng(0), 1, 8)
+    with pytest.raises(ValueError):
+        generate_speculative_draft(
+            _mk(cfg), cfg, _mk(dcfg), dcfg, ids, mask, max_new_tokens=4,
+        )
+
+
+def test_draft_model_sampling_marginals_exact():
+    """The ratio-acceptance + residual-resampling theorem: with a
+    DIFFERENT draft model the sampled marginals must still be exactly the
+    TARGET model's (enumerated) marginals — the draft may only change the
+    pass count, never the distribution."""
+    from vietnamese_qa_system_tpu.models.causal_lm import forward
+    from vietnamese_qa_system_tpu.models.generate import (
+        generate_speculative_draft,
+    )
+
+    v = 13
+    cfg = ModelConfig(arch="causal", vocab_size=v, d_model=16, n_heads=2,
+                      n_layers=1, d_ff=32, max_seq_len=64)
+    dcfg = ModelConfig(arch="causal", vocab_size=v, d_model=8, n_heads=1,
+                       n_layers=1, d_ff=16, max_seq_len=64)
+    params, dparams = _mk(cfg, seed=3), _mk(dcfg, seed=11)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, v, (1, 6)).astype(np.int32)
+    n_rows = 4096
+    ids = jnp.asarray(np.tile(prompt, (n_rows, 1)))
+    mask = jnp.ones((n_rows, prompt.shape[1]), jnp.int32)
+
+    def dist_after(prefix_batch):
+        lg = np.asarray(forward(
+            params, cfg, jnp.asarray(prefix_batch),
+            jnp.ones(prefix_batch.shape, jnp.int32),
+        ))[:, -1].astype(np.float64)
+        e = np.exp(lg - lg.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    p0 = dist_after(prompt)[0]
+    pre1 = np.concatenate(
+        [np.tile(prompt, (v, 1)), np.arange(v)[:, None]], axis=1
+    ).astype(np.int32)
+    m1 = p0 @ dist_after(pre1)
+
+    toks = np.asarray(generate_speculative_draft(
+        params, cfg, dparams, dcfg, ids, mask, max_new_tokens=3,
+        eos_id=None, draft_tokens=2, temperature=1.0,
+        key=jax.random.key(21),
+    ))[:, prompt.shape[1]:]
+    for pos, exact in ((0, p0), (1, m1)):
+        emp = np.bincount(toks[:, pos], minlength=v) / n_rows
+        tv = 0.5 * np.abs(emp - exact).sum()
+        assert tv < 0.08, f"pos {pos}: TV {tv:.3f}"

@@ -617,12 +617,30 @@ def cmd_serve(args) -> int:
 
             rparams = quantize_dense_tree(rparams, args.reader_quantize)
             dist_print(f"reader decodes over a {args.reader_quantize} base")
+        reader_draft = None
+        if args.speculative == "draft" and rcfg.arch == "causal":
+            ddcfg = presets_r[args.reader_draft_size]()
+            if ddcfg.vocab_size != rcfg.vocab_size:
+                ddcfg = _dc.replace(ddcfg, vocab_size=rcfg.vocab_size)
+            if args.reader_draft_params:
+                ddparams = load_converted_params(
+                    args.reader_draft_params, ddcfg
+                )
+            else:
+                ddparams = init_model_params(
+                    ddcfg, jax.random.key(args.seed + 7)
+                )
+                dist_print(
+                    "(no --reader-draft-params: drafting with RANDOM weights)"
+                )
+            reader_draft = (ddparams, ddcfg)
         qa = QAPipeline(
             retriever, rparams, rcfg, tok,
             k=args.k, min_score=args.min_score,
             speculative=args.speculative,
             draft_tokens=args.draft_tokens,
             draft_ngram=args.draft_ngram,
+            draft=reader_draft,
         )
 
     if args.port is not None:
@@ -735,6 +753,29 @@ def cmd_chat(args) -> int:
 
         params = quantize_dense_tree(params, args.quantize)
         dist_print(f"decoding over a {args.quantize}-quantized base")
+    draft = None
+    if args.speculative == "draft" and model.arch == "causal":
+        from ..models import config as mcfg
+
+        draft_presets = {
+            "tiny": lambda: mcfg.tiny_test("causal"),
+            "gpt125m": mcfg.gpt_125m_class,
+            "gptneo125m": mcfg.gpt_neo_125m,
+            "pythia410m": mcfg.pythia_410m_class,
+            "qwen2-05b": mcfg.qwen2_05b_class,
+            "bloom560m": mcfg.bloom_560m_class,
+        }
+        dcfg = draft_presets[args.draft_size]()
+        if tok.vocab_size > dcfg.vocab_size:
+            dcfg = dataclasses.replace(dcfg, vocab_size=tok.vocab_size)
+        if dcfg.vocab_size != model.vocab_size:
+            dcfg = dataclasses.replace(dcfg, vocab_size=model.vocab_size)
+        if args.draft_params:
+            dparams = load_converted_params(args.draft_params, dcfg)
+        else:
+            dparams = init_model_params(dcfg, jax.random.key(args.seed + 7))
+            dist_print("(no --draft-params: drafting with RANDOM weights)")
+        draft = (dparams, dcfg)
     dist_print("chat REPL — empty line quits")
     while True:
         try:
@@ -764,6 +805,7 @@ def cmd_chat(args) -> int:
         out = gen_mod.generate_with_config(
             params, model, np.asarray(ids), np.asarray(mask), gen,
             eos_id=tok.eos_id,
+            draft=draft,
         )
         # causal output includes the prompt; seq2seq output is new tokens
         new_tokens = (
@@ -936,12 +978,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantize the reader's dense weights for decode "
                     "(2x/4x less HBM traffic per generated token)")
     ps.add_argument("--min-score", type=float, default=0.2)
-    ps.add_argument("--speculative", choices=["none", "ngram"], default="ngram",
-                    help="prompt-lookup speculative decoding for the reader "
-                    "(lossless greedy; RAG answers quote contexts, so "
-                    "drafts hit often — default on for causal readers)")
+    ps.add_argument("--speculative", choices=["none", "ngram", "draft"],
+                    default="ngram",
+                    help="speculative decoding for the reader: ngram = "
+                    "prompt-lookup (RAG answers quote contexts, so drafts "
+                    "hit often — default on for causal readers), draft = "
+                    "small draft model (--reader-draft-size/-params)")
     ps.add_argument("--draft-tokens", type=int, default=8)
     ps.add_argument("--draft-ngram", type=int, default=3)
+    ps.add_argument("--reader-draft-size", default="tiny",
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
+                             "qwen2-05b", "bloom560m"],
+                    help="draft model preset for --speculative draft")
+    ps.add_argument("--reader-draft-params", default=None,
+                    help="checkpoint/npz for the reader draft model")
     ps.add_argument("--port", type=int, default=None,
                     help="serve an HTTP JSON API on this port instead of "
                     "the REPL (0 = ephemeral); micro-batches concurrent "
@@ -984,12 +1034,20 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
                     help="quantize dense weights for decode (2x/4x less "
                     "HBM traffic per generated token)")
-    pc.add_argument("--speculative", choices=["none", "ngram"],
+    pc.add_argument("--speculative", choices=["none", "ngram", "draft"],
                     default="ngram",
-                    help="prompt-lookup speculative decoding (lossless; "
-                    "applies only to greedy causal chat, ignored otherwise)")
+                    help="speculative decoding: ngram = prompt-lookup, "
+                    "draft = small draft model (needs --draft-size/"
+                    "--draft-params); causal chat only, token-exact greedy "
+                    "/ distribution-exact sampled")
     pc.add_argument("--draft-tokens", type=int, default=8)
     pc.add_argument("--draft-ngram", type=int, default=3)
+    pc.add_argument("--draft-size", default="tiny",
+                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
+                             "qwen2-05b", "bloom560m"],
+                    help="draft model preset for --speculative draft")
+    pc.add_argument("--draft-params", default=None,
+                    help="checkpoint/npz for the draft model")
     pc.add_argument("--seed", type=int, default=42)
     pc.set_defaults(fn=cmd_chat)
 

@@ -54,6 +54,7 @@ class QAPipeline:
         speculative: str = "none",
         draft_tokens: int = 8,
         draft_ngram: int = 3,
+        draft=None,
     ):
         self.retriever = retriever
         self.params = reader_params
@@ -73,6 +74,8 @@ class QAPipeline:
         )
         self.draft_tokens = draft_tokens
         self.draft_ngram = draft_ngram
+        # (draft_params, draft_cfg) pair for speculative="draft"
+        self.draft = draft
         self.rng = random.Random(seed)
 
     def _build_prompt(self, question: str, contexts: Sequence[str]) -> str:
@@ -157,6 +160,7 @@ class QAPipeline:
                     draft_ngram=self.draft_ngram,
                 ),
                 eos_id=self.tok.eos_id,
+                draft=self.draft,
             )
             out = np.asarray(out)
             for row_idx, i in enumerate(live):

@@ -40,8 +40,11 @@ class GenerationConfig:
     num_beams: int = 1
     length_penalty: float = 1.0
     seed: int = 0
-    # "ngram" = prompt-lookup speculative decoding (lossless greedy;
-    # beyond-parity serving capability — see generate_speculative)
+    # "ngram" = prompt-lookup speculative decoding, "draft" = draft-model
+    # speculative decoding (token-exact greedy / distribution-exact
+    # sampled; beyond-parity serving capability — see generate_speculative
+    # and generate_speculative_draft; "draft" needs the `draft=` pair on
+    # generate_with_config)
     speculative: str = "none"
     draft_tokens: int = 8
     draft_ngram: int = 3
@@ -56,8 +59,12 @@ def generate_with_config(
     *,
     eos_id: int | None = None,
     bos_id: int = 0,
+    draft=None,
 ):
     """Dispatch a GenerationConfig to the right decode loop.
+
+    ``draft``: (draft_params, draft_cfg) pair, required when
+    ``gen.speculative == "draft"``.
 
     Returns (B, T+max_new) for causal (prompt included) and
     (B, max_new) for seq2seq — matching generate()/generate_seq2seq()."""
@@ -72,11 +79,12 @@ def generate_with_config(
             "sampled/greedy path (num_beams=1); got "
             f"num_beams={gen.num_beams}, arch={cfg.arch!r}"
         )
-    if gen.speculative not in ("none", "ngram"):
+    if gen.speculative not in ("none", "ngram", "draft"):
         raise ValueError(
-            f"unknown speculative mode {gen.speculative!r} (none|ngram)"
+            f"unknown speculative mode {gen.speculative!r} "
+            "(none|ngram|draft)"
         )
-    if gen.speculative == "ngram":
+    if gen.speculative in ("ngram", "draft"):
         # greedy is token-exact; sampling is distribution-exact (rejection
         # sampling).  History-dependent logit post-processors (penalties,
         # n-gram bans) would break the verify-window independence, and
@@ -96,6 +104,22 @@ def generate_with_config(
             raise ValueError(
                 "speculative decoding is causal greedy/sampled only; "
                 f"unsupported options set: {', '.join(unsupported)}"
+            )
+        if gen.speculative == "draft":
+            if draft is None:
+                raise ValueError(
+                    "speculative='draft' needs draft=(draft_params, "
+                    "draft_cfg)"
+                )
+            return generate_speculative_draft(
+                params, cfg, draft[0], draft[1], ids, attn_mask,
+                max_new_tokens=gen.max_new_tokens,
+                eos_id=eos_id,
+                draft_tokens=gen.draft_tokens,
+                temperature=gen.temperature,
+                top_k=gen.top_k,
+                top_p=gen.top_p,
+                key=jax.random.key(gen.seed),
             )
         return generate_speculative(
             params, cfg, ids, attn_mask,
@@ -663,6 +687,242 @@ def generate_speculative(
         toks = jnp.where(seen > 1, eos_id, toks)
         # rows that hit max_new without eos keep their real tokens; rows
         # that finished early were already eos-filled at init
+    out = jnp.concatenate([ids, toks], axis=1)
+    if return_stats:
+        return out, {"iterations": iters, "drafted_accepted": n_spec}
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "draft_cfg", "max_new_tokens", "eos_id", "draft_tokens",
+        "temperature", "top_k", "top_p", "return_stats",
+    ),
+)
+def generate_speculative_draft(
+    params,
+    cfg: ModelConfig,
+    draft_params,
+    draft_cfg: ModelConfig,
+    ids,
+    attn_mask,
+    *,
+    max_new_tokens: int = 32,
+    eos_id: int | None = None,
+    draft_tokens: int = 6,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    key=None,
+    return_stats: bool = False,
+):
+    """Draft-MODEL speculative decoding (Leviathan et al. 2023 / Chen et
+    al. 2023): a small causal LM proposes ``draft_tokens`` tokens with
+    ``draft_tokens`` cheap sequential passes, the target model verifies
+    the whole window in ONE pass.
+
+    Greedy (``temperature=0``): accept drafts while they equal the
+    target's argmax — output token-identical to ``generate(temperature=0)``
+    regardless of draft quality (a bad draft only costs speed).
+
+    Sampled: drafts are SAMPLED from the draft distribution q; draft d is
+    accepted with probability min(1, p(d)/q(d)); the first rejected
+    position resamples from norm(max(p - q, 0)).  The marginal is exactly
+    the target distribution p — same theorem as the paper, verified
+    against enumerated marginals with a deliberately DIFFERENT draft model
+    in tests/test_speculative.py.
+
+    Both models stream the same accepted token sequence, so they share
+    one per-row cursor: each keeps its own KV cache written at per-row
+    offsets (layers.attention scatter path), and — as in
+    :func:`generate_speculative` — every stale rejected-draft cache slot
+    is overwritten by the next window before it could be attended.
+    Requires ``cfg.vocab_size == draft_cfg.vocab_size`` (same tokenizer).
+
+    Prefer :func:`generate_speculative` (prompt-lookup) when outputs quote
+    the prompt (RAG); prefer a trained draft model for free-form text
+    where no n-gram structure exists.  The reference has neither (HF
+    generate, one token per pass, reference src/models/trainer.py:942-946).
+    """
+    if cfg.vocab_size != draft_cfg.vocab_size:
+        raise ValueError(
+            "target and draft must share a vocabulary: "
+            f"{cfg.vocab_size} != {draft_cfg.vocab_size}"
+        )
+    b, t = ids.shape
+    gamma = draft_tokens
+    if gamma < 1:
+        raise ValueError(f"draft_tokens must be >= 1, got {gamma}")
+    total = t + max_new_tokens + gamma
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
+    n_prompt = jnp.sum(attn_mask, axis=1)
+
+    cache = _make_cache(
+        cfg, b, total, cfg.n_layers, stacked=causal_lm.blocks_stacked(params)
+    )
+    d_cache = _make_cache(
+        draft_cfg, b, total, draft_cfg.n_layers,
+        stacked=causal_lm.blocks_stacked(draft_params),
+    )
+    j = jnp.arange(total)[None, None, :]
+    q_pos = jnp.arange(t)[None, :, None]
+    key_valid = jnp.concatenate(
+        [attn_mask.astype(jnp.bool_), jnp.zeros((b, total - t), jnp.bool_)],
+        axis=1,
+    )
+    prefill_mask = (j <= q_pos) & key_valid[:, None, :]
+    logits, cache = causal_lm.forward(
+        params, cfg, ids, prefill_mask,
+        positions=positions, cache=cache, cache_index=0,
+    )
+    # prefill the draft cache too (its logits are unused; its K/V are)
+    _, d_cache = causal_lm.forward(
+        draft_params, draft_cfg, ids, prefill_mask,
+        positions=positions, cache=d_cache, cache_index=0,
+    )
+    if key is None:
+        key = jax.random.key(0)
+    key, k0 = jax.random.split(key)
+    g0 = _sample_logits(
+        logits[:, -1], k0, temperature=temperature, top_k=top_k, top_p=top_p
+    )
+
+    dump = t + max_new_tokens
+    fill = eos_id if eos_id is not None else 0
+    seq_buf0 = jnp.concatenate(
+        [ids, jnp.full((b, max_new_tokens + 1), fill, jnp.int32)], axis=1
+    )
+    seq_buf0 = seq_buf0.at[:, t].set(g0)
+    n_dec0 = jnp.zeros((b,), jnp.int32)
+    done0 = (
+        (g0 == eos_id) if eos_id is not None else jnp.zeros((b,), jnp.bool_)
+    )
+    b_idx = jnp.arange(b)[:, None]
+    s_win = jnp.arange(gamma + 1)
+    v = cfg.vocab_size
+
+    def cond(carry):
+        _, _, _, n_dec, done, _, _, _ = carry
+        return jnp.any(~done & (n_dec < max_new_tokens - 1))
+
+    def body(carry):
+        cache, d_cache, seq_buf, n_dec, done, iters, n_spec, loop_key = carry
+        pending = seq_buf[jnp.arange(b), t + n_dec]
+        jj = jnp.arange(total)[None, None, :]
+
+        # ---- draft phase: gamma sequential small-model steps -------------
+        loop_key, k_d = jax.random.split(loop_key)
+
+        def draft_step(dc, s):
+            d_cache, tok = dc
+            slot = t + n_dec + s  # (B,)
+            mask = (key_valid | ((jj[:, 0] >= t)
+                                 & (jj[:, 0] <= slot[:, None])))[:, None, :]
+            lg, d_cache = causal_lm.forward(
+                draft_params, draft_cfg, tok[:, None], mask,
+                positions=(n_prompt + n_dec + s)[:, None],
+                cache=d_cache, cache_index=slot,
+            )
+            lg = lg[:, 0]
+            if temperature == 0.0:
+                nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                q_tok = jnp.zeros((b, v), jnp.float32)  # unused placeholder
+            else:
+                proc = _process_logits(
+                    lg, temperature=temperature, top_k=top_k, top_p=top_p
+                )
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(k_d, s), proc, axis=-1
+                ).astype(jnp.int32)
+                q_tok = jax.nn.softmax(proc, axis=-1)
+            return (d_cache, nxt), (nxt, q_tok)
+
+        (d_cache, _), (drafts_t, q_t) = jax.lax.scan(
+            draft_step, (d_cache, pending), jnp.arange(gamma)
+        )
+        drafts = drafts_t.T  # (B, gamma)
+        window = jnp.concatenate([pending[:, None], drafts], axis=1)
+
+        # ---- verify phase: one target pass over the window ---------------
+        pos = (n_prompt + n_dec)[:, None] + s_win[None, :]
+        gen_ok = (jj >= t) & (
+            jj <= (t + n_dec[:, None, None] + s_win[None, :, None])
+        )
+        mask = key_valid[:, None, :] | gen_ok
+        logits, cache = causal_lm.forward(
+            params, cfg, window, mask,
+            positions=pos, cache=cache, cache_index=t + n_dec,
+        )
+        if temperature == 0.0:
+            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            hold = jnp.cumprod(
+                (y[:, :gamma] == window[:, 1:]).astype(jnp.int32), axis=1
+            )
+            a = jnp.sum(hold, axis=1)
+            bonus = jnp.take_along_axis(y, a[:, None], axis=1)[:, 0]
+        else:
+            # ratio acceptance + residual resampling (exact: marginal = p)
+            loop_key, k_u, k_r, k_b = jax.random.split(loop_key, 4)
+            proc = _process_logits(
+                logits, temperature=temperature, top_k=top_k, top_p=top_p
+            )  # (B, gamma+1, V)
+            p = jax.nn.softmax(proc, axis=-1)
+            q = jnp.transpose(q_t, (1, 0, 2))  # (B, gamma, V)
+            p_d = jnp.take_along_axis(
+                p[:, :gamma], window[:, 1:, None], axis=-1
+            )[..., 0]
+            q_d = jnp.take_along_axis(q, window[:, 1:, None], axis=-1)[..., 0]
+            u = jax.random.uniform(k_u, (b, gamma))
+            hold = jnp.cumprod(
+                (u * q_d < p_d).astype(jnp.int32), axis=1
+            )  # u < p/q without the division
+            a = jnp.sum(hold, axis=1)
+            resid = jnp.maximum(p[:, :gamma] - q, 0.0)
+            res_logits = jnp.where(resid > 0, jnp.log(resid), -1e30)
+            res = jax.random.categorical(
+                k_r, res_logits, axis=-1
+            ).astype(jnp.int32)  # (B, gamma)
+            bonus_full = jax.random.categorical(
+                k_b, jnp.log(jnp.maximum(p[:, gamma], 1e-30)), axis=-1
+            ).astype(jnp.int32)  # all-accepted case
+            cand = jnp.concatenate([res, bonus_full[:, None]], axis=1)
+            bonus = jnp.take_along_axis(cand, a[:, None], axis=1)[:, 0]
+
+        # ---- shared write/advance logic (as generate_speculative) --------
+        jw = jnp.arange(gamma + 1)[None, :]
+        drafts_pad = jnp.concatenate(
+            [window[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1
+        )
+        vals = jnp.where(jw < a[:, None], drafts_pad, bonus[:, None])
+        idx_prod = n_dec[:, None] + 1 + jw
+        write_ok = (
+            (jw <= a[:, None]) & ~done[:, None] & (idx_prod < max_new_tokens)
+        )
+        slots = jnp.where(write_ok, t + idx_prod, dump)
+        seq_buf = seq_buf.at[b_idx, slots].set(
+            jnp.where(write_ok, vals, seq_buf[b_idx, slots])
+        )
+        n_written = jnp.sum(write_ok, axis=1)
+        n_spec = n_spec + jnp.sum(
+            jnp.where(done, 0, jnp.maximum(n_written - 1, 0))
+        )
+        if eos_id is not None:
+            done = done | jnp.any(write_ok & (vals == eos_id), axis=1)
+        n_dec = n_dec + n_written
+        return (cache, d_cache, seq_buf, n_dec, done, iters + 1, n_spec,
+                loop_key)
+
+    (_, _, seq_buf, n_dec, _, iters, n_spec, _) = jax.lax.while_loop(
+        cond,
+        body,
+        (cache, d_cache, seq_buf0, n_dec0, done0, jnp.int32(0),
+         jnp.int32(0), key),
+    )
+    toks = seq_buf[:, t : t + max_new_tokens]
+    if eos_id is not None:
+        seen = jnp.cumsum((toks == eos_id).astype(jnp.int32), axis=1)
+        toks = jnp.where(seen > 1, eos_id, toks)
     out = jnp.concatenate([ids, toks], axis=1)
     if return_stats:
         return out, {"iterations": iters, "drafted_accepted": n_spec}
