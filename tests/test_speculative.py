@@ -429,3 +429,53 @@ def test_draft_model_sampling_marginals_exact():
         emp = np.bincount(toks[:, pos], minlength=v) / n_rows
         tv = 0.5 * np.abs(emp - exact).sum()
         assert tv < 0.08, f"pos {pos}: TV {tv:.3f}"
+
+
+def test_speculative_eos_inside_window_matches_greedy():
+    """Regression (review finding): a verify window can accept an eos AND
+    tokens after it — those must not be written.  Construct the repro
+    both ways: (a) self-draft with an eos the model emits mid-stream,
+    (b) ngram drafting with eos present in the prompt so the drafter can
+    propose it.  Output must equal generate()'s eos-then-eos-fill tail."""
+    from vietnamese_qa_system_tpu.models.generate import (
+        generate_speculative_draft,
+    )
+
+    cfg = ModelConfig(**BASE)
+    rng = np.random.default_rng(0)
+    found = 0
+    for seed in range(6):
+        params = _mk(cfg, seed=seed)
+        ids = jnp.asarray(rng.integers(4, 90, (2, 12)).astype(np.int32))
+        mask = jnp.ones_like(ids)
+        ref0 = np.asarray(generate(params, cfg, ids, mask,
+                                   max_new_tokens=24, eos_id=None))
+        # pick an eos that the model actually emits mid-stream
+        emitted = [t for t in np.unique(ref0[:, 12 + 2:]) if t > 3]
+        if not emitted:
+            continue
+        eos = int(emitted[0])
+        found += 1
+        ref = generate(params, cfg, ids, mask, max_new_tokens=24, eos_id=eos)
+        out_d = generate_speculative_draft(
+            params, cfg, params, cfg, ids, mask,
+            max_new_tokens=24, eos_id=eos, draft_tokens=5,
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_d))
+        out_n = generate_speculative(
+            params, cfg, ids, mask, max_new_tokens=24, eos_id=eos,
+            draft_tokens=5, draft_ngram=2,
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_n))
+        # (b) eos embedded in the prompt: the ngram drafter can draft it
+        ids2 = np.asarray(ids).copy()
+        ids2[:, 5] = eos
+        ids2 = jnp.asarray(ids2)
+        ref2 = generate(params, cfg, ids2, mask, max_new_tokens=24,
+                        eos_id=eos)
+        out2 = generate_speculative(
+            params, cfg, ids2, mask, max_new_tokens=24, eos_id=eos,
+            draft_tokens=5, draft_ngram=2,
+        )
+        np.testing.assert_array_equal(np.asarray(ref2), np.asarray(out2))
+    assert found >= 2, "test never constructed an emitted-eos scenario"

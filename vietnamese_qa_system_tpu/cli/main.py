@@ -753,8 +753,13 @@ def cmd_chat(args) -> int:
 
         params = quantize_dense_tree(params, args.quantize)
         dist_print(f"decoding over a {args.quantize}-quantized base")
+    use_spec = (
+        args.speculative != "none"
+        and model.arch == "causal"
+        and args.num_beams == 1
+    )
     draft = None
-    if args.speculative == "draft" and model.arch == "causal":
+    if use_spec and args.speculative == "draft":
         from ..models import config as mcfg
 
         draft_presets = {
@@ -766,8 +771,8 @@ def cmd_chat(args) -> int:
             "bloom560m": mcfg.bloom_560m_class,
         }
         dcfg = draft_presets[args.draft_size]()
-        if tok.vocab_size > dcfg.vocab_size:
-            dcfg = dataclasses.replace(dcfg, vocab_size=tok.vocab_size)
+        # the only hard invariant: draft vocab == target vocab (model was
+        # already widened to the tokenizer above)
         if dcfg.vocab_size != model.vocab_size:
             dcfg = dataclasses.replace(dcfg, vocab_size=model.vocab_size)
         if args.draft_params:
@@ -789,11 +794,6 @@ def cmd_chat(args) -> int:
         # left padding so generation continues from the prompt's last token
         pad_side = "right" if model.arch == "seq2seq" else "left"
         ids, mask = batch_encode(tok, [prompt], args.max_len, pad_side=pad_side)
-        use_spec = (
-            args.speculative != "none"
-            and model.arch == "causal"
-            and args.num_beams == 1
-        )
         gen = gen_mod.GenerationConfig(
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature,

@@ -633,9 +633,27 @@ def to_llama_state_dict(params, cfg: ModelConfig) -> dict:
     return out
 
 
+def _export_llama_layout(params, cfg: ModelConfig, out_dir: str,
+                         hf_cfg, model_cls) -> str:
+    """Shared exporter for the llama state-dict layout (Llama and Qwen2
+    differ only in the HF config/model classes and the q/k/v biases the
+    state dict carries)."""
+    import torch
+
+    model = model_cls(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_llama_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
 def export_llama(params, cfg: ModelConfig, out_dir: str) -> str:
     """Write a transformers-loadable Llama model directory."""
-    import torch
     from transformers import LlamaConfig, LlamaForCausalLM
 
     hf_cfg = LlamaConfig(
@@ -651,22 +669,13 @@ def export_llama(params, cfg: ModelConfig, out_dir: str) -> str:
         tie_word_embeddings=cfg.tie_embeddings,
         attention_bias=False,
     )
-    model = LlamaForCausalLM(hf_cfg)
-    sd = {
-        k: torch.from_numpy(v.copy())
-        for k, v in to_llama_state_dict(params, cfg).items()
-    }
-    _, unexpected = model.load_state_dict(sd, strict=False)
-    if unexpected:
-        raise ValueError(f"unexpected keys in export: {unexpected}")
-    model.save_pretrained(out_dir, safe_serialization=False)
-    return out_dir
+    return _export_llama_layout(params, cfg, out_dir, hf_cfg,
+                                LlamaForCausalLM)
 
 
 def export_qwen2(params, cfg: ModelConfig, out_dir: str) -> str:
     """Write a transformers-loadable Qwen2 model directory (llama state
     dict plus the q/k/v biases :func:`to_llama_state_dict` emits)."""
-    import torch
     from transformers import Qwen2Config, Qwen2ForCausalLM
 
     hf_cfg = Qwen2Config(
@@ -682,16 +691,8 @@ def export_qwen2(params, cfg: ModelConfig, out_dir: str) -> str:
         tie_word_embeddings=cfg.tie_embeddings,
         use_sliding_window=False,
     )
-    model = Qwen2ForCausalLM(hf_cfg)
-    sd = {
-        k: torch.from_numpy(v.copy())
-        for k, v in to_llama_state_dict(params, cfg).items()
-    }
-    _, unexpected = model.load_state_dict(sd, strict=False)
-    if unexpected:
-        raise ValueError(f"unexpected keys in export: {unexpected}")
-    model.save_pretrained(out_dir, safe_serialization=False)
-    return out_dir
+    return _export_llama_layout(params, cfg, out_dir, hf_cfg,
+                                Qwen2ForCausalLM)
 
 
 def to_gpt2_state_dict(params, cfg: ModelConfig) -> dict:

@@ -659,6 +659,15 @@ def generate_speculative(
             & ~done[:, None]
             & (idx_prod < max_new_tokens)
         )
+        if eos_id is not None:
+            # a window may accept tokens AFTER an eos it also accepted
+            # (the model's greedy/sampled continuation past eos) — those
+            # must not be written: generate() emits eos-fill after the
+            # first eos, and the unwritten tail is already eos-filled
+            prior_eos = jnp.cumsum(
+                (vals == eos_id).astype(jnp.int32), axis=1
+            ) - (vals == eos_id).astype(jnp.int32)
+            write_ok = write_ok & (prior_eos == 0)
         slots = jnp.where(write_ok, t + idx_prod, dump)
         seq_buf = seq_buf.at[b_idx, slots].set(
             jnp.where(write_ok, vals, seq_buf[b_idx, slots])
@@ -899,6 +908,13 @@ def generate_speculative_draft(
         write_ok = (
             (jw <= a[:, None]) & ~done[:, None] & (idx_prod < max_new_tokens)
         )
+        if eos_id is not None:
+            # no writes past the first in-window eos (see
+            # generate_speculative: generate() emits eos-fill after eos)
+            prior_eos = jnp.cumsum(
+                (vals == eos_id).astype(jnp.int32), axis=1
+            ) - (vals == eos_id).astype(jnp.int32)
+            write_ok = write_ok & (prior_eos == 0)
         slots = jnp.where(write_ok, t + idx_prod, dump)
         seq_buf = seq_buf.at[b_idx, slots].set(
             jnp.where(write_ok, vals, seq_buf[b_idx, slots])
