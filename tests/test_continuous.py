@@ -1,0 +1,199 @@
+"""Continuous batching (models/decode_engine.py + engine/continuous.py).
+
+The contract: each request's token stream is identical to a standalone
+``generate()`` greedy run of the same prompt (at the same padded width),
+no matter how requests interleave, queue, or reuse slots — continuous
+batching may only change WHEN tokens are computed, never WHAT they are.
+Beyond-parity capability: the reference decodes whole batches in lockstep
+(HF generate, reference src/models/trainer.py:942-946).
+"""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from vietnamese_qa_system_tpu.engine.continuous import ContinuousEngine
+from vietnamese_qa_system_tpu.models import ModelConfig
+from vietnamese_qa_system_tpu.models.causal_lm import (
+    init_causal_lm,
+    stack_blocks,
+)
+from vietnamese_qa_system_tpu.models.generate import generate
+
+BASE = dict(arch="causal", vocab_size=97, d_model=32, n_heads=4,
+            n_layers=2, d_ff=64, max_seq_len=256)
+
+
+def _mk(cfg, seed=0):
+    return init_causal_lm(jax.random.key(seed), cfg)
+
+
+def _prompt(rng, n, vocab_hi=90):
+    return [int(x) for x in rng.integers(4, vocab_hi, (n,))]
+
+
+def _ref_generated(params, cfg, prompt, bucket, max_new, eos):
+    """Reference stream: generate() at the engine's padded width, prompt
+    stripped, truncated after the first eos (inclusive)."""
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    ids[0, bucket - len(prompt):] = prompt
+    mask[0, bucket - len(prompt):] = 1
+    out = np.asarray(
+        generate(params, cfg, ids, mask, max_new_tokens=max_new, eos_id=eos)
+    )[0, bucket:]
+    if eos is not None:
+        hits = np.nonzero(out == eos)[0]
+        if hits.size:
+            out = out[: hits[0] + 1]
+    return [int(x) for x in out]
+
+
+@pytest.fixture
+def engine_factory():
+    engines = []
+
+    def make(params, cfg, **kw):
+        eng = ContinuousEngine(params, cfg, **kw)
+        engines.append(eng)
+        return eng
+
+    yield make
+    for eng in engines:
+        eng.close()
+
+
+def test_single_request_matches_generate(engine_factory):
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(0), 11)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16, 32), chunk_steps=4)
+    out = eng.generate_ids(prompt, max_new_tokens=20)
+    ref = _ref_generated(params, cfg, prompt, 16, 20, None)
+    assert out == ref
+
+
+def test_interleaved_requests_match_sequential(engine_factory):
+    """6 requests of mixed lengths/budgets through 2 slots: queueing, slot
+    reuse, and different per-slot progress must not change any stream."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(7)
+    prompts = [_prompt(rng, n) for n in (5, 13, 16, 3, 30, 9)]
+    budgets = [8, 20, 5, 16, 12, 20]
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16, 32), chunk_steps=4)
+    futs = [eng.submit(p, m) for p, m in zip(prompts, budgets)]
+    outs = [f.result(timeout=180)["ids"] for f in futs]
+    for p, m, out in zip(prompts, budgets, outs):
+        bucket = 16 if len(p) <= 16 else 32
+        assert out == _ref_generated(params, cfg, p, bucket, m, None)
+
+
+def test_eos_terminates_stream(engine_factory):
+    """Pick the eos id from the model's own greedy continuation so the
+    stream genuinely terminates mid-flight; the engine must stop there."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(3), 10)
+    free_run = _ref_generated(params, cfg, prompt, 16, 24, None)
+    eos = free_run[2]  # force an eos a few tokens in
+    ref = _ref_generated(params, cfg, prompt, 16, 24, eos)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16, 32), chunk_steps=4, eos_id=eos)
+    out = eng.generate_ids(prompt, max_new_tokens=24)
+    assert out == ref
+    assert out[-1] == eos
+    assert len(out) < 24
+
+
+def test_streaming_callback(engine_factory):
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(5), 8)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    streamed, lock = [], threading.Lock()
+
+    def cb(tok):
+        with lock:
+            streamed.append(tok)
+
+    out = eng.submit(prompt, 12, stream=cb).result(timeout=120)["ids"]
+    with lock:
+        assert streamed == out
+
+
+def test_capacity_budget_truncates(engine_factory):
+    """A budget larger than the cache headroom is truncated to it (first
+    token + (total - bucket) decode emissions), never overflows."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(9), 14)
+    eng = engine_factory(params, cfg, n_slots=1, total=24,
+                         buckets=(16,), chunk_steps=4)
+    out = eng.generate_ids(prompt, max_new_tokens=500)
+    assert len(out) == 1 + (24 - 16)
+    ref = _ref_generated(params, cfg, prompt, 16, len(out), None)
+    assert out == ref
+
+
+def test_validation_errors(engine_factory):
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    eng = engine_factory(params, cfg, n_slots=1, total=64, buckets=(16,))
+    with pytest.raises(ValueError, match="empty"):
+        eng.submit([])
+    with pytest.raises(ValueError, match="largest bucket"):
+        eng.submit(list(range(4, 40)))
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng.submit([5, 6], max_new_tokens=0)
+    with pytest.raises(ValueError, match="decode room"):
+        ContinuousEngine(params, cfg, total=32, buckets=(32,))
+
+
+def test_stacked_blocks_match_list(engine_factory):
+    """Scan-over-layers params (stacked KV cache, leading L dim in
+    insert/decode) produce the same streams as the list-blocks pytree."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(11)
+    prompts = [_prompt(rng, n) for n in (6, 12, 15)]
+    eng_l = engine_factory(params, cfg, n_slots=2, total=64,
+                           buckets=(16,), chunk_steps=4)
+    eng_s = engine_factory(stack_blocks(params), cfg, n_slots=2, total=64,
+                           buckets=(16,), chunk_steps=4)
+    for p in prompts:
+        assert eng_l.generate_ids(p, 16) == eng_s.generate_ids(p, 16)
+
+
+def test_gqa_family(engine_factory):
+    """Grouped-query attention (llama layout): the slot cache stores kv
+    heads only; streams must still match generate()."""
+    cfg = ModelConfig(**{**BASE, "n_kv_heads": 2, "norm": "rmsnorm",
+                         "mlp_gated": True})
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(13), 12)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    out = eng.generate_ids(prompt, 16)
+    assert out == _ref_generated(params, cfg, prompt, 16, 16, None)
+
+
+def test_stats_surface(engine_factory):
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    futs = [eng.submit(_prompt(np.random.default_rng(i), 8), 8)
+            for i in range(3)]
+    for f in futs:
+        f.result(timeout=120)
+    s = eng.snapshot_stats()
+    assert s["requests"] == 3 and s["completed"] == 3
+    assert s["tokens"] >= 3 * 8
+    assert s["chunks"] >= 1 and s["prefills"] == 3
+    assert s["active_slots"] == 0 and s["pending"] == 0

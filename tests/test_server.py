@@ -366,3 +366,98 @@ def test_serving_max_k_over_kernel_cap_fails_at_startup():
     retr = Retriever(params, cfg, tok, store, max_len=32, query_batch=8)
     with pytest.raises(ValueError, match="128"):
         ServingApp(retr, k=10, max_k=200)
+
+
+# ------------------------------------------------------- /generate endpoint
+
+
+@pytest.fixture(scope="module")
+def serving_gen():
+    """Retrieval app + a continuous-batching causal reader behind
+    /generate (the cli serve --continuous-slots path minus argparse)."""
+    from vietnamese_qa_system_tpu.engine import ContinuousEngine
+    from vietnamese_qa_system_tpu.models import ModelConfig
+    from vietnamese_qa_system_tpu.models.causal_lm import init_causal_lm
+
+    cfg = tiny_test("encoder")
+    params = encoder.init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    store = VectorStore(256, cfg.d_model, tile_n=128)
+    docstore = DocStore()
+    pipe = IngestPipeline(
+        params, cfg, tok, store, docstore, batch_size=16, max_len=32
+    )
+    pipe.add_texts([f"tài liệu {i}" for i in range(8)])
+    retr = Retriever(
+        params, cfg, tok, store, docstore, max_len=32, query_batch=16
+    )
+    gcfg = ModelConfig(arch="causal", vocab_size=tok.vocab_size, d_model=32,
+                       n_heads=4, n_layers=2, d_ff=64, max_seq_len=256)
+    gp = init_causal_lm(jax.random.key(1), gcfg)
+    gen = ContinuousEngine(gp, gcfg, n_slots=2, total=96, buckets=(32, 64),
+                           chunk_steps=4, eos_id=tok.eos_id,
+                           default_max_new=16)
+    app = ServingApp(retr, ingest=pipe, gen=gen, tokenizer=tok, k=3,
+                     max_batch=16, max_wait_s=0.02)
+    httpd = make_server(app, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+    yield base, app
+    httpd.shutdown()
+    httpd.server_close()
+    app.close()  # closes the engine too (ownership)
+
+
+def test_generate_endpoint(serving_gen):
+    base, _ = serving_gen
+    out = _post(base + "/generate",
+                {"prompt": "xin chào", "max_new_tokens": 8}, timeout=120)
+    assert 1 <= out["n_new"] <= 8
+    assert len(out["ids"]) == out["n_new"]
+    assert isinstance(out["text"], str)
+
+
+def test_generate_concurrent_requests(serving_gen):
+    base, app = serving_gen
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        outs = list(ex.map(
+            lambda i: _post(base + "/generate",
+                            {"prompt": f"câu hỏi số {i}",
+                             "max_new_tokens": 6}, timeout=120),
+            range(5),
+        ))
+    assert all(1 <= o["n_new"] <= 6 for o in outs)
+    health = json.loads(
+        urllib.request.urlopen(base + "/healthz", timeout=10).read()
+    )
+    gstats = health["stats"]["generate"]
+    assert health["generate"] is True
+    assert gstats["completed"] >= 6 and "latency_ms" in gstats
+
+
+def test_generate_validation(serving_gen):
+    base, _ = serving_gen
+    for payload, frag in [
+        ({}, "missing 'prompt'"),
+        ({"prompt": "a", "max_new_tokens": 0}, "max_new_tokens"),
+        ({"prompt": "a", "max_new_tokens": "x"}, "max_new_tokens"),
+        ({"prompt": "y" * 200}, "largest bucket"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/generate", payload)
+        assert e.value.code == 400
+        assert frag in json.loads(e.value.read())["error"]
+
+
+def test_generate_without_engine_is_400(serving):
+    base, _, _ = serving
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/generate", {"prompt": "hi"})
+    assert e.value.code == 400
+    assert "no generation engine" in json.loads(e.value.read())["error"]
+
+
+def test_gen_engine_requires_tokenizer():
+    with pytest.raises(ValueError, match="tokenizer"):
+        ServingApp(object(), gen=object(), tokenizer=None)

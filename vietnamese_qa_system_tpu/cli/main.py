@@ -655,8 +655,34 @@ def cmd_serve(args) -> int:
             batch_size=args.max_batch, max_len=args.max_len,
             lexical=lexical,
         )
+        gen_engine = None
+        if args.continuous_slots > 0:
+            # raw LM completions via continuous batching: requests join
+            # the always-running slot scheduler (engine/continuous.py)
+            if qa is None or rcfg.arch != "causal":
+                raise SystemExit(
+                    "--continuous-slots needs a causal reader "
+                    "(--reader-size)"
+                )
+            from ..engine import ContinuousEngine
+
+            gen_engine = ContinuousEngine(
+                rparams, rcfg,
+                n_slots=args.continuous_slots,
+                total=min(rcfg.max_seq_len, args.gen_total),
+                chunk_steps=args.gen_chunk_steps,
+                eos_id=tok.eos_id,
+                default_max_new=args.max_new_tokens,
+            )
+            dist_print(
+                f"/generate: continuous batching, {args.continuous_slots} "
+                f"slots x {gen_engine.total} cache, buckets "
+                f"{gen_engine.buckets}, chunk {args.gen_chunk_steps}"
+            )
         app = ServingApp(
-            retriever, qa, ingest=ingest, k=args.k, max_k=args.max_k,
+            retriever, qa, ingest=ingest, gen=gen_engine,
+            tokenizer=tok if gen_engine is not None else None,
+            k=args.k, max_k=args.max_k,
             max_batch=args.max_batch,
             max_wait_s=args.batch_wait_ms / 1000.0,
         )
@@ -665,7 +691,9 @@ def cmd_serve(args) -> int:
             f"serving {store.size} vectors on "
             f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
             f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms; "
-            f"endpoints: /healthz /search /ingest{' /qa' if qa else ''})"
+            f"endpoints: /healthz /search /ingest"
+            f"{' /qa' if qa else ''}"
+            f"{' /generate' if gen_engine is not None else ''})"
         )
         # SIGTERM (the normal supervisor/container stop signal) must run
         # the same graceful path as ^C so ingested vectors get persisted
@@ -1013,6 +1041,18 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["fast", "turbo"],
                     help="top-k kernel selection: fast = exactness-"
                     "guaranteed, turbo = recall ~0.999 at higher QPS")
+    ps.add_argument("--continuous-slots", type=int, default=0,
+                    help="enable POST /generate via continuous batching "
+                    "with this many decode slots (needs a causal "
+                    "--reader-size; 0 = off)")
+    ps.add_argument("--gen-total", type=int, default=1024,
+                    help="per-slot KV cache length for /generate "
+                    "(capped at the reader's max_seq_len)")
+    ps.add_argument("--gen-chunk-steps", type=int, default=8,
+                    help="decode steps per dispatch between host "
+                    "harvests on /generate")
+    ps.add_argument("--max-new-tokens", type=int, default=128,
+                    help="default completion budget for /generate")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

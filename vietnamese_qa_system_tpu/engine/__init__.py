@@ -6,8 +6,10 @@ from .lexical import BM25Index, fuse_scores
 from .query import DualRetriever, Retriever, SearchResult, dual_agreement
 from .qa import QAAnswer, QAPipeline
 from .server import MicroBatcher, ServingApp, make_server
+from .continuous import ContinuousEngine
 
 __all__ = [
+    "ContinuousEngine",
     "MicroBatcher",
     "ServingApp",
     "make_server",

@@ -32,6 +32,12 @@ Endpoints (JSON over stdlib http.server — zero new dependencies):
   store/doc store/BM25 index, no rebuild, no restart.  The reference's
   index is an offline one-shot build (heavy_ranker.py:78-89, commented
   out after first use); here streaming ingest is a serving feature.
+- ``POST /generate``    {"prompt": str, "max_new_tokens": int?} ->
+  {"text", "ids", "n_new"} — raw LM completion through the
+  CONTINUOUS-BATCHING engine (engine/continuous.py): requests join the
+  always-running slot scheduler instead of a lockstep batch, so short
+  completions return without waiting for long ones (only when built
+  with a ``gen`` engine + tokenizer).
 """
 
 from __future__ import annotations
@@ -142,6 +148,8 @@ class ServingApp:
         qa=None,
         *,
         ingest=None,
+        gen=None,
+        tokenizer=None,
         k: int = 10,
         max_k: Optional[int] = None,
         max_batch: int = 32,
@@ -152,6 +160,13 @@ class ServingApp:
         self.retriever = retriever
         self.qa = qa
         self.ingest = ingest
+        # continuous-batching LM engine (engine/continuous.py) + the
+        # tokenizer that frames its requests; owned by the app (closed
+        # with it) when provided
+        self.gen = gen
+        self.tokenizer = tokenizer
+        if gen is not None and tokenizer is None:
+            raise ValueError("a gen engine needs a tokenizer")
         self.k = k
         # every dispatch runs top-k at this one value and slices per
         # request — distinct per-request k values would each compile a
@@ -292,16 +307,46 @@ class ServingApp:
             "index_size": self.retriever.store.size,
         }
 
+    def generate(self, prompt: str, max_new_tokens=None) -> dict:
+        if self.gen is None:
+            raise LookupError(
+                "no generation engine configured (serve --continuous-slots)"
+            )
+        if max_new_tokens is not None and (
+            isinstance(max_new_tokens, bool)
+            or not isinstance(max_new_tokens, int)
+            or not (1 <= max_new_tokens <= 4096)
+        ):
+            raise ValueError(
+                f"'max_new_tokens' must be an int in [1, 4096], "
+                f"got {max_new_tokens!r}"
+            )
+        ids = self.tokenizer.encode(prompt)
+        # raises ValueError (-> 400) when the prompt exceeds the largest
+        # bucket — per-request failure, the engine keeps serving
+        out = self._timed(
+            "generate", self.gen.submit(ids, max_new_tokens)
+        )["ids"]
+        eos = getattr(self.tokenizer, "eos_id", None)
+        text_ids = [t for t in out if t != eos] if eos is not None else out
+        return {
+            "text": self.tokenizer.decode(text_ids),
+            "ids": [int(t) for t in out],
+            "n_new": len(out),
+        }
+
     def health(self) -> dict:
         stats = {"search": dict(self._search_batcher.stats)}
         if self._qa_batcher is not None:
             stats["qa"] = dict(self._qa_batcher.stats)
+        if self.gen is not None:
+            stats["generate"] = self.gen.snapshot_stats()
         with self._lat_lock:
             snapshot = {k: list(v) for k, v in self._latencies.items()}
         for endpoint, lat in snapshot.items():
             window = sorted(lat)
             if window:
-                stats[endpoint]["latency_ms"] = {
+                stats.setdefault(endpoint, {})["latency_ms"] = {
                     "n": len(window),
                     "p50": round(window[len(window) // 2] * 1e3, 2),
                     "p95": round(window[int(len(window) * 0.95)
@@ -313,6 +358,7 @@ class ServingApp:
             "index_size": self.retriever.store.size,
             "qa": self.qa is not None,
             "ingest": self.ingest is not None,
+            "generate": self.gen is not None,
             "stats": stats,
         }
 
@@ -320,6 +366,8 @@ class ServingApp:
         self._search_batcher.close()
         if self._qa_batcher is not None:
             self._qa_batcher.close()
+        if self.gen is not None:
+            self.gen.close()
 
 
 def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
@@ -399,6 +447,14 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                         self._reply(400, {"error": "missing 'question'"})
                         return
                     self._reply(200, app.answer(question))
+                elif self.path == "/generate":
+                    prompt = req.get("prompt")
+                    if not isinstance(prompt, str) or not prompt:
+                        self._reply(400, {"error": "missing 'prompt'"})
+                        return
+                    self._reply(
+                        200, app.generate(prompt, req.get("max_new_tokens"))
+                    )
                 elif self.path == "/ingest":
                     texts = req.get("texts")
                     if not isinstance(texts, list) or not all(

@@ -1,0 +1,252 @@
+"""Slot-based continuous-batching decode state (prefill / insert / decode).
+
+The reference serves generation one whole batch at a time: HF `generate`
+runs every sequence in lockstep and the batch finishes when its LAST row
+does (reference src/models/trainer.py:942-946; the ds_inference REPL is
+B=1, reference src/models/model_utils/ds_inference.py:52-60).  Under a
+request stream that shape wastes most of the chip: short answers idle
+behind long ones, and new requests wait for the whole batch to drain.
+
+This module is the TPU-first replacement: a JetStream-style decode state
+of ``n_slots`` independent sequences sharing ONE static-shape KV cache.
+
+- :func:`prefill` runs a prompt (bucketed length, so a handful of
+  compiles total) and returns its KV prefix + first sampled token.
+- :func:`insert` scatters that prefix into a free slot of the live
+  decode state — while every other slot keeps decoding.
+- :func:`decode_chunk` advances ALL slots ``n_steps`` tokens in one
+  dispatch (a `lax.scan`, so the host syncs once per chunk, not once per
+  token — the axon tunnel adds ~1.3-1.8 ms per un-batched dispatch).
+- :func:`release` frees a finished slot.
+
+Everything is static-shape: per-slot progress lives in per-row cursors
+(the scatter-write KV path built for speculative decoding,
+layers.attention cache_index (B,)) and a per-slot ``key_valid`` mask, so
+slots at different lengths coexist in one compiled program.  The host
+scheduler that drives these functions is engine/continuous.py.
+
+Correctness invariants (tested in tests/test_continuous.py):
+- a slot's token stream is identical to ``generate()`` greedy output for
+  the same prompt (modulo float argmax ties — same caveat as
+  models/generate.py speculative paths), regardless of what the other
+  slots are doing;
+- writes from done/inactive slots land on ``key_valid=False`` cache
+  columns (or are dropped as out-of-bounds scatters), so they can never
+  be attended;
+- ``insert`` fully re-initializes a slot (cache prefix, key_valid row,
+  cursors), so stale state from the previous occupant is unreachable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import causal_lm
+from .config import ModelConfig
+from .generate import _make_cache, _sample_logits
+
+
+def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
+                      stacked: bool = False):
+    """Fresh all-slots-free decode state.
+
+    ``total`` is the per-slot cache length (max prompt bucket + decode
+    headroom); it must not exceed ``cfg.max_seq_len`` (RoPE/learned
+    position tables).
+    """
+    if total > cfg.max_seq_len:
+        raise ValueError(
+            f"total={total} exceeds cfg.max_seq_len={cfg.max_seq_len}"
+        )
+    return {
+        "cache": _make_cache(cfg, n_slots, total, cfg.n_layers,
+                             stacked=stacked),
+        # which cache columns hold attendable tokens, per slot
+        "key_valid": jnp.zeros((n_slots, total), jnp.bool_),
+        # the last decided token (fed to the model on the next step)
+        "last_tok": jnp.zeros((n_slots,), jnp.int32),
+        # logical position of last_tok (pads excluded)
+        "pos": jnp.zeros((n_slots,), jnp.int32),
+        # cache column last_tok's K/V will be written to
+        "cursor": jnp.zeros((n_slots,), jnp.int32),
+        # slot owned by a request (host-managed)
+        "active": jnp.zeros((n_slots,), jnp.bool_),
+        # slot finished (eos / cache full); still owned until released
+        "done": jnp.ones((n_slots,), jnp.bool_),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p")
+)
+def prefill(
+    params,
+    cfg: ModelConfig,
+    ids,
+    attn_mask,
+    key,
+    *,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """Run LEFT-padded prompts (B, T) and sample their first tokens.
+
+    Returns ``(kv, first_tok, n_prompt)`` where ``kv`` is the per-layer
+    prompt KV prefix (cache pytree of length-T columns) to hand to
+    :func:`insert`.  T should be a bucket size — each distinct T compiles
+    once.
+    """
+    b, t = ids.shape
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
+    cache = _make_cache(
+        cfg, b, t, cfg.n_layers, stacked=causal_lm.blocks_stacked(params)
+    )
+    j = jnp.arange(t)[None, None, :]
+    q_pos = jnp.arange(t)[None, :, None]
+    mask = (j <= q_pos) & attn_mask[:, None, :].astype(jnp.bool_)
+    logits, kv = causal_lm.forward(
+        params, cfg, ids, mask,
+        positions=positions, cache=cache, cache_index=0,
+    )
+    first = _sample_logits(
+        logits[:, -1], key, temperature=temperature, top_k=top_k, top_p=top_p
+    )
+    return kv, first, jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+
+
+def _write_prefix(state_leaf, kv_leaf, slot, stacked: bool):
+    """Scatter a (…, 1, T, H, D) prompt-KV leaf into cache column range
+    [0, T) of row ``slot`` — leading layer dim when stacked."""
+    if stacked:
+        return jax.lax.dynamic_update_slice(
+            state_leaf, kv_leaf.astype(state_leaf.dtype), (0, slot, 0, 0, 0)
+        )
+    return jax.lax.dynamic_update_slice(
+        state_leaf, kv_leaf.astype(state_leaf.dtype), (slot, 0, 0, 0)
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert(state, kv, attn_mask, first_tok, n_prompt, slot):
+    """Install a prefilled request into slot ``slot`` (traced scalar).
+
+    ``kv``/``attn_mask``/``first_tok``/``n_prompt`` are the B=1 outputs of
+    :func:`prefill` (bucket length T <= total).  Compiles once per bucket.
+    """
+    stacked = not isinstance(state["cache"], list)
+    t = attn_mask.shape[1]
+    total = state["key_valid"].shape[1]
+    if stacked:
+        new_cache = jax.tree.map(
+            lambda s, p: _write_prefix(s, p, slot, True),
+            state["cache"], kv,
+        )
+    else:
+        new_cache = [
+            jax.tree.map(lambda s, p: _write_prefix(s, p, slot, False),
+                         s_layer, p_layer)
+            for s_layer, p_layer in zip(state["cache"], kv)
+        ]
+    row = jnp.concatenate(
+        [attn_mask.astype(jnp.bool_),
+         jnp.zeros((1, total - t), jnp.bool_)], axis=1
+    )
+    return {
+        "cache": new_cache,
+        "key_valid": jax.lax.dynamic_update_slice(
+            state["key_valid"], row, (slot, 0)
+        ),
+        "last_tok": state["last_tok"].at[slot].set(first_tok[0]),
+        "pos": state["pos"].at[slot].set(n_prompt[0]),
+        "cursor": state["cursor"].at[slot].set(t),
+        "active": state["active"].at[slot].set(True),
+        "done": state["done"].at[slot].set(False),
+    }
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def release(state, slot):
+    """Free slot ``slot``: nothing in it can be attended afterwards."""
+    total = state["key_valid"].shape[1]
+    return {
+        **state,
+        "key_valid": jax.lax.dynamic_update_slice(
+            state["key_valid"],
+            jnp.zeros((1, total), jnp.bool_),
+            (slot, 0),
+        ),
+        "active": state["active"].at[slot].set(False),
+        "done": state["done"].at[slot].set(True),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_steps", "eos_id", "temperature", "top_k", "top_p",
+    ),
+    donate_argnums=(1,),
+)
+def decode_chunk(
+    params,
+    state,
+    key,
+    cfg: ModelConfig,
+    *,
+    n_steps: int = 8,
+    eos_id: int | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """Advance every live slot ``n_steps`` tokens in ONE dispatch.
+
+    Returns ``(state, toks)`` with ``toks`` (n_slots, n_steps) — the
+    tokens emitted this chunk, row-aligned with slots.  Emissions after a
+    slot's eos (or from free slots) are eos-filled (0 when ``eos_id`` is
+    None); the host scheduler truncates per-request.
+
+    Safety of the unconditional KV write in layers.attention: a row that
+    must not advance (done/inactive) still writes its token's K/V at
+    ``cursor``, but that column's ``key_valid`` bit is only raised under
+    ``write_ok``, and a cursor at ``total`` scatters out of bounds, which
+    JAX drops — either way the garbage is unreachable.
+    """
+    n_slots, total = state["key_valid"].shape
+    fill = jnp.int32(eos_id if eos_id is not None else 0)
+    rows = jnp.arange(n_slots)
+
+    def step(st, k_s):
+        write_ok = st["active"] & ~st["done"] & (st["cursor"] < total)
+        key_valid = st["key_valid"].at[rows, st["cursor"]].max(write_ok)
+        logits, cache = causal_lm.forward(
+            params, cfg, st["last_tok"][:, None], key_valid[:, None, :],
+            positions=st["pos"][:, None],
+            cache=st["cache"], cache_index=st["cursor"],
+        )
+        nxt = _sample_logits(
+            logits[:, 0], k_s,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+        )
+        nxt = jnp.where(write_ok, nxt, fill)
+        done = st["done"] | ~st["active"] | (st["cursor"] + 1 >= total)
+        if eos_id is not None:
+            done = done | (nxt == eos_id)
+        new_st = {
+            "cache": cache,
+            "key_valid": key_valid,
+            "last_tok": jnp.where(write_ok, nxt, st["last_tok"]),
+            "pos": st["pos"] + write_ok,
+            "cursor": st["cursor"] + write_ok,
+            "active": st["active"],
+            "done": done,
+        }
+        return new_st, nxt
+
+    keys = jax.random.split(key, n_steps)
+    state, toks = jax.lax.scan(step, state, keys)
+    return state, toks.T
