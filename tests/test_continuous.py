@@ -197,3 +197,49 @@ def test_stats_surface(engine_factory):
     assert s["tokens"] >= 3 * 8
     assert s["chunks"] >= 1 and s["prefills"] == 3
     assert s["active_slots"] == 0 and s["pending"] == 0
+
+
+def test_per_request_sampling_isolation(engine_factory):
+    """A greedy request must stay bit-identical to generate() while a
+    sampled request shares the decode batch (per-slot dynamic knobs)."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(17)
+    p_greedy, p_sampled = _prompt(rng, 10), _prompt(rng, 12)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    f1 = eng.submit(p_greedy, 16)  # engine default: greedy
+    f2 = eng.submit(p_sampled, 16, temperature=1.0, top_p=0.9)
+    out1 = f1.result(timeout=120)["ids"]
+    out2 = f2.result(timeout=120)["ids"]
+    assert out1 == _ref_generated(params, cfg, p_greedy, 16, 16, None)
+    assert len(out2) == 16
+    assert all(0 <= t < cfg.vocab_size for t in out2)
+
+
+def test_top_k_1_equals_greedy(engine_factory):
+    """temperature > 0 with top_k=1 keeps only the argmax — the sampled
+    path must reproduce the greedy stream exactly."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(19), 9)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    out = eng.submit(prompt, 14, temperature=2.0, top_k=1).result(
+        timeout=120)["ids"]
+    assert out == _ref_generated(params, cfg, prompt, 16, 14, None)
+
+
+def test_sampling_validation(engine_factory):
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    eng = engine_factory(params, cfg, n_slots=1, total=64, buckets=(16,))
+    with pytest.raises(ValueError, match="temperature"):
+        eng.submit([5, 6], 4, temperature=-1.0)
+    with pytest.raises(ValueError, match="top_k"):
+        eng.submit([5, 6], 4, top_k=100000)
+    with pytest.raises(ValueError, match="top_p"):
+        eng.submit([5, 6], 4, top_p=0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        ContinuousEngine(params, cfg, total=64, buckets=(16,),
+                         temperature=-0.5)

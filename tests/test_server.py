@@ -416,6 +416,16 @@ def test_generate_endpoint(serving_gen):
     assert 1 <= out["n_new"] <= 8
     assert len(out["ids"]) == out["n_new"]
     assert isinstance(out["text"], str)
+    # per-request sampling rides the same compiled program; top_k=1 at
+    # temperature > 0 keeps only the argmax, so it matches the greedy run
+    sampled = _post(base + "/generate",
+                    {"prompt": "xin chào", "max_new_tokens": 8,
+                     "temperature": 1.5, "top_k": 1}, timeout=120)
+    assert sampled["ids"] == out["ids"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/generate", {"prompt": "a", "temperature": -2})
+    assert e.value.code == 400
+    assert "temperature" in json.loads(e.value.read())["error"]
 
 
 def test_generate_concurrent_requests(serving_gen):

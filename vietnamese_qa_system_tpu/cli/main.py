@@ -1048,7 +1048,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--gen-total", type=int, default=1024,
                     help="per-slot KV cache length for /generate "
                     "(capped at the reader's max_seq_len)")
-    ps.add_argument("--gen-chunk-steps", type=int, default=8,
+    ps.add_argument("--gen-chunk-steps", type=int, default=16,
                     help="decode steps per dispatch between host "
                     "harvests on /generate")
     ps.add_argument("--max-new-tokens", type=int, default=128,

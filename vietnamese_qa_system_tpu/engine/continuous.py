@@ -16,15 +16,25 @@ longest row of their batch, and arrivals wait for the whole batch.
                   free the slot)
 
 - Admission happens between chunks, so a new request starts decoding at
-  most ``chunk_steps`` tokens after a slot frees — it never waits for
-  other requests to finish.
+  most ~2 chunks after a slot frees — it never waits for other requests
+  to finish.
 - Prompt lengths are bucketed (powers of two by default) so prefill
   compiles a handful of programs total.
-- The host syncs once per CHUNK, not per token: through the axon tunnel
-  a dispatch costs ~1.3-1.8 ms, so per-token harvesting would dominate;
-  the price is that eos is detected up to ``chunk_steps - 1`` tokens
-  late (the device masks post-eos state updates, the host discards the
-  fill, output is unaffected — only a little tail compute is wasted).
+- The host syncs once per CHUNK, not per token, and the fetch is
+  PIPELINED one chunk deep: chunk k+1 is dispatched before chunk k's
+  tokens are fetched, so the host round-trip (~25 ms measured through
+  the axon tunnel — far above the ~2 ms dispatch) overlaps device
+  compute instead of serializing with it (measured 45.8 → 30.2 ms/chunk
+  at gpt-125m, B=8, chunk 8).  Prefill first-token fetches are deferred
+  to the same harvest point, so admission never syncs either.  The
+  price: eos is detected up to ``2*chunk_steps - 1`` tokens late (the
+  device masks post-eos state, the host discards the fill — output is
+  unaffected, only tail compute is wasted), and a freed slot is reused
+  one chunk later.
+- A finished slot is NOT released on device: decode is static-shape over
+  all slots, so a stale active row costs nothing, its emissions are
+  ignored by the host, and the next insert fully resets the row
+  (release() exists for explicit cleanup only).
 - Per-request streaming: ``submit(..., stream=cb)`` delivers tokens as
   each chunk is harvested.
 
@@ -54,6 +64,30 @@ class _Request:
     out: list[int] = field(default_factory=list)
     remaining: int = 0  # tokens still expected from decode chunks
     slot: int = -1
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    # device scalar from prefill, fetched lazily at the next harvest
+    pending_first: object = None
+    # first chunk index whose emissions belong to this request — earlier
+    # chunks' rows hold the slot's previous occupant
+    start_chunk: int = -1
+
+
+def _validate_sampling(temperature, top_k, top_p) -> None:
+    from ..models.decode_engine import TOPK_CAP
+
+    if not (isinstance(temperature, (int, float))
+            and not isinstance(temperature, bool) and 0.0 <= temperature):
+        raise ValueError(f"temperature must be a float >= 0, got "
+                         f"{temperature!r}")
+    if not (isinstance(top_k, int) and not isinstance(top_k, bool)
+            and 0 <= top_k <= TOPK_CAP):
+        raise ValueError(f"top_k must be an int in [0, {TOPK_CAP}], got "
+                         f"{top_k!r}")
+    if not (isinstance(top_p, (int, float)) and not isinstance(top_p, bool)
+            and 0.0 < top_p <= 1.0):
+        raise ValueError(f"top_p must be a float in (0, 1], got {top_p!r}")
 
 
 class ContinuousEngine:
@@ -62,8 +96,9 @@ class ContinuousEngine:
     ``params``/``cfg``: the model (any causal family, list or stacked
     blocks).  ``total`` cache columns per slot; prompts are left-padded
     to the smallest bucket that fits, decode headroom is what remains.
-    Sampling knobs are engine-wide (one compiled program); greedy by
-    default.
+    Sampling knobs are engine DEFAULTS, overridable per request in
+    ``submit`` (per-slot runtime arrays — one compiled program serves
+    mixed greedy/sampled traffic); greedy by default.
     """
 
     def __init__(
@@ -73,7 +108,7 @@ class ContinuousEngine:
         *,
         n_slots: int = 8,
         total: Optional[int] = None,
-        chunk_steps: int = 8,
+        chunk_steps: int = 16,
         buckets: Optional[Sequence[int]] = None,
         eos_id: Optional[int] = None,
         temperature: float = 0.0,
@@ -114,12 +149,17 @@ class ContinuousEngine:
         self.n_slots = int(n_slots)
         self.chunk_steps = int(chunk_steps)
         self.eos_id = eos_id
+        # engine-level DEFAULTS; submit() overrides per request (dynamic
+        # arrays in the compiled program — no recompiles, see
+        # models/decode_engine.py::_sample_dynamic)
         self.sampling = dict(temperature=temperature, top_k=top_k, top_p=top_p)
+        _validate_sampling(temperature, top_k, top_p)
         self.default_max_new = int(default_max_new)
         self._de = de
         self._jax = jax
         self._base_key = jax.random.key(seed)
-        self._chunk_counter = 0
+        self._chunk_counter = 0  # RNG stream position (prefills + chunks)
+        self._chunk_idx = 0  # ordinal of the next decode chunk
         self._state = de.make_decode_state(
             cfg, self.n_slots, self.total,
             stacked=causal_lm.blocks_stacked(params),
@@ -144,10 +184,26 @@ class ContinuousEngine:
         prompt_ids: Sequence[int],
         max_new_tokens: Optional[int] = None,
         stream: Optional[Callable[[int], None]] = None,
+        *,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> Future:
         """Queue a prompt; the Future resolves to
         ``{"ids": [generated...], "n_prompt": int}`` (generated ids only,
-        first eos included when hit)."""
+        first eos included when hit).
+
+        ``temperature``/``top_k``/``top_p`` override the engine defaults
+        for THIS request only (per-slot runtime arrays — mixed greedy and
+        sampled requests share every compiled program).  Sampled requests
+        draw from the engine's single RNG stream, so their outputs depend
+        on scheduling; greedy requests (temperature 0) are deterministic.
+        """
+        s = self.sampling
+        temperature = s["temperature"] if temperature is None else temperature
+        top_k = s["top_k"] if top_k is None else top_k
+        top_p = s["top_p"] if top_p is None else top_p
+        _validate_sampling(temperature, top_k, top_p)
         ids = [int(t) for t in prompt_ids]
         if not ids:
             raise ValueError("empty prompt")
@@ -163,7 +219,8 @@ class ContinuousEngine:
         if max_new < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         req = _Request(ids=ids, max_new=max_new, future=Future(),
-                       stream=stream)
+                       stream=stream, temperature=float(temperature),
+                       top_k=int(top_k), top_p=float(top_p))
         with self._lock:
             if self._stop:
                 raise RuntimeError("engine is closed")
@@ -188,20 +245,33 @@ class ContinuousEngine:
     # ---- scheduler loop --------------------------------------------------
 
     def _loop(self) -> None:
+        # one-chunk-deep pipeline: `prev` is the not-yet-fetched output of
+        # the last dispatched chunk; fetching it AFTER dispatching the
+        # next chunk hides the host round-trip behind device compute
+        prev: Optional[tuple[int, object]] = None
         while True:
             with self._lock:
                 if self._stop:
                     return
                 busy = bool(self._by_slot) or bool(self._pending)
-            if not busy:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
             try:
+                if not busy:
+                    if prev is not None:
+                        self._harvest(*prev)
+                        prev = None
+                        continue  # the harvest may have freed work to do
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+                    continue
                 self._admit()
+                cur = None
                 if self._by_slot:
-                    self._decode_once()
+                    cur = (self._chunk_idx, self._dispatch_chunk())
+                if prev is not None:
+                    self._harvest(*prev)
+                prev = cur
             except Exception as exc:  # noqa: BLE001 — fail owners, keep serving
+                prev = None
                 with self._lock:
                     doomed = list(self._by_slot.values()) + list(self._pending)
                     self._by_slot.clear()
@@ -243,46 +313,71 @@ class ContinuousEngine:
                 self._base_key, 2 * self._chunk_counter + 1
             )
             self._chunk_counter += 1
+            samp = (
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_k], jnp.int32),
+                jnp.asarray([req.top_p], jnp.float32),
+            )
             kv, first, n_prompt = self._de.prefill(
                 self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
-                key, **self.sampling,
+                key, *samp,
             )
             self.stats["prefills"] += 1
-            first_host = int(np.asarray(first)[0])
-            req.out.append(first_host)
-            self.stats["tokens"] += 1
-            if req.stream is not None:
-                req.stream(first_host)
-            hit_eos = self.eos_id is not None and first_host == self.eos_id
-            if hit_eos or req.max_new == 1:
-                self._finish(req)
-                with self._lock:
-                    self._free.append(slot)
-                continue
+            # the first token stays on device — fetched at the request's
+            # first harvest so admission never syncs the pipeline
+            req.pending_first = first
+            req.start_chunk = self._chunk_idx
             # decode headroom: each emitted token consumes one cache column
             req.remaining = min(req.max_new - 1, self.total - t)
             req.slot = slot
             self._state = self._de.insert(
                 self._state, kv, jnp.asarray(mask), first, n_prompt,
-                jnp.int32(slot),
+                jnp.int32(slot), *samp,
             )
             with self._lock:
                 self._by_slot[slot] = req
 
-    def _decode_once(self) -> None:
+    def _dispatch_chunk(self):
+        """Dispatch one decode chunk (async) and account for it."""
         key = self._jax.random.fold_in(
             self._base_key, 2 * self._chunk_counter
         )
         self._chunk_counter += 1
+        self._chunk_idx += 1
         self._state, toks = self._de.decode_chunk(
             self.params, self._state, key, self.cfg,
-            n_steps=self.chunk_steps, eos_id=self.eos_id, **self.sampling,
+            n_steps=self.chunk_steps, eos_id=self.eos_id,
         )
-        toks_np = np.asarray(toks)  # (n_slots, chunk_steps) — tiny fetch
         self.stats["chunks"] += 1
         self.stats["occupancy_sum"] += len(self._by_slot)
+        return toks
+
+    def _harvest(self, chunk_idx: int, toks) -> None:
+        """Fetch a dispatched chunk's tokens and route them to requests.
+
+        A slot's row belongs to its CURRENT request only from
+        ``start_chunk`` on (earlier chunks ran the previous occupant);
+        a request's deferred first token is emitted before its first
+        harvested row.  Finished slots are freed host-side only — the
+        next insert resets the device row (see module docstring).
+        """
+        toks_np = np.asarray(toks)  # (n_slots, chunk_steps) — tiny fetch
         finished: list[int] = []
         for slot, req in list(self._by_slot.items()):
+            if req.start_chunk > chunk_idx:
+                continue  # dispatched before this request was inserted
+            if req.pending_first is not None:
+                first = int(np.asarray(req.pending_first)[0])
+                req.pending_first = None
+                req.out.append(first)
+                self.stats["tokens"] += 1
+                if req.stream is not None:
+                    req.stream(first)
+                if (self.eos_id is not None and first == self.eos_id) or (
+                    req.remaining <= 0
+                ):
+                    finished.append(slot)
+                    continue
             for tok in toks_np[slot]:
                 tok = int(tok)
                 req.out.append(tok)
@@ -298,7 +393,6 @@ class ContinuousEngine:
         for slot in finished:
             req = self._by_slot.pop(slot)
             self._finish(req)
-            self._state = self._de.release(self._state, self._jax.numpy.int32(slot))
             with self._lock:
                 self._free.append(slot)
 

@@ -307,7 +307,8 @@ class ServingApp:
             "index_size": self.retriever.store.size,
         }
 
-    def generate(self, prompt: str, max_new_tokens=None) -> dict:
+    def generate(self, prompt: str, max_new_tokens=None, *,
+                 temperature=None, top_k=None, top_p=None) -> dict:
         if self.gen is None:
             raise LookupError(
                 "no generation engine configured (serve --continuous-slots)"
@@ -322,10 +323,13 @@ class ServingApp:
                 f"got {max_new_tokens!r}"
             )
         ids = self.tokenizer.encode(prompt)
-        # raises ValueError (-> 400) when the prompt exceeds the largest
-        # bucket — per-request failure, the engine keeps serving
+        # raises ValueError (-> 400) on a prompt over the largest bucket
+        # or bad sampling params — per-request failure, the engine keeps
+        # serving (submit validates before queuing)
         out = self._timed(
-            "generate", self.gen.submit(ids, max_new_tokens)
+            "generate",
+            self.gen.submit(ids, max_new_tokens, temperature=temperature,
+                            top_k=top_k, top_p=top_p),
         )["ids"]
         eos = getattr(self.tokenizer, "eos_id", None)
         text_ids = [t for t in out if t != eos] if eos is not None else out
@@ -453,7 +457,13 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                         self._reply(400, {"error": "missing 'prompt'"})
                         return
                     self._reply(
-                        200, app.generate(prompt, req.get("max_new_tokens"))
+                        200,
+                        app.generate(
+                            prompt, req.get("max_new_tokens"),
+                            temperature=req.get("temperature"),
+                            top_k=req.get("top_k"),
+                            top_p=req.get("top_p"),
+                        ),
                     )
                 elif self.path == "/ingest":
                     texts = req.get("texts")

@@ -46,7 +46,72 @@ import jax.numpy as jnp
 
 from . import causal_lm
 from .config import ModelConfig
-from .generate import _make_cache, _sample_logits
+from .generate import _make_cache
+
+# per-request top_k is clamped to this: one lax.top_k program at a static
+# width serves every request (a dynamic k would recompile per value)
+TOPK_CAP = 64
+
+
+def _sample_dynamic(logits, key, temp, top_k, top_p):
+    """Per-ROW temperature / top-k / nucleus sampling over (B, V) —
+    sampling knobs are runtime arrays, so one compiled program serves
+    requests with different settings (the HF GenerationConfig surface,
+    reference src/models/trainer.py:390-413, as serving-time per-request
+    parameters).
+
+    temp (B,) f32: 0 = greedy, >0 = sample at that temperature.
+    top_k (B,) int32: 0 = off; clamped to :data:`TOPK_CAP`.
+    top_p (B,) f32: 1 = off (nucleus by threshold bisection, the
+    generate.py::_top_p_mask scheme with a per-row target).
+
+    All-greedy batches skip the sampling pipeline via ``lax.cond`` (the
+    serving default costs one argmax, not a softmax + top-k sweep).
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def sampled(_):
+        b, v = logits.shape
+        proc = logits / jnp.maximum(temp, 1e-6)[:, None]
+
+        def with_topk(pr):
+            kcap = min(TOPK_CAP, v)
+            vals = jax.lax.top_k(pr, kcap)[0]  # (B, kcap) sorted desc
+            kk = jnp.clip(top_k, 1, kcap) - 1
+            kth = jnp.take_along_axis(vals, kk[:, None], axis=1)
+            return jnp.where((top_k[:, None] > 0) & (pr < kth), -1e30, pr)
+
+        proc = jax.lax.cond(
+            jnp.any(top_k > 0), with_topk, lambda pr: pr, proc
+        )
+
+        def with_topp(pr):
+            p = jax.nn.softmax(pr, axis=-1)
+            lo = jnp.zeros((b, 1), p.dtype)
+            hi = jnp.max(p, axis=-1, keepdims=True)
+
+            def halve(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                mass = jnp.sum(
+                    jnp.where(p >= mid, p, 0.0), axis=-1, keepdims=True
+                )
+                ok = mass >= top_p[:, None]
+                return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+            lo, _ = jax.lax.fori_loop(0, 26, halve, (lo, hi))
+            return jnp.where(p >= lo, pr, -1e30)
+
+        proc = jax.lax.cond(
+            jnp.any(top_p < 1.0), with_topp, lambda pr: pr, proc
+        )
+        return jax.random.categorical(key, proc, axis=-1).astype(jnp.int32)
+
+    drawn = jax.lax.cond(
+        jnp.any(temp > 0.0), sampled, lambda _: greedy, None
+    )
+    return jnp.where(temp > 0.0, drawn, greedy)
 
 
 def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
@@ -76,25 +141,28 @@ def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
         "active": jnp.zeros((n_slots,), jnp.bool_),
         # slot finished (eos / cache full); still owned until released
         "done": jnp.ones((n_slots,), jnp.bool_),
+        # per-request sampling knobs (see _sample_dynamic)
+        "temp": jnp.zeros((n_slots,), jnp.float32),
+        "top_k": jnp.zeros((n_slots,), jnp.int32),
+        "top_p": jnp.ones((n_slots,), jnp.float32),
     }
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p")
-)
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def prefill(
     params,
     cfg: ModelConfig,
     ids,
     attn_mask,
     key,
-    *,
-    temperature: float = 0.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
+    temp,
+    top_k,
+    top_p,
 ):
     """Run LEFT-padded prompts (B, T) and sample their first tokens.
 
+    ``temp``/``top_k``/``top_p`` are (B,) runtime arrays (see
+    :func:`_sample_dynamic`) — per-request sampling without recompiles.
     Returns ``(kv, first_tok, n_prompt)`` where ``kv`` is the per-layer
     prompt KV prefix (cache pytree of length-T columns) to hand to
     :func:`insert`.  T should be a bucket size — each distinct T compiles
@@ -112,9 +180,7 @@ def prefill(
         params, cfg, ids, mask,
         positions=positions, cache=cache, cache_index=0,
     )
-    first = _sample_logits(
-        logits[:, -1], key, temperature=temperature, top_k=top_k, top_p=top_p
-    )
+    first = _sample_dynamic(logits[:, -1], key, temp, top_k, top_p)
     return kv, first, jnp.sum(attn_mask, axis=1).astype(jnp.int32)
 
 
@@ -131,11 +197,14 @@ def _write_prefix(state_leaf, kv_leaf, slot, stacked: bool):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def insert(state, kv, attn_mask, first_tok, n_prompt, slot):
+def insert(state, kv, attn_mask, first_tok, n_prompt, slot,
+           temp, top_k, top_p):
     """Install a prefilled request into slot ``slot`` (traced scalar).
 
     ``kv``/``attn_mask``/``first_tok``/``n_prompt`` are the B=1 outputs of
-    :func:`prefill` (bucket length T <= total).  Compiles once per bucket.
+    :func:`prefill` (bucket length T <= total); ``temp``/``top_k``/
+    ``top_p`` are (1,) per-request sampling knobs.  Compiles once per
+    bucket.
     """
     stacked = not isinstance(state["cache"], list)
     t = attn_mask.shape[1]
@@ -165,6 +234,9 @@ def insert(state, kv, attn_mask, first_tok, n_prompt, slot):
         "cursor": state["cursor"].at[slot].set(t),
         "active": state["active"].at[slot].set(True),
         "done": state["done"].at[slot].set(False),
+        "temp": state["temp"].at[slot].set(temp[0]),
+        "top_k": state["top_k"].at[slot].set(top_k[0]),
+        "top_p": state["top_p"].at[slot].set(top_p[0]),
     }
 
 
@@ -186,9 +258,7 @@ def release(state, slot):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "cfg", "n_steps", "eos_id", "temperature", "top_k", "top_p",
-    ),
+    static_argnames=("cfg", "n_steps", "eos_id"),
     donate_argnums=(1,),
 )
 def decode_chunk(
@@ -199,9 +269,6 @@ def decode_chunk(
     *,
     n_steps: int = 8,
     eos_id: int | None = None,
-    temperature: float = 0.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
 ):
     """Advance every live slot ``n_steps`` tokens in ONE dispatch.
 
@@ -228,21 +295,20 @@ def decode_chunk(
             positions=st["pos"][:, None],
             cache=st["cache"], cache_index=st["cursor"],
         )
-        nxt = _sample_logits(
-            logits[:, 0], k_s,
-            temperature=temperature, top_k=top_k, top_p=top_p,
+        nxt = _sample_dynamic(
+            logits[:, 0], k_s, st["temp"], st["top_k"], st["top_p"]
         )
         nxt = jnp.where(write_ok, nxt, fill)
         done = st["done"] | ~st["active"] | (st["cursor"] + 1 >= total)
         if eos_id is not None:
             done = done | (nxt == eos_id)
         new_st = {
+            **st,
             "cache": cache,
             "key_valid": key_valid,
             "last_tok": jnp.where(write_ok, nxt, st["last_tok"]),
             "pos": st["pos"] + write_ok,
             "cursor": st["cursor"] + write_ok,
-            "active": st["active"],
             "done": done,
         }
         return new_st, nxt
