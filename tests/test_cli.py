@@ -203,3 +203,48 @@ def test_cli_chat_draft_model_smoke(monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "model>" in out
+
+
+def test_cli_lora_adapter_artifact_roundtrip(dataset, tmp_path):
+    """train --use-lora writes an adapter-only adapter.npz; it loads into
+    a multi-LoRA serving bank exactly the way `serve --adapter` does."""
+    raw, _ = dataset
+    parsed = tmp_path / "p"
+    main(["parse", "--parser", "alpaca", "--input", str(raw),
+          "--output-dir", str(parsed)])
+    rc = main(
+        [
+            "train",
+            "--train-files", str(parsed / "AlpacaParser.jsonl"),
+            "--epochs", "1", "--batch-size", "4", "--max-steps", "2",
+            "--max-len", "256", "--use-lora", "--lora-r", "4",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--mesh", '{"data": 1}',
+        ]
+    )
+    assert rc == 0
+    adapter_path = tmp_path / "ckpt" / "adapter.npz"
+    assert adapter_path.exists()
+
+    import jax
+
+    from vietnamese_qa_system_tpu.engine.continuous import ContinuousEngine
+    from vietnamese_qa_system_tpu.models import tiny_test
+    from vietnamese_qa_system_tpu.models.causal_lm import init_causal_lm
+    from vietnamese_qa_system_tpu.models.lora import LoraConfig, init_lora
+    from vietnamese_qa_system_tpu.train.checkpoint import load_pytree
+
+    cfg = tiny_test("causal")
+    params = init_causal_lm(jax.random.key(0), cfg)
+    lcfg = LoraConfig(r=4, alpha=16)
+    target = init_lora(jax.random.key(0), params, lcfg)
+    loaded = load_pytree(str(adapter_path), target)
+    eng = ContinuousEngine(params, cfg, n_slots=1, total=64, buckets=(16,),
+                           chunk_steps=4, adapters={"trained": loaded},
+                           lora_config=lcfg)
+    try:
+        out = eng.submit([5, 6, 7], 6, adapter="trained").result(timeout=120)
+        assert len(out["ids"]) == 6
+    finally:
+        eng.close()

@@ -394,9 +394,21 @@ def serving_gen():
     gcfg = ModelConfig(arch="causal", vocab_size=tok.vocab_size, d_model=32,
                        n_heads=4, n_layers=2, d_ff=64, max_seq_len=256)
     gp = init_causal_lm(jax.random.key(1), gcfg)
+    # one LoRA adapter with a non-zero B so /generate?adapter=vi differs
+    from vietnamese_qa_system_tpu.models.lora import LoraConfig, init_lora
+
+    lcfg = LoraConfig(r=4, alpha=8)
+    ad = init_lora(jax.random.key(2), gp, lcfg)
+    leaves, tree = jax.tree_util.tree_flatten(ad)
+    ks = jax.random.split(jax.random.key(3), len(leaves))
+    ad = jax.tree_util.tree_unflatten(
+        tree, [jax.random.normal(k, l.shape, l.dtype) * 0.3
+               for k, l in zip(ks, leaves)]
+    )
     gen = ContinuousEngine(gp, gcfg, n_slots=2, total=96, buckets=(32, 64),
                            chunk_steps=4, eos_id=tok.eos_id,
-                           default_max_new=16)
+                           default_max_new=16,
+                           adapters={"vi": ad}, lora_config=lcfg)
     app = ServingApp(retr, ingest=pipe, gen=gen, tokenizer=tok, k=3,
                      max_batch=16, max_wait_s=0.02)
     httpd = make_server(app, port=0)
@@ -471,3 +483,26 @@ def test_generate_without_engine_is_400(serving):
 def test_gen_engine_requires_tokenizer():
     with pytest.raises(ValueError, match="tokenizer"):
         ServingApp(object(), gen=object(), tokenizer=None)
+
+
+def test_generate_with_adapter(serving_gen):
+    """Multi-LoRA serving over HTTP: the adapter route answers, is listed
+    in /healthz, and an unknown name fails only its own request."""
+    base, _ = serving_gen
+    out_base = _post(base + "/generate",
+                     {"prompt": "việt nam", "max_new_tokens": 8},
+                     timeout=120)
+    out_vi = _post(base + "/generate",
+                   {"prompt": "việt nam", "max_new_tokens": 8,
+                    "adapter": "vi"}, timeout=120)
+    assert 1 <= out_vi["n_new"] <= 8
+    # a random non-zero adapter virtually always changes the greedy path
+    assert out_vi["ids"] != out_base["ids"]
+    health = json.loads(
+        urllib.request.urlopen(base + "/healthz", timeout=10).read()
+    )
+    assert health["stats"]["generate"]["adapters"] == ["vi"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/generate", {"prompt": "a", "adapter": "nope"})
+    assert e.value.code == 400
+    assert "unknown adapter" in json.loads(e.value.read())["error"]

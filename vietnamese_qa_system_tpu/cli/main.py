@@ -370,6 +370,17 @@ def cmd_train(args) -> int:
         max_steps=args.max_steps,
     )
     dist_print(f"training done at step {int(trainer.state['step'])}")
+    if trainer.adapter is not None and args.checkpoint_dir:
+        # adapter-only artifact: loadable by `serve --adapter NAME=PATH`
+        # into the multi-LoRA serving bank (many fine-tunes, one base)
+        from ..train.checkpoint import save_pytree
+
+        adapter_path = os.path.join(args.checkpoint_dir, "adapter.npz")
+        save_pytree(adapter_path, trainer.state["adapter"])
+        dist_print(
+            f"adapter saved -> {adapter_path} (r={args.lora_r}, "
+            f"alpha={args.lora_alpha})"
+        )
     if args.push_to_hub:
         # export merged weights + push (offline-safe: records a manifest
         # when no network/token — capability of the reference's save_push,
@@ -666,6 +677,33 @@ def cmd_serve(args) -> int:
                 )
             from ..engine import ContinuousEngine
 
+            adapters = None
+            lcfg = None
+            if args.adapter:
+                # multi-LoRA serving: NAME=PATH adapter.npz artifacts
+                # (written by `train --use-lora --checkpoint-dir`) over
+                # the shared reader base
+                from ..models.lora import LoraConfig, init_lora
+                from ..train.checkpoint import load_pytree
+
+                lcfg = LoraConfig(
+                    r=args.adapter_r, alpha=args.adapter_alpha,
+                    targets=tuple(args.adapter_targets)
+                    if args.adapter_targets else LoraConfig.targets,
+                )
+                target = init_lora(jax.random.key(0), rparams, lcfg)
+                adapters = {}
+                for spec in args.adapter:
+                    name, _, path = spec.partition("=")
+                    if not name or not path:
+                        raise SystemExit(
+                            f"--adapter expects NAME=PATH, got {spec!r}"
+                        )
+                    adapters[name] = load_pytree(path, target)
+                dist_print(
+                    f"adapters loaded: {sorted(adapters)} "
+                    f"(r={lcfg.r}, alpha={lcfg.alpha})"
+                )
             gen_engine = ContinuousEngine(
                 rparams, rcfg,
                 n_slots=args.continuous_slots,
@@ -673,6 +711,8 @@ def cmd_serve(args) -> int:
                 chunk_steps=args.gen_chunk_steps,
                 eos_id=tok.eos_id,
                 default_max_new=args.max_new_tokens,
+                adapters=adapters,
+                lora_config=lcfg,
             )
             dist_print(
                 f"/generate: continuous batching, {args.continuous_slots} "
@@ -1053,6 +1093,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "harvests on /generate")
     ps.add_argument("--max-new-tokens", type=int, default=128,
                     help="default completion budget for /generate")
+    ps.add_argument("--adapter", action="append", default=None,
+                    metavar="NAME=PATH",
+                    help="serve a LoRA adapter.npz (from train --use-lora "
+                    "--checkpoint-dir) under NAME on /generate; repeatable "
+                    "— all adapters share the base and one compiled "
+                    "program (multi-LoRA serving)")
+    ps.add_argument("--adapter-r", type=int, default=8)
+    ps.add_argument("--adapter-alpha", type=int, default=16)
+    ps.add_argument("--adapter-targets", nargs="*", default=None)
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

@@ -67,6 +67,7 @@ class _Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    adapter_ix: int = 0  # LoRA bank index (0 = base model)
     # device scalar from prefill, fetched lazily at the next harvest
     pending_first: object = None
     # first chunk index whose emissions belong to this request — earlier
@@ -116,6 +117,8 @@ class ContinuousEngine:
         top_p: float = 1.0,
         seed: int = 0,
         default_max_new: int = 128,
+        adapters=None,
+        lora_config=None,
     ):
         import jax
 
@@ -155,6 +158,21 @@ class ContinuousEngine:
         self.sampling = dict(temperature=temperature, top_k=top_k, top_p=top_p)
         _validate_sampling(temperature, top_k, top_p)
         self.default_max_new = int(default_max_new)
+        # multi-LoRA serving: `adapters` is {name: adapter pytree} from
+        # LoRA fine-tunes of THIS base; requests pick one by name (or none
+        # for the raw base) and every compiled program serves all of them
+        # via per-slot bank indices (models/lora.py::stack_adapters)
+        self._bank = None
+        self._adapter_idx: dict[str, int] = {}
+        if adapters:
+            from ..models.lora import LoraConfig, stack_adapters
+
+            names = list(adapters)
+            self._bank = stack_adapters(
+                [adapters[n] for n in names], lora_config or LoraConfig()
+            )
+            # bank slot 0 is the zero adapter (= base)
+            self._adapter_idx = {n: i + 1 for i, n in enumerate(names)}
         self._de = de
         self._jax = jax
         self._base_key = jax.random.key(seed)
@@ -188,6 +206,7 @@ class ContinuousEngine:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        adapter: Optional[str] = None,
     ) -> Future:
         """Queue a prompt; the Future resolves to
         ``{"ids": [generated...], "n_prompt": int}`` (generated ids only,
@@ -204,6 +223,14 @@ class ContinuousEngine:
         top_k = s["top_k"] if top_k is None else top_k
         top_p = s["top_p"] if top_p is None else top_p
         _validate_sampling(temperature, top_k, top_p)
+        adapter_ix = 0
+        if adapter is not None:
+            if adapter not in self._adapter_idx:
+                raise ValueError(
+                    f"unknown adapter {adapter!r}; available: "
+                    f"{sorted(self._adapter_idx) or '(none configured)'}"
+                )
+            adapter_ix = self._adapter_idx[adapter]
         ids = [int(t) for t in prompt_ids]
         if not ids:
             raise ValueError("empty prompt")
@@ -220,7 +247,8 @@ class ContinuousEngine:
             raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         req = _Request(ids=ids, max_new=max_new, future=Future(),
                        stream=stream, temperature=float(temperature),
-                       top_k=int(top_k), top_p=float(top_p))
+                       top_k=int(top_k), top_p=float(top_p),
+                       adapter_ix=adapter_ix)
         with self._lock:
             if self._stop:
                 raise RuntimeError("engine is closed")
@@ -318,9 +346,13 @@ class ContinuousEngine:
                 jnp.asarray([req.top_k], jnp.int32),
                 jnp.asarray([req.top_p], jnp.float32),
             )
+            aix = (
+                jnp.asarray([req.adapter_ix], jnp.int32)
+                if self._bank is not None else None
+            )
             kv, first, n_prompt = self._de.prefill(
                 self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
-                key, *samp,
+                key, *samp, bank=self._bank, adapter=aix,
             )
             self.stats["prefills"] += 1
             # the first token stays on device — fetched at the request's
@@ -332,7 +364,7 @@ class ContinuousEngine:
             req.slot = slot
             self._state = self._de.insert(
                 self._state, kv, jnp.asarray(mask), first, n_prompt,
-                jnp.int32(slot), *samp,
+                jnp.int32(slot), *samp, adapter=aix,
             )
             with self._lock:
                 self._by_slot[slot] = req
@@ -346,7 +378,7 @@ class ContinuousEngine:
         self._chunk_idx += 1
         self._state, toks = self._de.decode_chunk(
             self.params, self._state, key, self.cfg,
-            n_steps=self.chunk_steps, eos_id=self.eos_id,
+            n_steps=self.chunk_steps, eos_id=self.eos_id, bank=self._bank,
         )
         self.stats["chunks"] += 1
         self.stats["occupancy_sum"] += len(self._by_slot)
@@ -404,6 +436,10 @@ class ContinuousEngine:
             )
 
     # ---- conveniences ----------------------------------------------------
+
+    @property
+    def adapter_names(self) -> list[str]:
+        return sorted(self._adapter_idx)
 
     def generate_ids(self, prompt_ids: Sequence[int],
                      max_new_tokens: Optional[int] = None,

@@ -308,7 +308,8 @@ class ServingApp:
         }
 
     def generate(self, prompt: str, max_new_tokens=None, *,
-                 temperature=None, top_k=None, top_p=None) -> dict:
+                 temperature=None, top_k=None, top_p=None,
+                 adapter=None) -> dict:
         if self.gen is None:
             raise LookupError(
                 "no generation engine configured (serve --continuous-slots)"
@@ -322,14 +323,16 @@ class ServingApp:
                 f"'max_new_tokens' must be an int in [1, 4096], "
                 f"got {max_new_tokens!r}"
             )
+        if adapter is not None and not isinstance(adapter, str):
+            raise ValueError(f"'adapter' must be a string, got {adapter!r}")
         ids = self.tokenizer.encode(prompt)
-        # raises ValueError (-> 400) on a prompt over the largest bucket
-        # or bad sampling params — per-request failure, the engine keeps
-        # serving (submit validates before queuing)
+        # raises ValueError (-> 400) on a prompt over the largest bucket,
+        # bad sampling params, or an unknown adapter — per-request
+        # failure, the engine keeps serving (submit validates pre-queue)
         out = self._timed(
             "generate",
             self.gen.submit(ids, max_new_tokens, temperature=temperature,
-                            top_k=top_k, top_p=top_p),
+                            top_k=top_k, top_p=top_p, adapter=adapter),
         )["ids"]
         eos = getattr(self.tokenizer, "eos_id", None)
         text_ids = [t for t in out if t != eos] if eos is not None else out
@@ -345,6 +348,7 @@ class ServingApp:
             stats["qa"] = dict(self._qa_batcher.stats)
         if self.gen is not None:
             stats["generate"] = self.gen.snapshot_stats()
+            stats["generate"]["adapters"] = self.gen.adapter_names
         with self._lat_lock:
             snapshot = {k: list(v) for k, v in self._latencies.items()}
         for endpoint, lat in snapshot.items():
@@ -463,6 +467,7 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                             temperature=req.get("temperature"),
                             top_k=req.get("top_k"),
                             top_p=req.get("top_p"),
+                            adapter=req.get("adapter"),
                         ),
                     )
                 elif self.path == "/ingest":

@@ -145,6 +145,9 @@ def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
         "temp": jnp.zeros((n_slots,), jnp.float32),
         "top_k": jnp.zeros((n_slots,), jnp.int32),
         "top_p": jnp.ones((n_slots,), jnp.float32),
+        # per-request adapter index into the LoRA bank (0 = base model;
+        # unused unless a bank is passed to prefill/decode_chunk)
+        "adapter": jnp.zeros((n_slots,), jnp.int32),
     }
 
 
@@ -158,16 +161,25 @@ def prefill(
     temp,
     top_k,
     top_p,
+    bank=None,
+    adapter=None,
 ):
     """Run LEFT-padded prompts (B, T) and sample their first tokens.
 
     ``temp``/``top_k``/``top_p`` are (B,) runtime arrays (see
     :func:`_sample_dynamic`) — per-request sampling without recompiles.
+    ``bank``/``adapter``: optional stacked LoRA bank
+    (lora.stack_adapters) + per-row indices — each prompt runs its own
+    fine-tune over the shared base (multi-LoRA serving).
     Returns ``(kv, first_tok, n_prompt)`` where ``kv`` is the per-layer
     prompt KV prefix (cache pytree of length-T columns) to hand to
     :func:`insert`.  T should be a bucket size — each distinct T compiles
     once.
     """
+    if bank is not None:
+        from .lora import select_adapters
+
+        params = select_adapters(params, bank, adapter)
     b, t = ids.shape
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
     cache = _make_cache(
@@ -198,13 +210,13 @@ def _write_prefix(state_leaf, kv_leaf, slot, stacked: bool):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def insert(state, kv, attn_mask, first_tok, n_prompt, slot,
-           temp, top_k, top_p):
+           temp, top_k, top_p, adapter=None):
     """Install a prefilled request into slot ``slot`` (traced scalar).
 
     ``kv``/``attn_mask``/``first_tok``/``n_prompt`` are the B=1 outputs of
     :func:`prefill` (bucket length T <= total); ``temp``/``top_k``/
-    ``top_p`` are (1,) per-request sampling knobs.  Compiles once per
-    bucket.
+    ``top_p`` are (1,) per-request sampling knobs; ``adapter`` the (1,)
+    LoRA-bank index (None = base).  Compiles once per bucket.
     """
     stacked = not isinstance(state["cache"], list)
     t = attn_mask.shape[1]
@@ -237,6 +249,10 @@ def insert(state, kv, attn_mask, first_tok, n_prompt, slot,
         "temp": state["temp"].at[slot].set(temp[0]),
         "top_k": state["top_k"].at[slot].set(top_k[0]),
         "top_p": state["top_p"].at[slot].set(top_p[0]),
+        "adapter": (
+            state["adapter"] if adapter is None
+            else state["adapter"].at[slot].set(adapter[0])
+        ),
     }
 
 
@@ -269,6 +285,7 @@ def decode_chunk(
     *,
     n_steps: int = 8,
     eos_id: int | None = None,
+    bank=None,
 ):
     """Advance every live slot ``n_steps`` tokens in ONE dispatch.
 
@@ -283,6 +300,12 @@ def decode_chunk(
     ``write_ok``, and a cursor at ``total`` scatters out of bounds, which
     JAX drops — either way the garbage is unreachable.
     """
+    if bank is not None:
+        # adapter assignments only change at insert (between chunks), so
+        # one gather per chunk serves every step of its scan
+        from .lora import select_adapters
+
+        params = select_adapters(params, bank, state["adapter"])
     n_slots, total = state["key_valid"].shape
     fill = jnp.int32(eos_id if eos_id is not None else 0)
     rows = jnp.arange(n_slots)

@@ -52,6 +52,24 @@ def dense(p, x):
     if "b" in p:
         y = y + p["b"]
     if "lora_a" in p:
+        if p["lora_a"].ndim == 3:
+            # per-ROW adapters (multi-LoRA serving, lora.select_adapters):
+            # lora_a (B, d_in, r) / lora_b (B, r, d_out) — each batch row
+            # applies its own rank-r correction in one batched matmul
+            # (lora_b carries alpha/r)
+            xa = jnp.einsum(
+                "b...i,bir->b...r",
+                x.astype(COMPUTE_DTYPE),
+                p["lora_a"].astype(COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            y = y + jnp.einsum(
+                "b...r,bro->b...o",
+                xa.astype(COMPUTE_DTYPE),
+                p["lora_b"].astype(COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            return y
         # lazily applied LoRA on a quantized base (merge_lora attaches the
         # factors; lora_b already carries alpha/r): y += (x @ A) @ B — the
         # full-rank delta is never materialized (QLoRA compute)

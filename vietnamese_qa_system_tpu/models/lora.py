@@ -142,6 +142,98 @@ def merge_lora(params, adapter, cfg: LoraConfig):
     return walk(params, adapter)
 
 
+def stack_adapters(adapters: Sequence, cfg: LoraConfig):
+    """Stack N same-shaped adapter pytrees into a serving BANK: every
+    {"a","b"} leaf gains a leading adapter dim, ``b`` is pre-scaled by
+    alpha/r (so the bank is self-contained), and index 0 is a ZERO
+    adapter (the unmodified base model) — per-request "no adapter" costs
+    one wasted rank-r matmul instead of a branch.
+
+    Multi-LoRA serving (beyond-parity): the reference fine-tunes one PEFT
+    adapter per run (reference src/models/trainer.py:489-497) and serves
+    it merged (merge_adapter :84-161) — one model per deployment.  A bank
+    serves MANY fine-tunes over one shared base in one compiled program
+    (see models/decode_engine.py + engine/continuous.py ``adapters=``).
+    """
+    if not adapters:
+        raise ValueError("stack_adapters needs at least one adapter")
+    structs = [
+        jax.tree_util.tree_structure(ad) for ad in adapters
+    ]
+    if any(s != structs[0] for s in structs[1:]):
+        raise ValueError(
+            "adapters target different leaves (same base + same "
+            "LoraConfig.targets required)"
+        )
+
+    def stack(*leaves):
+        if any(l.shape != leaves[0].shape for l in leaves[1:]):
+            raise ValueError(
+                f"adapter leaf shapes differ: {[l.shape for l in leaves]} "
+                "(same rank r required)"
+            )
+        zero = jnp.zeros_like(leaves[0])
+        return jnp.stack([zero, *leaves])
+
+    bank = jax.tree_util.tree_map(stack, *adapters)
+
+    def scale_b(node):
+        if isinstance(node, dict) and "a" in node and "b" in node:
+            return {"a": node["a"], "b": node["b"] * cfg.scale}
+        if isinstance(node, dict):
+            return {k: scale_b(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [scale_b(v) for v in node]
+        return node
+
+    return scale_b(bank)
+
+
+def select_adapters(params, bank, idx):
+    """Attach per-ROW adapter factors gathered from ``bank`` at ``idx``
+    (B,) onto the targeted dense leaves: ``lora_a`` (B, d_in, r) /
+    ``lora_b`` (B, r, d_out), which layers.dense applies as batched
+    rank-r corrections — each batch row runs its own fine-tune.
+
+    Stacked scan-over-layers leaves (bank (N, L, d_in, r)) are gathered
+    then moved to (L, B, d_in, r) so lax.scan slices the layer dim and
+    dense still sees the batched (B, d_in, r) form.  Mutually exclusive
+    with a single lazily-attached adapter (merge_lora on a quantized
+    base): select overwrites those factors.
+    """
+
+    def walk(p, a):
+        if a is None:
+            return p
+        if _is_dense(p):
+            if isinstance(a, dict) and "a" in a:
+                out = dict(p)
+                ga, gb = a["a"][idx], a["b"][idx]
+                if a["a"].ndim == 4 and ga.ndim == 4:
+                    # stacked-blocks bank (N, L, d_in, r) gathered with a
+                    # (B,) index: (B, L, ..) -> (L, B, ..).  A SCALAR index
+                    # keeps (L, d_in, r) — the single-adapter stacked form
+                    # that lax.scan slices per layer.
+                    ga = jnp.moveaxis(ga, 0, 1)
+                    gb = jnp.moveaxis(gb, 0, 1)
+                out["lora_a"] = ga
+                out["lora_b"] = gb
+                return out
+            return p
+        if isinstance(p, dict):
+            return {
+                k: walk(v, a.get(k) if isinstance(a, dict) else None)
+                for k, v in p.items()
+            }
+        if isinstance(p, list):
+            if isinstance(a, list):
+                return [walk(v, av) for v, av in zip(p, a)]
+            return p
+        return p
+
+    return walk(params, bank)
+
+
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree.leaves(tree))
 
