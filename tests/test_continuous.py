@@ -243,3 +243,24 @@ def test_sampling_validation(engine_factory):
     with pytest.raises(ValueError, match="temperature"):
         ContinuousEngine(params, cfg, total=64, buckets=(16,),
                          temperature=-0.5)
+
+
+def test_raising_stream_callback_is_contained(engine_factory):
+    """A user stream callback that raises must not doom the scheduler or
+    any other in-flight request (it is disabled for that request only)."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(23)
+    p1, p2 = _prompt(rng, 8), _prompt(rng, 10)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+
+    def bad_cb(tok):
+        raise RuntimeError("client went away")
+
+    f_bad = eng.submit(p1, 12, stream=bad_cb)
+    f_ok = eng.submit(p2, 12)
+    out_bad = f_bad.result(timeout=120)["ids"]
+    out_ok = f_ok.result(timeout=120)["ids"]
+    assert len(out_bad) == 12  # its own future still completes
+    assert out_ok == _ref_generated(params, cfg, p2, 16, 12, None)

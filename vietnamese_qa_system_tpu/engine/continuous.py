@@ -403,8 +403,7 @@ class ContinuousEngine:
                 req.pending_first = None
                 req.out.append(first)
                 self.stats["tokens"] += 1
-                if req.stream is not None:
-                    req.stream(first)
+                self._emit(req, first)
                 if (self.eos_id is not None and first == self.eos_id) or (
                     req.remaining <= 0
                 ):
@@ -415,8 +414,7 @@ class ContinuousEngine:
                 req.out.append(tok)
                 req.remaining -= 1
                 self.stats["tokens"] += 1
-                if req.stream is not None:
-                    req.stream(tok)
+                self._emit(req, tok)
                 if (self.eos_id is not None and tok == self.eos_id) or (
                     req.remaining <= 0
                 ):
@@ -427,6 +425,19 @@ class ContinuousEngine:
             self._finish(req)
             with self._lock:
                 self._free.append(slot)
+
+    @staticmethod
+    def _emit(req: _Request, tok: int) -> None:
+        """Deliver one token to a request's stream callback.  A raising
+        callback must fail only ITS OWN request's consumer, never the
+        scheduler (the loop's except would doom every in-flight
+        request) — so errors are swallowed and the callback disabled."""
+        if req.stream is None:
+            return
+        try:
+            req.stream(tok)
+        except Exception:  # noqa: BLE001 — user callback, not our state
+            req.stream = None
 
     def _finish(self, req: _Request) -> None:
         self.stats["completed"] += 1
