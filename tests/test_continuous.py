@@ -129,14 +129,15 @@ def test_streaming_callback(engine_factory):
 
 def test_capacity_budget_truncates(engine_factory):
     """A budget larger than the cache headroom is truncated to it (first
-    token + (total - bucket) decode emissions), never overflows."""
+    token + (total - len(prompt)) decode emissions — right padding
+    reclaims the bucket's pad columns), never overflows."""
     cfg = ModelConfig(**BASE)
     params = _mk(cfg)
     prompt = _prompt(np.random.default_rng(9), 14)
     eng = engine_factory(params, cfg, n_slots=1, total=24,
                          buckets=(16,), chunk_steps=4)
     out = eng.generate_ids(prompt, max_new_tokens=500)
-    assert len(out) == 1 + (24 - 16)
+    assert len(out) == 1 + (24 - len(prompt))
     ref = _ref_generated(params, cfg, prompt, 16, len(out), None)
     assert out == ref
 

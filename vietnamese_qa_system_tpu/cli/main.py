@@ -713,6 +713,7 @@ def cmd_serve(args) -> int:
                 default_max_new=args.max_new_tokens,
                 adapters=adapters,
                 lora_config=lcfg,
+                prefix_cache_mb=args.prefix_cache_mb,
             )
             dist_print(
                 f"/generate: continuous batching, {args.continuous_slots} "
@@ -1102,6 +1103,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--adapter-r", type=int, default=8)
     ps.add_argument("--adapter-alpha", type=int, default=16)
     ps.add_argument("--adapter-targets", nargs="*", default=None)
+    ps.add_argument("--prefix-cache-mb", type=float, default=0.0,
+                    help="keep prompt KV on device and prefill only the "
+                    "suffix of later /generate prompts sharing a prefix "
+                    "(RAG system prompts/contexts); 0 = off")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

@@ -91,12 +91,82 @@ def _validate_sampling(temperature, top_k, top_p) -> None:
         raise ValueError(f"top_p must be a float in (0, 1], got {top_p!r}")
 
 
+class _PrefixCache:
+    """Host-managed LRU of device-resident prompt-KV prefixes.
+
+    Keyed by (token tuple, adapter index) — LoRA changes K/V, so
+    adapters never share entries.  ``lookup`` returns the LONGEST stored
+    entry that is a strict prefix of the new prompt (strict: at least
+    one suffix token must run so prefill_extend has logits to sample
+    from).  Entries are whole prefill outputs normalized to the bucket
+    grid; eviction is LRU by total KV bytes.
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self.bytes = 0
+        self.tick = 0
+        # key -> {"kv": pytree, "p": int, "width": int, "bytes": int,
+        #          "tick": int}
+        self._entries: dict[tuple, dict] = {}
+
+    @staticmethod
+    def _nbytes(kv) -> int:
+        import jax
+
+        return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(kv))
+
+    def lookup(self, ids: Sequence[int], adapter_ix: int):
+        """Longest usable prefix for ``ids``: a stored entry whose first
+        ``p_eff = min(len(entry), len(ids) - 1)`` tokens match (capped at
+        len-1 so at least one suffix token runs — this also lets an
+        EQUAL stored prompt serve a repeat request).  Returns
+        ``(entry, p_eff)`` or None."""
+        best, best_p = None, 0
+        for (toks, aix), ent in self._entries.items():
+            if aix != adapter_ix:
+                continue
+            p_eff = min(len(toks), len(ids) - 1)
+            if p_eff <= best_p:
+                continue
+            if tuple(ids[:p_eff]) == toks[:p_eff]:
+                best, best_p = ent, p_eff
+        if best is not None:
+            self.tick += 1
+            best["tick"] = self.tick
+            return best, best_p
+        return None
+
+    def store(self, ids: Sequence[int], adapter_ix: int, kv,
+              width: int) -> None:
+        key = (tuple(ids), adapter_ix)
+        if key in self._entries or self.max_bytes <= 0:
+            return
+        nb = self._nbytes(kv)
+        if nb > self.max_bytes:
+            return
+        while self.bytes + nb > self.max_bytes and self._entries:
+            victim = min(self._entries, key=lambda k: self._entries[k]["tick"])
+            self.bytes -= self._entries.pop(victim)["bytes"]
+        self.tick += 1
+        self._entries[key] = {
+            "kv": kv, "p": len(ids), "width": width, "bytes": nb,
+            "tick": self.tick,
+        }
+        self.bytes += nb
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
 class ContinuousEngine:
     """Slot-scheduled generation over a causal LM.
 
     ``params``/``cfg``: the model (any causal family, list or stacked
-    blocks).  ``total`` cache columns per slot; prompts are left-padded
-    to the smallest bucket that fits, decode headroom is what remains.
+    blocks).  ``total`` cache columns per slot; prompts are RIGHT-padded
+    to the smallest bucket that fits (slot == position; pad columns past
+    the true length are reclaimed by decode), so headroom is
+    ``total - len(prompt)``.
     Sampling knobs are engine DEFAULTS, overridable per request in
     ``submit`` (per-slot runtime arrays — one compiled program serves
     mixed greedy/sampled traffic); greedy by default.
@@ -119,6 +189,8 @@ class ContinuousEngine:
         default_max_new: int = 128,
         adapters=None,
         lora_config=None,
+        prefix_cache_mb: float = 0.0,
+        min_cached_prompt: int = 16,
     ):
         import jax
 
@@ -173,6 +245,15 @@ class ContinuousEngine:
             )
             # bank slot 0 is the zero adapter (= base)
             self._adapter_idx = {n: i + 1 for i, n in enumerate(names)}
+        # prefix caching: keep prompt KV on device and prefill only the
+        # suffix of later prompts that share a prefix (RAG system
+        # prompts / retrieved contexts) — see models/decode_engine.py::
+        # prefill_extend and _PrefixCache above
+        self._pcache = (
+            _PrefixCache(int(prefix_cache_mb * (1 << 20)))
+            if prefix_cache_mb > 0 else None
+        )
+        self.min_cached_prompt = int(min_cached_prompt)
         self._de = de
         self._jax = jax
         self._base_key = jax.random.key(seed)
@@ -191,6 +272,7 @@ class ContinuousEngine:
         self.stats = {
             "requests": 0, "completed": 0, "tokens": 0,
             "chunks": 0, "occupancy_sum": 0, "prefills": 0,
+            "prefix_hits": 0, "prefix_tokens_reused": 0,
         }
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -332,11 +414,6 @@ class ContinuousEngine:
                     return
                 req = self._pending.popleft()
                 slot = self._free.popleft()
-            t = self._bucket(len(req.ids))
-            ids = np.zeros((1, t), np.int32)
-            mask = np.zeros((1, t), np.int32)
-            ids[0, t - len(req.ids):] = req.ids
-            mask[0, t - len(req.ids):] = 1
             key = self._jax.random.fold_in(
                 self._base_key, 2 * self._chunk_counter + 1
             )
@@ -350,17 +427,13 @@ class ContinuousEngine:
                 jnp.asarray([req.adapter_ix], jnp.int32)
                 if self._bank is not None else None
             )
-            kv, first, n_prompt = self._de.prefill(
-                self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
-                key, *samp, bank=self._bank, adapter=aix,
-            )
-            self.stats["prefills"] += 1
+            kv, first, n_prompt, mask = self._run_prefill(req, key, samp, aix)
             # the first token stays on device — fetched at the request's
             # first harvest so admission never syncs the pipeline
             req.pending_first = first
             req.start_chunk = self._chunk_idx
             # decode headroom: each emitted token consumes one cache column
-            req.remaining = min(req.max_new - 1, self.total - t)
+            req.remaining = min(req.max_new - 1, self.total - len(req.ids))
             req.slot = slot
             self._state = self._de.insert(
                 self._state, kv, jnp.asarray(mask), first, n_prompt,
@@ -368,6 +441,69 @@ class ContinuousEngine:
             )
             with self._lock:
                 self._by_slot[slot] = req
+
+    def _run_prefill(self, req: _Request, key, samp, aix):
+        """Prefill a request — through the prefix cache when a stored
+        prompt KV is a strict prefix of this one, else cold.
+
+        Returns ``(kv, first_tok_device, n_prompt (1,), mask np (1, W))``
+        ready for insert().  Cold results (and extended ones) are stored
+        back into the cache, width-normalized to the bucket grid.
+        """
+        import jax.numpy as jnp
+
+        n = len(req.ids)
+        hit = (
+            self._pcache.lookup(req.ids, req.adapter_ix)
+            if self._pcache is not None else None
+        )
+        if hit is not None:
+            ent, p = hit
+            sfx = req.ids[p:]
+            sb = self._bucket(len(sfx))
+            sfx_ids = np.zeros((1, sb), np.int32)
+            sfx_mask = np.zeros((1, sb), np.int32)
+            sfx_ids[0, : len(sfx)] = sfx
+            sfx_mask[0, : len(sfx)] = 1
+            kv, first, n_total = self._de.prefill_extend(
+                self.params, self.cfg, ent["kv"],
+                jnp.asarray([p], jnp.int32),
+                jnp.asarray(sfx_ids), jnp.asarray(sfx_mask),
+                key, *samp, bank=self._bank, adapter=aix,
+            )
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_tokens_reused"] += p
+            # normalize the (prefix_bucket + suffix_bucket) width back to
+            # the bucket grid before insert/store: insert then only ever
+            # compiles at |buckets| widths, not every emergent sum (the
+            # transient extend width itself is unconstrained — only the
+            # inserted width must fit the slot cache, and bucket(n) < total
+            # is guaranteed by the constructor/submit validation)
+            b = self._bucket(n)
+            kv = self._de.crop_kv(kv, width=b)
+            mask = (np.arange(b) < n)[None].astype(np.int32)
+            self._store_kv(req, kv, b)
+            return kv, first, n_total, mask
+        t = self._bucket(n)
+        ids = np.zeros((1, t), np.int32)
+        mask = np.zeros((1, t), np.int32)
+        ids[0, :n] = req.ids
+        mask[0, :n] = 1
+        kv, first, n_prompt = self._de.prefill(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            key, *samp, bank=self._bank, adapter=aix,
+        )
+        self.stats["prefills"] += 1
+        self._store_kv(req, kv, t)
+        return kv, first, n_prompt, mask
+
+    def _store_kv(self, req: _Request, kv, width: int) -> None:
+        if self._pcache is None or len(req.ids) < self.min_cached_prompt:
+            return
+        b = self._bucket(len(req.ids))
+        if width != b:
+            kv = self._de.crop_kv(kv, width=b)
+        self._pcache.store(req.ids, req.adapter_ix, kv, b)
 
     def _dispatch_chunk(self):
         """Dispatch one decode chunk (async) and account for it."""
@@ -467,4 +603,9 @@ class ContinuousEngine:
             s["pending"] = len(self._pending)
         if s["chunks"]:
             s["avg_occupancy"] = round(s["occupancy_sum"] / s["chunks"], 2)
+        if self._pcache is not None:
+            s["prefix_cache"] = {
+                "entries": len(self._pcache),
+                "mb": round(self._pcache.bytes / (1 << 20), 1),
+            }
         return s

@@ -164,7 +164,15 @@ def prefill(
     bank=None,
     adapter=None,
 ):
-    """Run LEFT-padded prompts (B, T) and sample their first tokens.
+    """Run RIGHT-padded prompts (B, T) and sample their first tokens.
+
+    Right padding makes cache SLOT equal logical POSITION for every
+    token — prompt at columns [0, n), generated tokens appended at the
+    per-slot cursor — which is what prefix reuse (:func:`prefill_extend`)
+    and the slot-space families (ALiBi bias, GPT-Neo local windows)
+    want.  Logits at real positions are bit-equal to the left-padded
+    layout (masked keys contribute exactly zero), so streams still match
+    ``generate()``.
 
     ``temp``/``top_k``/``top_p`` are (B,) runtime arrays (see
     :func:`_sample_dynamic`) — per-request sampling without recompiles.
@@ -192,8 +200,101 @@ def prefill(
         params, cfg, ids, mask,
         positions=positions, cache=cache, cache_index=0,
     )
-    first = _sample_dynamic(logits[:, -1], key, temp, top_k, top_p)
-    return kv, first, jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+    n_prompt = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        logits, (n_prompt - 1)[:, None, None], axis=1
+    )[:, 0]
+    first = _sample_dynamic(last, key, temp, top_k, top_p)
+    return kv, first, n_prompt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill_extend(
+    params,
+    cfg: ModelConfig,
+    prefix_kv,
+    prefix_len,
+    ids,
+    attn_mask,
+    key,
+    temp,
+    top_k,
+    top_p,
+    bank=None,
+    adapter=None,
+):
+    """Prefill only the SUFFIX of a prompt whose first ``prefix_len``
+    tokens already have KV (a prefix-cache hit — RAG prompts share their
+    system prompt + retrieved contexts, so most of the prompt FLOPs are
+    redundant across requests).
+
+    ``prefix_kv``: cache pytree of width P (a bucket), columns
+    [0, prefix_len) valid — the ``kv`` a previous :func:`prefill` /
+    prefill_extend returned.  ``ids``/``attn_mask``: (1, S) RIGHT-padded
+    suffix tokens.  ``prefix_len``: (1,) int32.
+
+    The suffix is written at per-row cursor ``prefix_len`` (the scatter
+    KV path), so the result stays HOLE-FREE: slot == position still
+    holds and ALiBi / local-window families remain exact.  Returns
+    ``(kv, first_tok, n_total)`` with ``kv`` of width P + S, valid
+    columns [0, n_total) — insert it with a key_valid mask of
+    ``arange(P+S) < n_total``.  Compiles once per (P, S) bucket pair.
+    """
+    if bank is not None:
+        from .lora import select_adapters
+
+        params = select_adapters(params, bank, adapter)
+    b, s = ids.shape
+    stacked = causal_lm.blocks_stacked(params)
+
+    def widen(leaf):
+        pad_shape = list(leaf.shape)
+        pad_shape[-3] = s
+        return jnp.concatenate(
+            [leaf, jnp.zeros(pad_shape, leaf.dtype)], axis=-3
+        )
+
+    cache = jax.tree.map(widen, prefix_kv)
+    w = (cache["k"] if stacked else cache[0]["k"]).shape[-3]
+    p = prefix_len  # (1,)
+    n_sfx = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+    positions = p[:, None] + jnp.maximum(
+        jnp.cumsum(attn_mask, axis=1) - 1, 0
+    )
+    jj = jnp.arange(w)[None, None, :]
+    q = jnp.arange(s)[None, :, None]
+    # causal across the boundary: suffix query q (absolute position p+q)
+    # sees keys at slots <= p+q — the prefix plus the suffix written so
+    # far; stale columns past the suffix writes are > p+q, never seen
+    mask = jj <= (p[:, None, None] + q)
+    logits, kv = causal_lm.forward(
+        params, cfg, ids, mask,
+        positions=positions, cache=cache, cache_index=p,
+    )
+    last = jnp.take_along_axis(
+        logits, (n_sfx - 1)[:, None, None], axis=1
+    )[:, 0]
+    first = _sample_dynamic(last, key, temp, top_k, top_p)
+    return kv, first, p + n_sfx
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def crop_kv(kv, width: int):
+    """Crop or zero-pad a prefill KV pytree to ``width`` columns (the
+    prefix cache normalizes stored widths to the bucket grid so
+    :func:`prefill_extend` compiles O(buckets^2) programs, not one per
+    emergent width)."""
+
+    def fix(leaf):
+        if leaf.shape[-3] >= width:
+            return leaf[..., :width, :, :]
+        pad_shape = list(leaf.shape)
+        pad_shape[-3] = width - leaf.shape[-3]
+        return jnp.concatenate(
+            [leaf, jnp.zeros(pad_shape, leaf.dtype)], axis=-3
+        )
+
+    return jax.tree.map(fix, kv)
 
 
 def _write_prefix(state_leaf, kv_leaf, slot, stacked: bool):
@@ -243,7 +344,10 @@ def insert(state, kv, attn_mask, first_tok, n_prompt, slot,
         ),
         "last_tok": state["last_tok"].at[slot].set(first_tok[0]),
         "pos": state["pos"].at[slot].set(n_prompt[0]),
-        "cursor": state["cursor"].at[slot].set(t),
+        # right-padded layout: the next write slot is the true prompt
+        # length, so pad columns between n and the bucket edge are never
+        # consumed — decode headroom is total - n, not total - bucket
+        "cursor": state["cursor"].at[slot].set(n_prompt[0]),
         "active": state["active"].at[slot].set(True),
         "done": state["done"].at[slot].set(False),
         "temp": state["temp"].at[slot].set(temp[0]),
