@@ -265,3 +265,91 @@ def test_raising_stream_callback_is_contained(engine_factory):
     out_ok = f_ok.result(timeout=120)["ids"]
     assert len(out_bad) == 12  # its own future still completes
     assert out_ok == _ref_generated(params, cfg, p2, 16, 12, None)
+
+
+def test_engine_under_tensor_parallel_sharding(engine_factory):
+    """Multi-chip serving: the continuous engine over tp-sharded params
+    (8-device mesh) must produce streams bit-identical to the unsharded
+    engine — the per-slot scatter writes and per-row cursors must compose
+    with GSPMD-propagated head sharding."""
+    from vietnamese_qa_system_tpu.core.mesh import create_mesh
+    from vietnamese_qa_system_tpu.parallel.sharding import (
+        param_sharding,
+        shard_params,
+    )
+
+    cfg = ModelConfig(**{**BASE, "d_model": 64, "n_heads": 8, "d_ff": 128})
+    params = _mk(cfg)
+    mesh = create_mesh({"model": 8})
+    sp = shard_params(params, param_sharding(params, mesh, strategy="tp"))
+    rng = np.random.default_rng(29)
+    prompts = [_prompt(rng, n) for n in (9, 14, 11)]
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    eng_tp = engine_factory(sp, cfg, n_slots=2, total=64,
+                            buckets=(16,), chunk_steps=4)
+    for p in prompts:
+        assert eng.generate_ids(p, 12) == eng_tp.generate_ids(p, 12)
+
+
+def test_spec_chunks_match_plain_chunks(engine_factory):
+    """In-engine speculative decoding (prompt-lookup per slot) must be
+    token-identical to plain chunks for every request — random tiny
+    models fall into n-gram loops, so drafts genuinely accept here."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(31)
+    prompts = [_prompt(rng, n) for n in (7, 12, 15, 10)]
+    eng_p = engine_factory(params, cfg, n_slots=2, total=64,
+                           buckets=(16,), chunk_steps=4, speculative="off")
+    eng_s = engine_factory(params, cfg, n_slots=2, total=64,
+                           buckets=(16,), chunk_steps=4,
+                           speculative="ngram", draft_tokens=5,
+                           draft_ngram=2, spec_steps=2)
+    for p in prompts:
+        assert eng_p.generate_ids(p, 20) == eng_s.generate_ids(p, 20)
+    s = eng_s.snapshot_stats()
+    assert s["spec_chunks"] > 0
+    assert s["drafted_accepted"] > 0  # loops make lookup drafting hit
+    assert eng_p.snapshot_stats()["spec_chunks"] == 0
+
+
+def test_spec_falls_back_with_sampled_co_rider(engine_factory):
+    """A sampled request in the batch forces plain chunks (speculation is
+    greedy-only); the greedy co-rider must still match its reference."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(37)
+    p_greedy, p_sampled = _prompt(rng, 9), _prompt(rng, 11)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4,
+                         speculative="ngram", spec_steps=2)
+    f1 = eng.submit(p_greedy, 16)
+    f2 = eng.submit(p_sampled, 16, temperature=1.0)
+    out1 = f1.result(timeout=180)["ids"]
+    f2.result(timeout=180)
+    assert out1 == _ref_generated(params, cfg, p_greedy, 16, 16, None)
+    s = eng.snapshot_stats()
+    assert s["chunks"] > s["spec_chunks"]  # plain chunks happened
+
+
+def test_spec_eos_and_capacity(engine_factory):
+    """eos inside a speculative window stops the stream exactly like
+    plain decode, and capacity truncation matches token-for-token."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    prompt = _prompt(np.random.default_rng(41), 10)
+    free_run = _ref_generated(params, cfg, prompt, 16, 24, None)
+    eos = free_run[3]
+    ref = _ref_generated(params, cfg, prompt, 16, 24, eos)
+    eng = engine_factory(params, cfg, n_slots=1, total=24, buckets=(16,),
+                         chunk_steps=4, eos_id=eos,
+                         speculative="ngram", draft_tokens=4,
+                         draft_ngram=2, spec_steps=2)
+    assert eng.generate_ids(prompt, 24) == ref
+    eng2 = engine_factory(params, cfg, n_slots=1, total=24, buckets=(16,),
+                          chunk_steps=4, speculative="ngram",
+                          draft_tokens=4, draft_ngram=2, spec_steps=2)
+    out = eng2.generate_ids(prompt, 500)
+    assert len(out) == 1 + (24 - len(prompt))
+    assert out == _ref_generated(params, cfg, prompt, 16, len(out), None)

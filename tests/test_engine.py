@@ -102,6 +102,40 @@ def test_store_save_load_roundtrip(rng, tmp_path):
 
 
 @pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+def test_store_save_compact_and_capacity_override(rng, tmp_path, dtype):
+    """save() writes only used rows (a tiny corpus in a huge-capacity
+    store must not checkpoint the whole slab), and load(capacity=0)
+    shrinks the serving slab to fit while ranking identically."""
+    mesh = create_mesh({SHARD_AXIS: 2}, devices=jax.devices()[:2])
+    store = VectorStore(1 << 15, 64, mesh=mesh, dtype=dtype, tile_n=128)
+    vecs = rng.standard_normal((100, 64)).astype(np.float32)
+    vecs *= np.logspace(-2, 2, 100)[:, None]
+    store.add(vecs)
+    path = os.path.join(tmp_path, "index")
+    store.save(path)
+    # 50 used rows/shard x 2 shards x 64 dims x 4 B ≈ 26 KB, not 16 MB
+    assert os.path.getsize(os.path.join(path, "vectors.npy")) < 100_000
+    fit = VectorStore.load(path, mesh=mesh, capacity=0)
+    assert fit.size == 100
+    assert fit.capacity == 2 * 128  # one tile per shard
+    kept = VectorStore.load(path, mesh=mesh)
+    assert kept.capacity == store.capacity  # default keeps ingest headroom
+    grow = VectorStore.load(path, mesh=mesh, capacity=1000)
+    assert grow.capacity >= 1000
+    q = vecs[:8]
+    s0, ids0 = store.topk(q, 5)
+    for other in (fit, kept, grow):
+        s1, ids1 = other.topk(q, 5)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=0.05, atol=1e-3
+        )
+        more = rng.standard_normal((7, 64)).astype(np.float32)
+        other.add(more)  # growth after a compact load still works
+        assert other.size == 107
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
 def test_store_load_cross_mesh_size(rng, tmp_path, dtype):
     """Loading onto a different mesh size must dequantize before re-adding:
     raw int8 codes re-added as floats get re-quantized per-row, silently

@@ -581,7 +581,11 @@ def cmd_serve(args) -> int:
 
     params, cfg = _encoder_from_spec(args.encoder, args.seed)
     tok = _tokenizer(args.tokenizer)
-    store = VectorStore.load(args.index)
+    # shrink-to-fit: query cost scans the slab, not the build-time
+    # headroom (a 40-doc dev index built with --capacity 1M would
+    # otherwise scan 1M rows per query); --capacity N keeps room for
+    # online /ingest growth
+    store = VectorStore.load(args.index, capacity=args.capacity)
     docstore = DocStore(args.db)
     lexical = None
     bm25_path = os.path.join(args.index, "bm25.json")
@@ -714,6 +718,9 @@ def cmd_serve(args) -> int:
                 adapters=adapters,
                 lora_config=lcfg,
                 prefix_cache_mb=args.prefix_cache_mb,
+                speculative=args.gen_speculative,
+                draft_tokens=args.draft_tokens,
+                draft_ngram=args.draft_ngram,
             )
             dist_print(
                 f"/generate: continuous batching, {args.continuous_slots} "
@@ -1032,6 +1039,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser("serve", help="interactive retrieval REPL")
     ps.add_argument("--index", required=True)
     ps.add_argument("--db", required=True)
+    ps.add_argument("--capacity", type=int, default=0,
+                    help="index slab capacity at serve time: 0 = shrink "
+                    "to the stored corpus (query scans the slab, so fit "
+                    "is fastest); set larger to leave headroom for "
+                    "online POST /ingest growth")
     ps.add_argument("--encoder", default="tiny",
                     help="preset (tiny|minilm|mpnet) or local HF BERT dir")
     ps.add_argument("--tokenizer", default="byte")
@@ -1107,6 +1119,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="keep prompt KV on device and prefill only the "
                     "suffix of later /generate prompts sharing a prefix "
                     "(RAG system prompts/contexts); 0 = off")
+    ps.add_argument("--gen-speculative", choices=["off", "ngram"],
+                    default="ngram",
+                    help="prompt-lookup speculative decoding inside the "
+                    "continuous engine (greedy requests only; sampled "
+                    "co-riders fall back to plain chunks automatically)")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

@@ -191,6 +191,10 @@ class ContinuousEngine:
         lora_config=None,
         prefix_cache_mb: float = 0.0,
         min_cached_prompt: int = 16,
+        speculative: str = "ngram",
+        draft_tokens: int = 8,
+        draft_ngram: int = 3,
+        spec_steps: int = 4,
     ):
         import jax
 
@@ -245,6 +249,18 @@ class ContinuousEngine:
             )
             # bank slot 0 is the zero adapter (= base)
             self._adapter_idx = {n: i + 1 for i, n in enumerate(names)}
+        # speculative decoding inside the slot engine: chunks draft
+        # draft_tokens per slot by prompt-lookup and verify in one pass
+        # (decode_chunk_spec) — greedy-only, so the scheduler falls back
+        # to plain chunks while any sampled request holds a slot
+        if speculative not in ("off", "none", "ngram"):
+            raise ValueError(
+                f"speculative must be off|ngram, got {speculative!r}"
+            )
+        self.speculative = speculative == "ngram"
+        self.draft_tokens = int(draft_tokens)
+        self.draft_ngram = int(draft_ngram)
+        self.spec_steps = int(spec_steps)
         # prefix caching: keep prompt KV on device and prefill only the
         # suffix of later prompts that share a prefix (RAG system
         # prompts / retrieved contexts) — see models/decode_engine.py::
@@ -273,6 +289,7 @@ class ContinuousEngine:
             "requests": 0, "completed": 0, "tokens": 0,
             "chunks": 0, "occupancy_sum": 0, "prefills": 0,
             "prefix_hits": 0, "prefix_tokens_reused": 0,
+            "spec_chunks": 0, "drafted_accepted": 0,
         }
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -427,7 +444,9 @@ class ContinuousEngine:
                 jnp.asarray([req.adapter_ix], jnp.int32)
                 if self._bank is not None else None
             )
-            kv, first, n_prompt, mask = self._run_prefill(req, key, samp, aix)
+            kv, first, n_prompt, ids, mask = self._run_prefill(
+                req, key, samp, aix
+            )
             # the first token stays on device — fetched at the request's
             # first harvest so admission never syncs the pipeline
             req.pending_first = first
@@ -436,8 +455,8 @@ class ContinuousEngine:
             req.remaining = min(req.max_new - 1, self.total - len(req.ids))
             req.slot = slot
             self._state = self._de.insert(
-                self._state, kv, jnp.asarray(mask), first, n_prompt,
-                jnp.int32(slot), *samp, adapter=aix,
+                self._state, kv, jnp.asarray(ids), jnp.asarray(mask),
+                first, n_prompt, jnp.int32(slot), *samp, adapter=aix,
             )
             with self._lock:
                 self._by_slot[slot] = req
@@ -482,8 +501,10 @@ class ContinuousEngine:
             b = self._bucket(n)
             kv = self._de.crop_kv(kv, width=b)
             mask = (np.arange(b) < n)[None].astype(np.int32)
+            ids = np.zeros((1, b), np.int32)
+            ids[0, :n] = req.ids
             self._store_kv(req, kv, b)
-            return kv, first, n_total, mask
+            return kv, first, n_total, ids, mask
         t = self._bucket(n)
         ids = np.zeros((1, t), np.int32)
         mask = np.zeros((1, t), np.int32)
@@ -495,7 +516,7 @@ class ContinuousEngine:
         )
         self.stats["prefills"] += 1
         self._store_kv(req, kv, t)
-        return kv, first, n_prompt, mask
+        return kv, first, n_prompt, ids, mask
 
     def _store_kv(self, req: _Request, kv, width: int) -> None:
         if self._pcache is None or len(req.ids) < self.min_cached_prompt:
@@ -506,21 +527,38 @@ class ContinuousEngine:
         self._pcache.store(req.ids, req.adapter_ix, kv, b)
 
     def _dispatch_chunk(self):
-        """Dispatch one decode chunk (async) and account for it."""
+        """Dispatch one decode chunk (async) and account for it.
+
+        Speculative (prompt-lookup) chunks run whenever enabled and every
+        ACTIVE request is greedy — each step then emits up to
+        draft_tokens+1 tokens per slot; one sampled co-rider falls the
+        whole batch back to plain token-per-step chunks (exactness over
+        throughput)."""
+        self._chunk_idx += 1
+        self.stats["chunks"] += 1
+        self.stats["occupancy_sum"] += len(self._by_slot)
+        if self.speculative and all(
+            r.temperature == 0.0 for r in self._by_slot.values()
+        ):
+            self.stats["spec_chunks"] += 1
+            self._state, vals, counts = self._de.decode_chunk_spec(
+                self.params, self._state, self.cfg,
+                n_steps=self.spec_steps, eos_id=self.eos_id,
+                gamma=self.draft_tokens, ngram=self.draft_ngram,
+                bank=self._bank,
+            )
+            return ("spec", vals, counts)
         key = self._jax.random.fold_in(
             self._base_key, 2 * self._chunk_counter
         )
         self._chunk_counter += 1
-        self._chunk_idx += 1
         self._state, toks = self._de.decode_chunk(
             self.params, self._state, key, self.cfg,
             n_steps=self.chunk_steps, eos_id=self.eos_id, bank=self._bank,
         )
-        self.stats["chunks"] += 1
-        self.stats["occupancy_sum"] += len(self._by_slot)
-        return toks
+        return ("plain", toks)
 
-    def _harvest(self, chunk_idx: int, toks) -> None:
+    def _harvest(self, chunk_idx: int, payload) -> None:
         """Fetch a dispatched chunk's tokens and route them to requests.
 
         A slot's row belongs to its CURRENT request only from
@@ -528,8 +566,28 @@ class ContinuousEngine:
         a request's deferred first token is emitted before its first
         harvested row.  Finished slots are freed host-side only — the
         next insert resets the device row (see module docstring).
+
+        Plain chunks yield one token per step per slot; speculative
+        chunks yield per-step windows plus per-step counts (the first
+        ``count`` entries of each window are real, in order).
         """
-        toks_np = np.asarray(toks)  # (n_slots, chunk_steps) — tiny fetch
+        if payload[0] == "spec":
+            vals = np.asarray(payload[1])    # (S, steps, gamma+1)
+            counts = np.asarray(payload[2])  # (S, steps)
+            per_slot = {
+                s: [int(t) for j in range(counts.shape[1])
+                    for t in vals[s, j, : counts[s, j]]]
+                for s in self._by_slot
+            }
+            for s in self._by_slot:
+                self.stats["drafted_accepted"] += int(
+                    np.maximum(counts[s] - 1, 0).sum()
+                )
+        else:
+            toks_np = np.asarray(payload[1])  # (S, chunk_steps)
+            per_slot = {
+                s: [int(t) for t in toks_np[s]] for s in self._by_slot
+            }
         finished: list[int] = []
         for slot, req in list(self._by_slot.items()):
             if req.start_chunk > chunk_idx:
@@ -545,8 +603,7 @@ class ContinuousEngine:
                 ):
                     finished.append(slot)
                     continue
-            for tok in toks_np[slot]:
-                tok = int(tok)
+            for tok in per_slot[slot]:
                 req.out.append(tok)
                 req.remaining -= 1
                 self.stats["tokens"] += 1

@@ -267,8 +267,15 @@ class VectorStore:
 
     def save(self, path: str) -> None:
         """Host-side checkpoint: the index shards ARE the checkpoint
-        (SURVEY §5.4 — embed-and-write output is restartable)."""
+        (SURVEY §5.4 — embed-and-write output is restartable).
+
+        Only rows holding data are written (``ceil(size / S)`` per
+        shard), not the full capacity slab — a 40-doc index built with a
+        1M-row capacity is a few KB on disk, not 512 MB.  Capacity is
+        still recorded so a default ``load`` keeps the ingest headroom.
+        """
         os.makedirs(path, exist_ok=True)
+        used = -(-self.size // self.n_shards) if self.size else 0
         meta = {
             "capacity": self.capacity,
             "dim": self.dim,
@@ -281,27 +288,46 @@ class VectorStore:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         np.save(os.path.join(path, "vectors.npy"),
-                np.asarray(self.vectors.astype(jnp.float32)))
+                np.asarray(self.vectors[:, :used].astype(jnp.float32)))
         if self.scales is not None:
-            np.save(os.path.join(path, "scales.npy"), np.asarray(self.scales))
+            np.save(os.path.join(path, "scales.npy"),
+                    np.asarray(self.scales[:, :used]))
         np.save(os.path.join(path, "tail.npy"), self._tail)
 
     @classmethod
-    def load(cls, path: str, *, mesh: Optional[Mesh] = None) -> "VectorStore":
+    def load(
+        cls,
+        path: str,
+        *,
+        mesh: Optional[Mesh] = None,
+        capacity: Optional[int] = None,
+    ) -> "VectorStore":
+        """Restore a saved index.
+
+        ``capacity=None`` keeps the build-time capacity (ingest-resume
+        headroom).  Passing an int resizes to ``max(capacity, size)`` —
+        ``capacity=0`` is shrink-to-fit, which serving uses so query cost
+        scans the corpus, not the build-time headroom (the scan kernel's
+        grid covers the whole slab; valid_n only masks).
+        """
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        cap = meta["capacity"] if capacity is None else max(capacity, meta["size"])
         store = cls(
-            meta["capacity"], meta["dim"], mesh=mesh,
+            cap, meta["dim"], mesh=mesh,
             dtype=meta["dtype"], tile_n=meta["tile_n"],
         )
-        vecs = np.load(os.path.join(path, "vectors.npy"))
-        # reshard onto the (possibly different) current mesh
-        flat = vecs.reshape(meta["n_shards"], -1, meta["dim"])
-        if meta["n_shards"] != store.n_shards and meta["size"] == 0:
-            # empty store: nothing to re-add (and int8_global has no
+        if meta["size"] == 0:
+            # empty store: nothing to place (and int8_global has no
             # calibrated scale yet — `flat * None` would TypeError below)
             store.global_scale = meta.get("global_scale")
+            store._tail = np.load(os.path.join(path, "tail.npy"))
             return store
+        vecs = np.load(os.path.join(path, "vectors.npy"))
+        # reshard onto the (possibly different) current mesh; slice to the
+        # rows that hold data (old checkpoints saved the full slab)
+        used = -(-meta["size"] // meta["n_shards"])
+        flat = vecs.reshape(meta["n_shards"], -1, meta["dim"])[:, :used]
         if meta["n_shards"] != store.n_shards:
             # Round-robin ids are mesh-size dependent; re-add in id order.
             # vectors.npy holds *quantized codes* for the int8 dtypes, so
@@ -310,7 +336,7 @@ class VectorStore:
             size = meta["size"]
             n_old = meta["n_shards"]
             if meta["dtype"] == "int8":
-                scales = np.load(os.path.join(path, "scales.npy"))
+                scales = np.load(os.path.join(path, "scales.npy"))[:, :used]
                 flat = flat * scales[:, :, None]
             elif meta["dtype"] == "int8_global":
                 # restoring the calibrated scale first makes the re-add
@@ -322,12 +348,15 @@ class VectorStore:
             return store
         store.global_scale = meta.get("global_scale")
         vec_dt = jnp.bfloat16 if meta["dtype"] == "bf16" else jnp.int8
+        pad = store.cap_per_shard - flat.shape[1]
+        slab = np.pad(flat, ((0, 0), (0, pad), (0, 0)))
         store.vectors = jax.device_put(
-            jnp.asarray(flat).astype(vec_dt), store._vec_sharding
+            jnp.asarray(slab).astype(vec_dt), store._vec_sharding
         )
         if meta["dtype"] == "int8":
+            sc = np.load(os.path.join(path, "scales.npy"))[:, :used]
             store.scales = jax.device_put(
-                jnp.asarray(np.load(os.path.join(path, "scales.npy"))),
+                jnp.asarray(np.pad(sc, ((0, 0), (0, pad)), )),
                 store._scale_sharding,
             )
         store.size = meta["size"]

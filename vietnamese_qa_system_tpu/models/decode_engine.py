@@ -148,6 +148,10 @@ def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
         # per-request adapter index into the LoRA bank (0 = base model;
         # unused unless a bank is passed to prefill/decode_chunk)
         "adapter": jnp.zeros((n_slots,), jnp.int32),
+        # decided token stream, slot-aligned (column i = position i);
+        # invariant: toks[s, cursor[s]] == last_tok[s] (the pending
+        # token).  Read by decode_chunk_spec's n-gram drafting.
+        "toks": jnp.zeros((n_slots, total), jnp.int32),
     }
 
 
@@ -310,14 +314,16 @@ def _write_prefix(state_leaf, kv_leaf, slot, stacked: bool):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def insert(state, kv, attn_mask, first_tok, n_prompt, slot,
+def insert(state, kv, ids, attn_mask, first_tok, n_prompt, slot,
            temp, top_k, top_p, adapter=None):
     """Install a prefilled request into slot ``slot`` (traced scalar).
 
     ``kv``/``attn_mask``/``first_tok``/``n_prompt`` are the B=1 outputs of
-    :func:`prefill` (bucket length T <= total); ``temp``/``top_k``/
-    ``top_p`` are (1,) per-request sampling knobs; ``adapter`` the (1,)
-    LoRA-bank index (None = base).  Compiles once per bucket.
+    :func:`prefill` (bucket length T <= total); ``ids`` the matching
+    (1, T) right-padded prompt tokens (kept in ``state["toks"]`` for
+    speculative drafting); ``temp``/``top_k``/``top_p`` are (1,)
+    per-request sampling knobs; ``adapter`` the (1,) LoRA-bank index
+    (None = base).  Compiles once per bucket.
     """
     stacked = not isinstance(state["cache"], list)
     t = attn_mask.shape[1]
@@ -357,6 +363,16 @@ def insert(state, kv, attn_mask, first_tok, n_prompt, slot,
             state["adapter"] if adapter is None
             else state["adapter"].at[slot].set(adapter[0])
         ),
+        # prompt tokens at their positions, then the pending first token
+        # at column n (invariant: toks[s, cursor] == last_tok[s])
+        "toks": jax.lax.dynamic_update_slice(
+            state["toks"],
+            jnp.concatenate(
+                [ids * attn_mask, jnp.zeros((1, total - t), jnp.int32)],
+                axis=1,
+            ),
+            (slot, 0),
+        ).at[slot, n_prompt[0]].set(first_tok[0]),
     }
 
 
@@ -429,17 +445,155 @@ def decode_chunk(
         done = st["done"] | ~st["active"] | (st["cursor"] + 1 >= total)
         if eos_id is not None:
             done = done | (nxt == eos_id)
+        new_cursor = st["cursor"] + write_ok
         new_st = {
             **st,
             "cache": cache,
             "key_valid": key_valid,
             "last_tok": jnp.where(write_ok, nxt, st["last_tok"]),
             "pos": st["pos"] + write_ok,
-            "cursor": st["cursor"] + write_ok,
+            "cursor": new_cursor,
             "done": done,
+            # record the new pending token at its position (OOB dropped
+            # for rows that didn't advance)
+            "toks": st["toks"].at[
+                rows, jnp.where(write_ok, new_cursor, total)
+            ].set(nxt),
         }
         return new_st, nxt
 
     keys = jax.random.split(key, n_steps)
     state, toks = jax.lax.scan(step, state, keys)
     return state, toks.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "eos_id", "gamma", "ngram"),
+    donate_argnums=(1,),
+)
+def decode_chunk_spec(
+    params,
+    state,
+    cfg: ModelConfig,
+    *,
+    n_steps: int = 4,
+    eos_id: int | None = None,
+    gamma: int = 8,
+    ngram: int = 3,
+    bank=None,
+):
+    """Speculative decode chunk: prompt-lookup drafting PER SLOT, greedy
+    only (the host scheduler falls back to :func:`decode_chunk` while any
+    sampled request occupies a slot).
+
+    Each of the ``n_steps`` iterations drafts ``gamma`` tokens per slot
+    by n-gram lookup over the slot's own stream (``state["toks"]`` —
+    generate._ngram_draft with pad_start=0, the right-padded layout),
+    verifies the window in ONE forward at the per-slot cursors, and
+    accepts the longest holding prefix plus the model's bonus token —
+    the slot-scheduled form of models/generate.py::generate_speculative,
+    so each step emits 1..gamma+1 tokens per live slot and the output is
+    token-identical to the plain chunk (same greedy argmax caveat as the
+    standalone driver).  Rejected-draft KV is overwritten by the next
+    window before it could ever be attended (the next window starts at
+    the new pending and spans gamma+1 >= leftover stale columns).
+
+    Returns ``(state, vals, counts)``: ``vals`` (n_slots, n_steps,
+    gamma+1) emitted-token windows, ``counts`` (n_slots, n_steps) how
+    many of each window are real — the host consumes ``vals[s, j,
+    :counts[s, j]]`` in order.
+    """
+    if bank is not None:
+        from .lora import select_adapters
+
+        params = select_adapters(params, bank, state["adapter"])
+    from .generate import _ngram_draft
+
+    n_slots, total = state["key_valid"].shape
+    rows = jnp.arange(n_slots)
+    s_win = jnp.arange(gamma + 1)
+    jw = s_win[None, :]
+
+    def step(st, _):
+        live = st["active"] & ~st["done"]
+        cursor = st["cursor"]
+        drafts = _ngram_draft(
+            st["toks"], cursor + 1, jnp.zeros_like(cursor), gamma, ngram
+        )
+        window = jnp.concatenate([st["last_tok"][:, None], drafts], axis=1)
+        pos = jnp.minimum(
+            st["pos"][:, None] + s_win[None, :], total - 1
+        )
+        jj = jnp.arange(total)[None, None, :]
+        win_ok = (jj >= cursor[:, None, None]) & (
+            jj <= (cursor[:, None] + s_win[None, :])[:, :, None]
+        )
+        mask = st["key_valid"][:, None, :] | win_ok
+        logits, cache = causal_lm.forward(
+            params, cfg, window, mask,
+            positions=pos, cache=st["cache"], cache_index=cursor,
+        )
+        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hold = jnp.cumprod(
+            (y[:, :gamma] == window[:, 1:]).astype(jnp.int32), axis=1
+        )
+        a = jnp.sum(hold, axis=1)  # accepted drafts in [0, gamma]
+        bonus = jnp.take_along_axis(y, a[:, None], axis=1)[:, 0]
+        drafts_pad = jnp.concatenate(
+            [window[:, 1:], jnp.zeros((n_slots, 1), jnp.int32)], axis=1
+        )
+        vals = jnp.where(jw < a[:, None], drafts_pad, bonus[:, None])
+        col = cursor[:, None] + 1 + jw  # produced token positions
+        # col == total is allowed to EMIT (parity with decode_chunk,
+        # whose final emission's recording is OOB-dropped the same way);
+        # its toks/key_valid writes drop and done is forced below
+        write_ok = (jw <= a[:, None]) & live[:, None] & (col <= total)
+        if eos_id is not None:
+            # nothing is produced past the first in-window eos (the eos
+            # itself IS produced; the host stops the request there)
+            prior_eos = jnp.cumsum(
+                (vals == eos_id).astype(jnp.int32), axis=1
+            ) - (vals == eos_id).astype(jnp.int32)
+            write_ok = write_ok & (prior_eos == 0)
+        # stream record (OOB columns drop)
+        toks = st["toks"].at[
+            rows[:, None], jnp.where(write_ok, col, total)
+        ].set(vals)
+        # cache validity: the pending token (window col 0) plus accepted
+        # drafts that were PRODUCED (their KV cols == their positions);
+        # the bonus has no KV yet — it is the next pending
+        key_valid = st["key_valid"].at[
+            rows, jnp.where(live & (cursor < total), cursor, total)
+        ].max(True)
+        key_valid = key_valid.at[
+            rows[:, None],
+            jnp.where(write_ok & (jw < a[:, None]) & (col < total),
+                      col, total),
+        ].max(True)
+        n_written = jnp.sum(write_ok, axis=1)
+        new_cursor = cursor + n_written
+        last = jnp.take_along_axis(
+            vals, jnp.maximum(n_written - 1, 0)[:, None], axis=1
+        )[:, 0]
+        new_last = jnp.where(n_written > 0, last, st["last_tok"])
+        done = st["done"] | ~st["active"] | (new_cursor + 1 >= total)
+        if eos_id is not None:
+            done = done | jnp.any(write_ok & (vals == eos_id), axis=1)
+        counts = jnp.where(live, n_written, 0)
+        new_st = {
+            **st,
+            "cache": cache,
+            "key_valid": key_valid,
+            "toks": toks,
+            "last_tok": new_last,
+            "pos": st["pos"] + n_written,
+            "cursor": new_cursor,
+            "done": done,
+        }
+        return new_st, (vals, counts)
+
+    state, (vals, counts) = jax.lax.scan(
+        step, state, jnp.arange(n_steps)
+    )
+    return state, jnp.transpose(vals, (1, 0, 2)), counts.T
