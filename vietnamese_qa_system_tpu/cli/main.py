@@ -721,6 +721,7 @@ def cmd_serve(args) -> int:
                 speculative=args.gen_speculative,
                 draft_tokens=args.draft_tokens,
                 draft_ngram=args.draft_ngram,
+                kv_dtype=args.kv_quant,
             )
             dist_print(
                 f"/generate: continuous batching, {args.continuous_slots} "
@@ -1124,6 +1125,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="prompt-lookup speculative decoding inside the "
                     "continuous engine (greedy requests only; sampled "
                     "co-riders fall back to plain chunks automatically)")
+    ps.add_argument("--kv-quant", choices=["bf16", "int8"], default="bf16",
+                    help="KV-cache storage for /generate: int8 halves the "
+                    "per-token HBM read and doubles resident slots at a "
+                    "small logits perturbation (streams match "
+                    "generate(kv_dtype='int8'), not bf16 bit-for-bit)")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

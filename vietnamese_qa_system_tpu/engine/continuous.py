@@ -195,6 +195,7 @@ class ContinuousEngine:
         draft_tokens: int = 8,
         draft_ngram: int = 3,
         spec_steps: int = 4,
+        kv_dtype: str = "bf16",
     ):
         import jax
 
@@ -270,6 +271,13 @@ class ContinuousEngine:
             if prefix_cache_mb > 0 else None
         )
         self.min_cached_prompt = int(min_cached_prompt)
+        # int8 KV cache (layers.kv_quantize): half the dominant decode
+        # HBM stream and ~2x resident slots per chip; streams are pinned
+        # token-identical to generate(kv_dtype="int8"), NOT to bf16 (the
+        # quantization perturbs logits)
+        if kv_dtype not in ("bf16", "int8"):
+            raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
+        self.kv_dtype = kv_dtype
         self._de = de
         self._jax = jax
         self._base_key = jax.random.key(seed)
@@ -277,7 +285,7 @@ class ContinuousEngine:
         self._chunk_idx = 0  # ordinal of the next decode chunk
         self._state = de.make_decode_state(
             cfg, self.n_slots, self.total,
-            stacked=causal_lm.blocks_stacked(params),
+            stacked=causal_lm.blocks_stacked(params), kv_dtype=kv_dtype,
         )
         self._by_slot: dict[int, _Request] = {}
         self._free = deque(range(self.n_slots))
@@ -414,6 +422,7 @@ class ContinuousEngine:
                 self._state = self._de.make_decode_state(
                     self.cfg, self.n_slots, self.total,
                     stacked=causal_lm.blocks_stacked(self.params),
+                    kv_dtype=self.kv_dtype,
                 )
 
     def _bucket(self, n: int) -> int:
@@ -513,6 +522,7 @@ class ContinuousEngine:
         kv, first, n_prompt = self._de.prefill(
             self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
             key, *samp, bank=self._bank, adapter=aix,
+            kv_dtype=self.kv_dtype,
         )
         self.stats["prefills"] += 1
         self._store_kv(req, kv, t)

@@ -115,12 +115,15 @@ def _sample_dynamic(logits, key, temp, top_k, top_p):
 
 
 def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
-                      stacked: bool = False):
+                      stacked: bool = False, kv_dtype: str = "bf16"):
     """Fresh all-slots-free decode state.
 
     ``total`` is the per-slot cache length (max prompt bucket + decode
     headroom); it must not exceed ``cfg.max_seq_len`` (RoPE/learned
-    position tables).
+    position tables).  ``kv_dtype="int8"`` quantizes the shared cache
+    (layers.kv_quantize): half the HBM read per decode step and twice
+    the resident slots per chip; :func:`prefill` must be called with the
+    same ``kv_dtype`` so its prefix pytree matches :func:`insert`.
     """
     if total > cfg.max_seq_len:
         raise ValueError(
@@ -128,7 +131,7 @@ def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
         )
     return {
         "cache": _make_cache(cfg, n_slots, total, cfg.n_layers,
-                             stacked=stacked),
+                             stacked=stacked, kv_dtype=kv_dtype),
         # which cache columns hold attendable tokens, per slot
         "key_valid": jnp.zeros((n_slots, total), jnp.bool_),
         # the last decided token (fed to the model on the next step)
@@ -155,7 +158,7 @@ def make_decode_state(cfg: ModelConfig, n_slots: int, total: int, *,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_dtype"))
 def prefill(
     params,
     cfg: ModelConfig,
@@ -167,6 +170,7 @@ def prefill(
     top_p,
     bank=None,
     adapter=None,
+    kv_dtype: str = "bf16",
 ):
     """Run RIGHT-padded prompts (B, T) and sample their first tokens.
 
@@ -195,7 +199,8 @@ def prefill(
     b, t = ids.shape
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)
     cache = _make_cache(
-        cfg, b, t, cfg.n_layers, stacked=causal_lm.blocks_stacked(params)
+        cfg, b, t, cfg.n_layers,
+        stacked=causal_lm.blocks_stacked(params), kv_dtype=kv_dtype,
     )
     j = jnp.arange(t)[None, None, :]
     q_pos = jnp.arange(t)[None, :, None]

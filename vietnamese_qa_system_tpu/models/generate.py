@@ -48,6 +48,10 @@ class GenerationConfig:
     speculative: str = "none"
     draft_tokens: int = 8
     draft_ngram: int = 3
+    # "int8" stores the KV cache quantized (layers.kv_quantize): half the
+    # per-token HBM read at a small logits perturbation.  Causal
+    # greedy/sampled path only (beams/seq2seq/speculative keep bf16).
+    kv_dtype: str = "bf16"
 
 
 def generate_with_config(
@@ -83,6 +87,15 @@ def generate_with_config(
         raise ValueError(
             f"unknown speculative mode {gen.speculative!r} "
             "(none|ngram|draft)"
+        )
+    if gen.kv_dtype != "bf16" and (
+        cfg.arch == "seq2seq" or gen.num_beams > 1
+        or gen.speculative != "none"
+    ):
+        raise ValueError(
+            "kv_dtype='int8' is supported on the causal greedy/sampled "
+            "path only (num_beams=1, speculative='none'); the continuous "
+            "engine carries its own int8 speculative path"
         )
     if gen.speculative in ("ngram", "draft"):
         # greedy is token-exact; sampling is distribution-exact (rejection
@@ -233,17 +246,29 @@ def _sample_logits(logits, key, *, temperature, top_k, top_p):
 
 
 def _make_cache(cfg: ModelConfig, b: int, total_len: int, n_layers: int,
-                stacked: bool = False):
+                stacked: bool = False, kv_dtype: str = "bf16"):
     # GQA (llama family): the cache stores only the kv heads
     shape = (b, total_len, cfg.kv_heads, cfg.head_dim)
+    if kv_dtype not in ("bf16", "int8"):
+        raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
+
+    def layer(s):
+        if kv_dtype == "int8":
+            # quantized KV (layers.kv_quantize): int8 codes + per-(token,
+            # head) f32 scales with a trailing singleton dim, so every
+            # leaf keeps the token axis at -3 (crop/widen/insert reuse)
+            ss = s[:-1] + (1,)
+            return {
+                "k": jnp.zeros(s, jnp.int8), "v": jnp.zeros(s, jnp.int8),
+                "k_s": jnp.zeros(ss, jnp.float32),
+                "v_s": jnp.zeros(ss, jnp.float32),
+            }
+        return {"k": jnp.zeros(s, jnp.bfloat16), "v": jnp.zeros(s, jnp.bfloat16)}
+
     if stacked:
         # scan-over-layers format: one leading layer dim per leaf
-        s = (n_layers,) + shape
-        return {"k": jnp.zeros(s, jnp.bfloat16), "v": jnp.zeros(s, jnp.bfloat16)}
-    return [
-        {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
-        for _ in range(n_layers)
-    ]
+        return layer((n_layers,) + shape)
+    return [layer(shape) for _ in range(n_layers)]
 
 
 def _reorder_cache(cache, idx):
@@ -259,6 +284,7 @@ def _reorder_cache(cache, idx):
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p",
         "repetition_penalty", "min_new_tokens", "no_repeat_ngram_size",
+        "kv_dtype",
     ),
 )
 def generate(
@@ -276,6 +302,7 @@ def generate(
     no_repeat_ngram_size: int = 0,
     eos_id: int | None = None,
     key=None,
+    kv_dtype: str = "bf16",
 ):
     """Greedy (temperature=0) or sampled decode.
 
@@ -283,6 +310,9 @@ def generate(
     ids where finished rows are padded with eos after their first eos.
     ``repetition_penalty`` / ``min_new_tokens`` follow HF semantics
     (reference GenerationConfig fields, trainer.py:390-413).
+    ``kv_dtype="int8"`` quantizes the KV cache (layers.kv_quantize) —
+    half the per-token HBM reads at a small logits perturbation; the
+    continuous engine's int8 mode is pinned token-identical to this.
     """
     b, t = ids.shape
     total = t + max_new_tokens
@@ -293,7 +323,8 @@ def generate(
     n_prompt = jnp.sum(attn_mask, axis=1)  # (B,) true prompt lengths
 
     cache = _make_cache(
-        cfg, b, total, cfg.n_layers, stacked=causal_lm.blocks_stacked(params)
+        cfg, b, total, cfg.n_layers,
+        stacked=causal_lm.blocks_stacked(params), kv_dtype=kv_dtype,
     )
     # Prefill: causal over prompt, keys limited to prompt slots.
     j = jnp.arange(total)[None, None, :]  # (1, 1, total)

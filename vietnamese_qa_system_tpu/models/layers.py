@@ -186,6 +186,42 @@ def alibi_bias(n_heads: int, key_positions):
 
 
 # -----------------------------------------------------------------------------
+# KV-cache quantization
+# -----------------------------------------------------------------------------
+
+# absmax scales below this are clamped (all-zero K/V rows: pad columns,
+# fresh cache) so the dequant multiply never divides by zero
+_KV_SCALE_EPS = 1e-8
+
+
+def kv_quantize(x):
+    """Per-(token, head) symmetric int8 quantization of a K/V slab.
+
+    ``x`` (…, T, H, D) → ``(codes int8, scales f32 (…, T, H, 1))`` with
+    ``codes * scales ≈ x`` (absmax/127 scaling, max elementwise error
+    ``scales/2``).  Scales keep a trailing singleton dim so every cache
+    leaf has the token axis at -3 — crop/widen/insert tree ops stay
+    rank-uniform (models/decode_engine.py::crop_kv, prefill_extend).
+
+    The serving capability this buys mirrors the reference's bitsandbytes
+    8-bit side (reference src/models/trainer.py:470-487) applied to the
+    DECODE bottleneck: each generated token re-reads the whole KV cache,
+    so int8 halves the dominant HBM stream and doubles the requests a
+    chip can hold resident.
+    """
+    x = x.astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, _KV_SCALE_EPS
+    )
+    return jnp.round(x / s).astype(jnp.int8), s
+
+
+def kv_dequantize(codes, scales, dtype=jnp.float32):
+    """Inverse of :func:`kv_quantize` (exact given the stored scales)."""
+    return (codes.astype(jnp.float32) * scales).astype(dtype)
+
+
+# -----------------------------------------------------------------------------
 # Attention
 # -----------------------------------------------------------------------------
 
@@ -278,7 +314,14 @@ def attention(
         k = apply_rope(k, cos, sin, kpos)
 
     new_cache = None
+    k_fold = v_fold = None  # int8 KV: per-(token, head) scales to fold
     if cache is not None:
+        quant = "k_s" in cache  # int8 KV cache (see kv_quantize)
+        if quant:
+            k_w, k_s = kv_quantize(k)
+            v_w, v_s = kv_quantize(v)
+        else:
+            k_w, v_w = k.astype(cache["k"].dtype), v.astype(cache["v"].dtype)
         if getattr(cache_index, "ndim", 0) == 1:
             # per-row write offsets (B,) — speculative decode: rows accept
             # different numbers of drafted tokens, so their cache cursors
@@ -286,16 +329,39 @@ def attention(
             # Scatter the (B, t) window at slots cache_index[b] + arange(t).
             b_idx = jnp.arange(k.shape[0])[:, None]
             slots = cache_index[:, None] + jnp.arange(k.shape[1])[None, :]
-            k = cache["k"].at[b_idx, slots].set(k.astype(cache["k"].dtype))
-            v = cache["v"].at[b_idx, slots].set(v.astype(cache["v"].dtype))
+            new_cache = {
+                "k": cache["k"].at[b_idx, slots].set(k_w),
+                "v": cache["v"].at[b_idx, slots].set(v_w),
+            }
+            if quant:
+                new_cache["k_s"] = cache["k_s"].at[b_idx, slots].set(k_s)
+                new_cache["v_s"] = cache["v_s"].at[b_idx, slots].set(v_s)
         else:
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
-            )
-        new_cache = {"k": k, "v": v}
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k_w, (0, cache_index, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v_w, (0, cache_index, 0, 0)
+                ),
+            }
+            if quant:
+                new_cache["k_s"] = jax.lax.dynamic_update_slice(
+                    cache["k_s"], k_s, (0, cache_index, 0, 0)
+                )
+                new_cache["v_s"] = jax.lax.dynamic_update_slice(
+                    cache["v_s"], v_s, (0, cache_index, 0, 0)
+                )
+        k, v = new_cache["k"], new_cache["v"]
+        if quant:
+            # scale-FOLDING, not dequantization: the matmuls run on the
+            # raw int8 codes (cast to bf16 — exact, |codes| <= 127) and
+            # the per-(token, head) scales multiply the tiny (B, H, Q, K)
+            # score/prob matrices below.  A full elementwise
+            # codes*scales over the cache slab measured 0.64x the bf16
+            # chunk on v5e (the f32 product stream swamps the int8 read
+            # win); folding touches scale data 1/head_dim the size.
+            k_fold, v_fold = new_cache["k_s"], new_cache["v_s"]
 
     if kv_h != n_heads:
         # repeat AFTER the cache write: query head h -> kv head h // rep
@@ -303,6 +369,9 @@ def attention(
         rep = n_heads // kv_h
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+        if k_fold is not None:
+            k_fold = jnp.repeat(k_fold, rep, axis=2)
+            v_fold = jnp.repeat(v_fold, rep, axis=2)
 
     if flash is not None and cache is None and kv_x is None:
         # fused Pallas path (ops/attention.py); mask semantics are
@@ -334,11 +403,17 @@ def attention(
         )
         * scale
     )
+    if k_fold is not None:
+        # int8 KV scale-folding: logits[b,h,q,t] *= k_scale[b,t,h]
+        logits = logits * jnp.swapaxes(k_fold[..., 0], 1, 2)[:, :, None, :]
     if bias is not None:
         logits = logits + bias
     if mask is not None:
         logits = jnp.where(mask[:, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
+    if v_fold is not None:
+        # fold v scales into the prob matrix: out = (probs*s) @ codes
+        probs = probs * jnp.swapaxes(v_fold[..., 0], 1, 2)[:, :, None, :]
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
         probs.astype(COMPUTE_DTYPE),
