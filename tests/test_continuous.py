@@ -353,3 +353,81 @@ def test_spec_eos_and_capacity(engine_factory):
     out = eng2.generate_ids(prompt, 500)
     assert len(out) == 1 + (24 - len(prompt))
     assert out == _ref_generated(params, cfg, prompt, 16, len(out), None)
+
+
+def test_chunked_prefill_matches_whole_prefill(engine_factory):
+    """Admitting long prompts in bucket-size pieces (prefill_extend at
+    the running cursor) must leave every stream token-identical to the
+    whole-prompt engine — chunking changes WHEN prompt KV is computed,
+    never the codes/values written."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(43)
+    prompts = [_prompt(rng, n) for n in (40, 7, 55, 23)]
+    eng = engine_factory(params, cfg, n_slots=2, total=128,
+                         buckets=(16, 32, 64), chunk_steps=4,
+                         prefill_chunk=16)
+    futs = [eng.submit(p, 12) for p in prompts]
+    outs = [f.result(timeout=180)["ids"] for f in futs]
+    for p, out in zip(prompts, outs):
+        b = 16 if len(p) <= 16 else (32 if len(p) <= 32 else 64)
+        assert out == _ref_generated(params, cfg, p, b, 12, None)
+    s = eng.snapshot_stats()
+    # 40 -> 16+16+8 = 3 pieces, 55 -> 16*3+7 = 4, 23 -> 2; 7 goes whole
+    assert s["prefill_pieces"] == 9
+
+
+def test_chunked_prefill_interleaves_decode(engine_factory):
+    """While a long prompt admits piece-by-piece, the already-running
+    request must receive tokens BETWEEN pieces (chunks dispatched during
+    the admission window), and both streams stay exact."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(47)
+    p_live = _prompt(rng, 9)
+    p_long = _prompt(rng, 60)
+    eng = engine_factory(params, cfg, n_slots=2, total=128,
+                         buckets=(16, 64), chunk_steps=2,
+                         prefill_chunk=16, speculative="off")
+    seen_during = []
+    f1 = eng.submit(p_live, 40,
+                    stream=lambda t: seen_during.append(t))
+    while not seen_during:
+        pass  # wait until the live request is decoding
+    n_before = len(seen_during)
+    f2 = eng.submit(p_long, 8)
+    out2 = f2.result(timeout=180)["ids"]
+    out1 = f1.result(timeout=180)["ids"]
+    assert out1 == _ref_generated(params, cfg, p_live, 16, 40, None)
+    assert out2 == _ref_generated(params, cfg, p_long, 64, 8, None)
+    stats = eng.snapshot_stats()
+    assert stats["prefill_pieces"] >= 4  # 60 tokens / 16-token pieces
+    assert len(out1) > n_before  # the live stream kept flowing
+
+
+def test_chunked_prefill_with_prefix_cache(engine_factory):
+    """A prefix-cache hit seeds the chunked chain mid-way; streams stay
+    identical to cold runs."""
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    rng = np.random.default_rng(53)
+    prefix = _prompt(rng, 30)
+    p2 = prefix + _prompt(rng, 25)
+    eng = engine_factory(params, cfg, n_slots=2, total=128,
+                         buckets=(16, 32, 64), chunk_steps=4,
+                         prefill_chunk=16, prefix_cache_mb=8,
+                         min_cached_prompt=8)
+    out1 = eng.generate_ids(prefix, 10)
+    out2 = eng.generate_ids(p2, 10)
+    s = eng.snapshot_stats()
+    assert s["prefix_hits"] >= 1
+    assert out1 == _ref_generated(params, cfg, prefix, 32, 10, None)
+    assert out2 == _ref_generated(params, cfg, p2, 64, 10, None)
+
+
+def test_prefill_chunk_must_be_a_bucket():
+    cfg = ModelConfig(**BASE)
+    params = _mk(cfg)
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        ContinuousEngine(params, cfg, n_slots=1, total=64,
+                         buckets=(16, 32), prefill_chunk=24)

@@ -722,6 +722,7 @@ def cmd_serve(args) -> int:
                 draft_tokens=args.draft_tokens,
                 draft_ngram=args.draft_ngram,
                 kv_dtype=args.kv_quant,
+                prefill_chunk=args.prefill_chunk,
             )
             dist_print(
                 f"/generate: continuous batching, {args.continuous_slots} "
@@ -1130,6 +1131,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "per-token HBM read and doubles resident slots at a "
                     "small logits perturbation (streams match "
                     "generate(kv_dtype='int8'), not bf16 bit-for-bit)")
+    ps.add_argument("--prefill-chunk", type=int, default=0,
+                    help="admit long prompts in pieces of this many tokens "
+                    "(must be a prompt bucket; 0 = whole-prompt prefill): "
+                    "live requests keep decoding between pieces, bounding "
+                    "their inter-token stall at the cost of extra "
+                    "admission turns")
     ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("chat", help="interactive generation REPL")

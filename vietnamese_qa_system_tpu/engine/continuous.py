@@ -196,6 +196,7 @@ class ContinuousEngine:
         draft_ngram: int = 3,
         spec_steps: int = 4,
         kv_dtype: str = "bf16",
+        prefill_chunk: int = 0,
     ):
         import jax
 
@@ -278,6 +279,20 @@ class ContinuousEngine:
         if kv_dtype not in ("bf16", "int8"):
             raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
         self.kv_dtype = kv_dtype
+        # chunked prefill: a long prompt admits in <= prefill_chunk-token
+        # pieces (prefill_extend at its own cursor — the prefix-cache
+        # machinery), ONE piece per scheduler turn, so live slots keep
+        # decoding between pieces instead of stalling for the whole
+        # prompt's forward.  0 = off (whole-prompt prefill at admission).
+        self.prefill_chunk = int(prefill_chunk)
+        if self.prefill_chunk and self._bucket(
+            min(self.prefill_chunk, self.buckets[-1])
+        ) != self.prefill_chunk:
+            raise ValueError(
+                f"prefill_chunk must be one of the prompt buckets "
+                f"{self.buckets}, got {prefill_chunk}"
+            )
+        self._mid = None  # in-flight chunked prefill (one at a time)
         self._de = de
         self._jax = jax
         self._base_key = jax.random.key(seed)
@@ -298,6 +313,7 @@ class ContinuousEngine:
             "chunks": 0, "occupancy_sum": 0, "prefills": 0,
             "prefix_hits": 0, "prefix_tokens_reused": 0,
             "spec_chunks": 0, "drafted_accepted": 0,
+            "prefill_pieces": 0,
         }
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -371,6 +387,9 @@ class ContinuousEngine:
         self._thread.join(timeout=30.0)
         with self._lock:
             failed = list(self._pending) + list(self._by_slot.values())
+            if self._mid is not None:
+                failed.append(self._mid["req"])
+                self._mid = None
             self._pending.clear()
             self._by_slot.clear()
         for req in failed:
@@ -388,7 +407,8 @@ class ContinuousEngine:
             with self._lock:
                 if self._stop:
                     return
-                busy = bool(self._by_slot) or bool(self._pending)
+                busy = (bool(self._by_slot) or bool(self._pending)
+                        or self._mid is not None)
             try:
                 if not busy:
                     if prev is not None:
@@ -409,6 +429,9 @@ class ContinuousEngine:
                 prev = None
                 with self._lock:
                     doomed = list(self._by_slot.values()) + list(self._pending)
+                    if self._mid is not None:
+                        doomed.append(self._mid["req"])
+                        self._mid = None
                     self._by_slot.clear()
                     self._pending.clear()
                     self._free = deque(range(self.n_slots))
@@ -435,6 +458,11 @@ class ContinuousEngine:
         import jax.numpy as jnp
 
         while True:
+            if self.prefill_chunk and self._mid is not None:
+                # advance the in-flight chunked prefill ONE piece, then
+                # yield so a decode chunk runs for the live slots
+                self._advance_prefill()
+                return
             with self._lock:
                 if not self._pending or not self._free:
                     return
@@ -453,22 +481,92 @@ class ContinuousEngine:
                 jnp.asarray([req.adapter_ix], jnp.int32)
                 if self._bank is not None else None
             )
+            if self.prefill_chunk and len(req.ids) > self.prefill_chunk:
+                self._mid = {
+                    "req": req, "slot": slot, "key": key, "samp": samp,
+                    "aix": aix, "kv": None, "done": 0,
+                }
+                continue  # first piece runs via the branch above
             kv, first, n_prompt, ids, mask = self._run_prefill(
                 req, key, samp, aix
             )
-            # the first token stays on device — fetched at the request's
-            # first harvest so admission never syncs the pipeline
-            req.pending_first = first
-            req.start_chunk = self._chunk_idx
-            # decode headroom: each emitted token consumes one cache column
-            req.remaining = min(req.max_new - 1, self.total - len(req.ids))
-            req.slot = slot
-            self._state = self._de.insert(
-                self._state, kv, jnp.asarray(ids), jnp.asarray(mask),
-                first, n_prompt, jnp.int32(slot), *samp, adapter=aix,
+            self._install(req, slot, kv, first, n_prompt, ids, mask, samp,
+                          aix)
+
+    def _install(self, req, slot, kv, first, n_prompt, ids, mask, samp,
+                 aix) -> None:
+        """Insert a fully-prefilled request into its reserved slot."""
+        import jax.numpy as jnp
+
+        # the first token stays on device — fetched at the request's
+        # first harvest so admission never syncs the pipeline
+        req.pending_first = first
+        req.start_chunk = self._chunk_idx
+        # decode headroom: each emitted token consumes one cache column
+        req.remaining = min(req.max_new - 1, self.total - len(req.ids))
+        req.slot = slot
+        self._state = self._de.insert(
+            self._state, kv, jnp.asarray(ids), jnp.asarray(mask),
+            first, n_prompt, jnp.int32(slot), *samp, adapter=aix,
+        )
+        with self._lock:
+            self._by_slot[slot] = req
+
+    def _advance_prefill(self) -> None:
+        """Run one <= prefill_chunk-token piece of the in-flight chunked
+        prefill (prefill for the head, prefill_extend at the running
+        cursor for later pieces — the same jitted programs the prefix
+        cache uses, so piece widths compile on the bucket grid).  The
+        intermediate pieces' sampled token is discarded; the LAST piece's
+        comes from the full prompt's final logits, exactly like a
+        whole-prompt prefill."""
+        import jax.numpy as jnp
+
+        m = self._mid
+        req = m["req"]
+        n = len(req.ids)
+        c = self.prefill_chunk
+        if m["kv"] is None and self._pcache is not None:
+            hit = self._pcache.lookup(req.ids, req.adapter_ix)
+            if hit is not None:
+                ent, p = hit
+                m["kv"] = self._de.crop_kv(ent["kv"], width=self._bucket(p))
+                m["done"] = p
+                self.stats["prefix_hits"] += 1
+                self.stats["prefix_tokens_reused"] += p
+        take = min(c, n - m["done"])
+        pb = self._bucket(take)
+        piece_ids = np.zeros((1, pb), np.int32)
+        piece_mask = np.zeros((1, pb), np.int32)
+        piece_ids[0, :take] = req.ids[m["done"] : m["done"] + take]
+        piece_mask[0, :take] = 1
+        if m["kv"] is None:
+            kv, first, n_done = self._de.prefill(
+                self.params, self.cfg, jnp.asarray(piece_ids),
+                jnp.asarray(piece_mask), m["key"], *m["samp"],
+                bank=self._bank, adapter=m["aix"], kv_dtype=self.kv_dtype,
             )
-            with self._lock:
-                self._by_slot[slot] = req
+            self.stats["prefills"] += 1
+        else:
+            kv, first, n_done = self._de.prefill_extend(
+                self.params, self.cfg, m["kv"],
+                jnp.asarray([m["done"]], jnp.int32),
+                jnp.asarray(piece_ids), jnp.asarray(piece_mask),
+                m["key"], *m["samp"], bank=self._bank, adapter=m["aix"],
+            )
+        m["done"] += take
+        self.stats["prefill_pieces"] += 1
+        m["kv"] = self._de.crop_kv(kv, width=self._bucket(m["done"]))
+        if m["done"] < n:
+            return  # next piece on the next scheduler turn
+        b = self._bucket(n)
+        ids = np.zeros((1, b), np.int32)
+        ids[0, :n] = req.ids
+        mask = (np.arange(b) < n)[None].astype(np.int32)
+        self._store_kv(req, m["kv"], b)
+        self._mid = None
+        self._install(req, m["slot"], m["kv"], first, n_done, ids, mask,
+                      m["samp"], m["aix"])
 
     def _run_prefill(self, req: _Request, key, samp, aix):
         """Prefill a request — through the prefix cache when a stored
