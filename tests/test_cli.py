@@ -248,3 +248,31 @@ def test_cli_lora_adapter_artifact_roundtrip(dataset, tmp_path):
         assert len(out["ids"]) == 6
     finally:
         eng.close()
+
+
+def test_cli_serve_reader_strategy_tp(dataset, tmp_path, monkeypatch,
+                                      capsys):
+    """Multi-chip serving surface: --reader-strategy tp shards the reader
+    over the (virtual 8-device) mesh; the REPL QA path must run over the
+    sharded params (GSPMD inserts the collectives)."""
+    _, docs = dataset
+    assert main([
+        "ingest",
+        "--inputs", str(docs),
+        "--index", str(tmp_path / "index"),
+        "--db", str(tmp_path / "docs.db"),
+        "--capacity", "2048", "--batch-size", "8", "--max-len", "48",
+    ]) == 0
+    answers = iter(["bài viết 3", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = main([
+        "serve",
+        "--index", str(tmp_path / "index"),
+        "--db", str(tmp_path / "docs.db"),
+        "--k", "2", "--max-len", "48",
+        "--reader-size", "tiny", "--reader-strategy", "tp",
+        "--max-new-tokens", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "reader sharded: strategy=tp over 8 devices" in out

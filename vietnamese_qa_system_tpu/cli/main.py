@@ -632,6 +632,31 @@ def cmd_serve(args) -> int:
 
             rparams = quantize_dense_tree(rparams, args.reader_quantize)
             dist_print(f"reader decodes over a {args.reader_quantize} base")
+        if args.reader_strategy:
+            # multi-chip serving: shard the reader across the device mesh
+            # (tp = head/MLP column/row-parallel; GSPMD propagates the
+            # sharding through prefill/decode_chunk — engine streams are
+            # pinned bit-identical to unsharded in tests/test_continuous.py)
+            if args.reader_quantize:
+                raise SystemExit(
+                    "--reader-strategy shards plain bf16 readers; drop "
+                    "--reader-quantize (int8/nf4 packing hides the dims "
+                    "the sharding rules split)"
+                )
+            from ..core.mesh import create_mesh
+            from ..parallel.sharding import param_sharding, shard_params
+
+            n_dev = len(jax.devices())
+            axes = {"model": n_dev}
+            mesh = create_mesh(axes)
+            rparams = shard_params(
+                rparams, param_sharding(rparams, mesh,
+                                        strategy=args.reader_strategy)
+            )
+            dist_print(
+                f"reader sharded: strategy={args.reader_strategy} over "
+                f"{n_dev} devices"
+            )
         reader_draft = None
         if args.speculative == "draft" and rcfg.arch == "causal":
             ddcfg = presets_r[args.reader_draft_size]()
@@ -1057,6 +1082,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "qwen2-05b", "bloom560m"],
                     help="enable full QA: retrieve + generate with a reader LM")
     ps.add_argument("--reader-params", default=None)
+    ps.add_argument("--reader-strategy", choices=["tp", "fsdp_tp"],
+                    default=None,
+                    help="shard the reader LM over ALL visible devices "
+                    "(multi-chip serving; tp = column/row-parallel "
+                    "heads/MLP). Streams stay bit-identical to unsharded")
     ps.add_argument("--reader-quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
                     help="quantize the reader's dense weights for decode "
                     "(2x/4x less HBM traffic per generated token)")
