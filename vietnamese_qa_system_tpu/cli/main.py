@@ -616,6 +616,8 @@ def cmd_serve(args) -> int:
             "pythia410m": mcfg.pythia_410m_class,
             "qwen2-05b": mcfg.qwen2_05b_class,
             "bloom560m": mcfg.bloom_560m_class,
+            "tiny-s2s": lambda: mcfg.tiny_test("seq2seq"),
+            "mt5small": mcfg.mt5_small_class,
         }
         rcfg = presets_r[args.reader_size]()
         import dataclasses as _dc
@@ -698,11 +700,11 @@ def cmd_serve(args) -> int:
         gen_engine = None
         if args.continuous_slots > 0:
             # raw LM completions via continuous batching: requests join
-            # the always-running slot scheduler (engine/continuous.py)
-            if qa is None or rcfg.arch != "causal":
+            # the always-running slot scheduler (engine/continuous.py);
+            # causal AND seq2seq readers are slot-schedulable
+            if qa is None:
                 raise SystemExit(
-                    "--continuous-slots needs a causal reader "
-                    "(--reader-size)"
+                    "--continuous-slots needs a reader (--reader-size)"
                 )
             from ..engine import ContinuousEngine
 
@@ -1079,8 +1081,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--seed", type=int, default=42)
     ps.add_argument("--reader-size", default=None,
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "qwen2-05b", "bloom560m"],
-                    help="enable full QA: retrieve + generate with a reader LM")
+                             "qwen2-05b", "bloom560m", "tiny-s2s",
+                             "mt5small"],
+                    help="enable full QA: retrieve + generate with a reader "
+                    "LM (tiny-s2s/mt5small serve encoder-decoder readers)")
     ps.add_argument("--reader-params", default=None)
     ps.add_argument("--reader-strategy", choices=["tp", "fsdp_tp"],
                     default=None,

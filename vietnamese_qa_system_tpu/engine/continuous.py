@@ -197,16 +197,41 @@ class ContinuousEngine:
         spec_steps: int = 4,
         kv_dtype: str = "bf16",
         prefill_chunk: int = 0,
+        bos_id: int = 0,
     ):
         import jax
 
         from ..models import causal_lm
         from ..models import decode_engine as de
 
-        if cfg.arch != "causal":
+        if cfg.arch not in ("causal", "seq2seq"):
             raise ValueError(
-                f"ContinuousEngine is causal-LM only, got arch={cfg.arch!r}"
+                f"ContinuousEngine serves causal or seq2seq LMs, got "
+                f"arch={cfg.arch!r}"
             )
+        self._s2s = cfg.arch == "seq2seq"
+        self.bos_id = int(bos_id)
+        if self._s2s:
+            # encoder-decoder slots carry their own cross-KV + enc mask;
+            # the causal-only extras are structurally inapplicable:
+            # prompt KV never enters the decoder cache (no prefix reuse /
+            # piece-wise prefill of it) and drafting reads the causal
+            # token stream
+            unsupported = []
+            if adapters:
+                unsupported.append("adapters (multi-LoRA)")
+            if prefix_cache_mb > 0:
+                unsupported.append("prefix_cache_mb")
+            if prefill_chunk:
+                unsupported.append("prefill_chunk")
+            if kv_dtype != "bf16":
+                unsupported.append("kv_dtype")
+            if unsupported:
+                raise ValueError(
+                    "seq2seq continuous serving does not support: "
+                    + ", ".join(unsupported)
+                )
+            speculative = "off"
         self.params = params
         self.cfg = cfg
         self.total = int(total or min(cfg.max_seq_len, 1024))
@@ -222,7 +247,9 @@ class ContinuousEngine:
             if not buckets:
                 buckets = [max(self.total // 2, 1)]
         self.buckets = sorted(int(b) for b in buckets)
-        if self.buckets[-1] >= self.total:
+        if not self._s2s and self.buckets[-1] >= self.total:
+            # seq2seq exempt: buckets size the ENCODER side, total the
+            # decoder cache — the two widths are independent there
             raise ValueError(
                 f"largest bucket {self.buckets[-1]} leaves no decode room "
                 f"in total={self.total}"
@@ -298,10 +325,7 @@ class ContinuousEngine:
         self._base_key = jax.random.key(seed)
         self._chunk_counter = 0  # RNG stream position (prefills + chunks)
         self._chunk_idx = 0  # ordinal of the next decode chunk
-        self._state = de.make_decode_state(
-            cfg, self.n_slots, self.total,
-            stacked=causal_lm.blocks_stacked(params), kv_dtype=kv_dtype,
-        )
+        self._state = self._fresh_state()
         self._by_slot: dict[int, _Request] = {}
         self._free = deque(range(self.n_slots))
         self._pending: deque[_Request] = deque()
@@ -440,13 +464,21 @@ class ContinuousEngine:
                         req.future.set_exception(exc)
                 # a mid-update failure may have donated the old buffers
                 # away — rebuild a clean all-free state before serving on
-                from ..models import causal_lm
+                self._state = self._fresh_state()
 
-                self._state = self._de.make_decode_state(
-                    self.cfg, self.n_slots, self.total,
-                    stacked=causal_lm.blocks_stacked(self.params),
-                    kv_dtype=self.kv_dtype,
-                )
+    def _fresh_state(self):
+        if self._s2s:
+            return self._de.make_decode_state_seq2seq(
+                self.cfg, self.n_slots, self.total, self.buckets[-1],
+                stacked=self._de._s2s_stacked(self.cfg, self.params),
+            )
+        from ..models import causal_lm
+
+        return self._de.make_decode_state(
+            self.cfg, self.n_slots, self.total,
+            stacked=causal_lm.blocks_stacked(self.params),
+            kv_dtype=self.kv_dtype,
+        )
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -481,6 +513,9 @@ class ContinuousEngine:
                 jnp.asarray([req.adapter_ix], jnp.int32)
                 if self._bank is not None else None
             )
+            if self._s2s:
+                self._admit_s2s(req, slot, key, samp)
+                continue
             if self.prefill_chunk and len(req.ids) > self.prefill_chunk:
                 self._mid = {
                     "req": req, "slot": slot, "key": key, "samp": samp,
@@ -492,6 +527,41 @@ class ContinuousEngine:
             )
             self._install(req, slot, kv, first, n_prompt, ids, mask, samp,
                           aix)
+
+    def _admit_s2s(self, req, slot, key, samp) -> None:
+        """Seq2seq admission: encode the prompt at its bucket, pad the
+        cross-KV to the state's shared enc width, insert with the BOS
+        decoder column."""
+        import jax.numpy as jnp
+
+        n = len(req.ids)
+        t = self._bucket(n)
+        ids = np.zeros((1, t), np.int32)
+        mask = np.zeros((1, t), np.int32)
+        ids[0, :n] = req.ids
+        mask[0, :n] = 1
+        ckv, dec_kv, first = self._de.prefill_seq2seq(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            key, *samp, bos_id=self.bos_id,
+        )
+        self.stats["prefills"] += 1
+        enc_w = self.buckets[-1]
+        if t != enc_w:
+            ckv = self._de.crop_kv(ckv, width=enc_w)
+        enc_mask = np.zeros((1, enc_w), np.int32)
+        enc_mask[0, :n] = 1
+        req.pending_first = first
+        req.start_chunk = self._chunk_idx
+        # decoder capacity: BOS holds column 0, generated tokens fill
+        # 1..total-1 (the prompt never enters the decoder cache)
+        req.remaining = min(req.max_new - 1, self.total - 1)
+        req.slot = slot
+        self._state = self._de.insert_seq2seq(
+            self._state, ckv, jnp.asarray(enc_mask), dec_kv, first,
+            jnp.int32(slot), *samp,
+        )
+        with self._lock:
+            self._by_slot[slot] = req
 
     def _install(self, req, slot, kv, first, n_prompt, ids, mask, samp,
                  aix) -> None:
@@ -645,6 +715,16 @@ class ContinuousEngine:
         self._chunk_idx += 1
         self.stats["chunks"] += 1
         self.stats["occupancy_sum"] += len(self._by_slot)
+        if self._s2s:
+            key = self._jax.random.fold_in(
+                self._base_key, 2 * self._chunk_counter
+            )
+            self._chunk_counter += 1
+            self._state, toks = self._de.decode_chunk_seq2seq(
+                self.params, self._state, key, self.cfg,
+                n_steps=self.chunk_steps, eos_id=self.eos_id,
+            )
+            return ("plain", toks)
         if self.speculative and all(
             r.temperature == 0.0 for r in self._by_slot.values()
         ):

@@ -602,3 +602,234 @@ def decode_chunk_spec(
         step, state, jnp.arange(n_steps)
     )
     return state, jnp.transpose(vals, (1, 0, 2)), counts.T
+
+
+# -----------------------------------------------------------------------------
+# Seq2seq (encoder-decoder) slot engine
+# -----------------------------------------------------------------------------
+#
+# The same continuous-batching shape for the reference's SEQ_2_SEQ_LM task
+# (AutoModelForSeq2SeqLM, reference src/models/trainer.py:536-544; its
+# seq2seq eval decodes whole batches in lockstep at :928-949).  Per-slot
+# state adds what the decoder needs that causal slots don't have: the
+# cross-attention K/V of the slot's OWN encoder input (width-padded to one
+# shared enc_width so every chunk is one compiled program) and its encoder
+# padding mask.  The decoder stream is dense (no prompt in the cache —
+# column 0 is BOS), so cursor == position and prompt bucketing applies to
+# the ENCODER side only.
+
+
+def _s2s_mod(cfg: ModelConfig):
+    from . import seq2seq, t5
+
+    return t5 if cfg.seq2seq_family == "t5" else seq2seq
+
+
+def _s2s_stacked(cfg: ModelConfig, params) -> bool:
+    from . import t5
+
+    return cfg.seq2seq_family == "t5" and t5.t5_stacked(params)
+
+
+def make_decode_state_seq2seq(cfg: ModelConfig, n_slots: int, total: int,
+                              enc_width: int, *, stacked: bool = False):
+    """Fresh all-slots-free seq2seq decode state.
+
+    ``total``: decoder cache length (BOS + up to total-1 generated
+    tokens).  ``enc_width``: shared encoder width — per-slot cross-KV is
+    stored padded to it (the largest encoder bucket)."""
+    if total > cfg.max_seq_len:
+        raise ValueError(
+            f"total={total} exceeds cfg.max_seq_len={cfg.max_seq_len}"
+        )
+    ckv_shape = (n_slots, enc_width, cfg.n_heads, cfg.head_dim)
+    if stacked:
+        ckv_shape = (cfg.decoder_layers,) + ckv_shape
+        cross_kv = {
+            "k": jnp.zeros(ckv_shape, jnp.bfloat16),
+            "v": jnp.zeros(ckv_shape, jnp.bfloat16),
+        }
+    else:
+        cross_kv = [
+            {"k": jnp.zeros(ckv_shape, jnp.bfloat16),
+             "v": jnp.zeros(ckv_shape, jnp.bfloat16)}
+            for _ in range(cfg.decoder_layers)
+        ]
+    return {
+        "cache": _make_cache(cfg, n_slots, total, cfg.decoder_layers,
+                             stacked=stacked),
+        # bf16 storage is bit-neutral: attention casts K/V to bf16 at the
+        # score/value matmuls either way (layers.attention COMPUTE_DTYPE)
+        "cross_kv": cross_kv,
+        "enc_mask": jnp.zeros((n_slots, enc_width), jnp.int32),
+        "key_valid": jnp.zeros((n_slots, total), jnp.bool_),
+        "last_tok": jnp.zeros((n_slots,), jnp.int32),
+        "cursor": jnp.zeros((n_slots,), jnp.int32),
+        "active": jnp.zeros((n_slots,), jnp.bool_),
+        "done": jnp.ones((n_slots,), jnp.bool_),
+        "temp": jnp.zeros((n_slots,), jnp.float32),
+        "top_k": jnp.zeros((n_slots,), jnp.int32),
+        "top_p": jnp.ones((n_slots,), jnp.float32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bos_id"))
+def prefill_seq2seq(
+    params,
+    cfg: ModelConfig,
+    enc_ids,
+    enc_mask,
+    key,
+    temp,
+    top_k,
+    top_p,
+    bos_id: int = 0,
+):
+    """Encode one RIGHT-padded prompt (1, T_enc bucket), precompute its
+    cross-attention K/V, run the BOS decoder step, and sample the first
+    token.  Returns ``(cross_kv, dec_kv, first_tok)`` — ``cross_kv`` at
+    the prompt's bucket width (insert pads to the state's enc_width),
+    ``dec_kv`` the width-1 decoder self-KV of the BOS step.  Compiles
+    once per encoder bucket."""
+    s2s = _s2s_mod(cfg)
+    stacked = _s2s_stacked(cfg, params)
+    enc_out = s2s.encode(params, cfg, enc_ids, enc_mask)
+    cross_kv = s2s.precompute_cross_kv(params, cfg, enc_out)
+    cross_kv = jax.tree.map(lambda x: x.astype(jnp.bfloat16), cross_kv)
+    cache = _make_cache(cfg, 1, 1, cfg.decoder_layers, stacked=stacked)
+    bos = jnp.full((1, 1), bos_id, jnp.int32)
+    logits, dec_kv = s2s.decode(
+        params, cfg, bos, None, enc_mask,
+        jnp.ones((1, 1, 1), jnp.bool_),
+        positions=jnp.zeros((1, 1), jnp.int32),
+        cache=cache, cache_index=0, cross_kv=cross_kv,
+    )
+    first = _sample_dynamic(logits[:, 0], key, temp, top_k, top_p)
+    return cross_kv, dec_kv, first
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert_seq2seq(state, cross_kv, enc_mask, dec_kv, first_tok, slot,
+                   temp, top_k, top_p):
+    """Install a prefilled seq2seq request into slot ``slot``.
+
+    ``cross_kv`` must already be padded to the state's enc_width
+    (crop_kv — same token-axis-at(-3) layout as decoder KV).  Fully
+    re-initializes the slot: cross-KV, enc mask, BOS self-KV column,
+    cursors.  Compiles ONCE (no per-bucket widths reach insert)."""
+    stacked = not isinstance(state["cache"], list)
+    total = state["key_valid"].shape[1]
+    if stacked:
+        new_cache = jax.tree.map(
+            lambda s, p: _write_prefix(s, p, slot, True),
+            state["cache"], dec_kv,
+        )
+        new_ckv = jax.tree.map(
+            lambda s, p: _write_prefix(s, p, slot, True),
+            state["cross_kv"], cross_kv,
+        )
+    else:
+        new_cache = [
+            jax.tree.map(lambda s, p: _write_prefix(s, p, slot, False),
+                         s_layer, p_layer)
+            for s_layer, p_layer in zip(state["cache"], dec_kv)
+        ]
+        new_ckv = [
+            jax.tree.map(lambda s, p: _write_prefix(s, p, slot, False),
+                         s_layer, p_layer)
+            for s_layer, p_layer in zip(state["cross_kv"], cross_kv)
+        ]
+    row = jnp.zeros((1, total), jnp.bool_).at[0, 0].set(True)  # BOS column
+    return {
+        "cache": new_cache,
+        "cross_kv": new_ckv,
+        "enc_mask": jax.lax.dynamic_update_slice(
+            state["enc_mask"], enc_mask.astype(jnp.int32), (slot, 0)
+        ),
+        "key_valid": jax.lax.dynamic_update_slice(
+            state["key_valid"], row, (slot, 0)
+        ),
+        "last_tok": state["last_tok"].at[slot].set(first_tok[0]),
+        "cursor": state["cursor"].at[slot].set(1),
+        "active": state["active"].at[slot].set(True),
+        "done": state["done"].at[slot].set(False),
+        "temp": state["temp"].at[slot].set(temp[0]),
+        "top_k": state["top_k"].at[slot].set(top_k[0]),
+        "top_p": state["top_p"].at[slot].set(top_p[0]),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "eos_id"),
+    donate_argnums=(1,),
+)
+def decode_chunk_seq2seq(
+    params,
+    state,
+    key,
+    cfg: ModelConfig,
+    *,
+    n_steps: int = 8,
+    eos_id: int | None = None,
+):
+    """Advance every live seq2seq slot ``n_steps`` decoder tokens in ONE
+    dispatch (the seq2seq form of :func:`decode_chunk`).  Cross-attention
+    reads each slot's stored cross-KV under its own encoder mask; decoder
+    self-attention scatters at per-slot cursors (t5 relative bias gets a
+    per-row query position via _dec_bias(per_row=True))."""
+    s2s = _s2s_mod(cfg)
+    n_slots, total = state["key_valid"].shape
+    fill = jnp.int32(eos_id if eos_id is not None else 0)
+    rows = jnp.arange(n_slots)
+
+    def step(st, k_s):
+        write_ok = st["active"] & ~st["done"] & (st["cursor"] < total)
+        key_valid = st["key_valid"].at[rows, st["cursor"]].max(write_ok)
+        logits, cache = s2s.decode(
+            params, cfg, st["last_tok"][:, None], None, st["enc_mask"],
+            key_valid[:, None, :],
+            positions=st["cursor"][:, None],
+            cache=st["cache"], cache_index=st["cursor"],
+            cross_kv=st["cross_kv"],
+        )
+        nxt = _sample_dynamic(
+            logits[:, 0], k_s, st["temp"], st["top_k"], st["top_p"]
+        )
+        nxt = jnp.where(write_ok, nxt, fill)
+        done = st["done"] | ~st["active"] | (st["cursor"] + 1 >= total)
+        if eos_id is not None:
+            done = done | (nxt == eos_id)
+        new_st = {
+            **st,
+            "cache": cache,
+            "key_valid": key_valid,
+            "last_tok": jnp.where(write_ok, nxt, st["last_tok"]),
+            "cursor": st["cursor"] + write_ok,
+            "done": done,
+        }
+        return new_st, nxt
+
+    keys = jax.random.split(key, n_steps)
+    state, toks = jax.lax.scan(step, state, keys)
+    return state, toks.T
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def release_seq2seq(state, slot):
+    """Free seq2seq slot ``slot``."""
+    total = state["key_valid"].shape[1]
+    enc_w = state["enc_mask"].shape[1]
+    return {
+        **state,
+        "key_valid": jax.lax.dynamic_update_slice(
+            state["key_valid"],
+            jnp.zeros((1, total), jnp.bool_),
+            (slot, 0),
+        ),
+        "enc_mask": jax.lax.dynamic_update_slice(
+            state["enc_mask"], jnp.zeros((1, enc_w), jnp.int32), (slot, 0)
+        ),
+        "active": state["active"].at[slot].set(False),
+        "done": state["done"].at[slot].set(True),
+    }

@@ -159,14 +159,22 @@ def _enc_bias(table, t: int, cfg: ModelConfig):
     return jnp.transpose(table[buckets], (2, 0, 1))[None]
 
 
-def _dec_bias(table, q_pos, kv_len: int, cfg: ModelConfig):
-    """(buckets, H) -> (1, H, Tq, Tk) causal bias for query positions
-    ``q_pos`` (1-D int array) against keys 0..kv_len-1."""
+def _dec_bias(table, q_pos, kv_len: int, cfg: ModelConfig,
+              per_row: bool = False):
+    """(buckets, H) -> causal bias for query positions ``q_pos`` (1-D int
+    array) against keys 0..kv_len-1.
+
+    ``per_row=False``: q_pos indexes query SLOTS of one shared layout —
+    returns (1, H, Tq, Tk).  ``per_row=True``: q_pos is one position PER
+    BATCH ROW (the slot engine's diverging cursors, decode_engine.py) —
+    returns (B, H, 1, Tk)."""
     rel = jnp.arange(kv_len)[None, :] - q_pos[:, None]
     buckets = _causal_bucket(
         rel, cfg.relative_attention_buckets,
         cfg.relative_attention_max_distance,
     )
+    if per_row:
+        return jnp.transpose(table[buckets], (0, 2, 1))[:, :, None, :]
     return jnp.transpose(table[buckets], (2, 0, 1))[None]
 
 
@@ -346,9 +354,14 @@ def decode(
             cache["k"].shape[2] if t5_stacked(params)
             else cache[0]["k"].shape[1]
         )
-        # per-step bias row for the current query position (cache_index)
+        # per-step bias row for the current query position (cache_index);
+        # a (B,) cache_index (slot-engine diverging cursors) gets one
+        # bias row per batch row
+        per_row = getattr(cache_index, "ndim", 0) == 1
         q_pos = jnp.zeros((1,), jnp.int32) + cache_index
-        self_bias = _dec_bias(params["dec_rel_bias"], q_pos, total, cfg)
+        self_bias = _dec_bias(
+            params["dec_rel_bias"], q_pos, total, cfg, per_row=per_row
+        )
         if cross_kv is None:
             # same work as projecting inside each layer; decode loops
             # (models/generate.py) hoist this out of their step scan
