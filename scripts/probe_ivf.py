@@ -1,0 +1,208 @@
+"""Real-chip IVF probe: flat-scan vs IVF latency at serving batch sizes.
+
+Populates a 1M x 768 store with on-device clustered data (the tunnel's
+~23 MB/s host transfers forbid uploading a corpus), builds the IVF index
+on chip, and A/B-times store.topk vs ivf.topk at B=8 / B=64 / B=256 in
+the same process, reporting (time - tunnel_floor) per CLAUDE.md.
+
+Run: python scripts/probe_ivf.py [--dtype int8] [--n 1048576] > /tmp/ivf_probe.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--n", type=int, default=1 << 20)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--clusters", type=int, default=4096)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from vietnamese_qa_system_tpu.engine.ivf import IVFIndex
+    from vietnamese_qa_system_tpu.engine.store import VectorStore
+    from vietnamese_qa_system_tpu.ops.quant import quantize_int8_reference
+
+    n, d = args.n, args.d
+    print(f"backend={jax.default_backend()} n={n} d={d} dtype={args.dtype}",
+          flush=True)
+
+    # ---- tunnel dispatch floor (same-process; see CLAUDE.md) ----------
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    np.asarray(tiny(jnp.zeros((8, 8))))
+    floor = min(
+        _timed(lambda: np.asarray(tiny(jnp.zeros((8, 8))))) for _ in range(20)
+    )
+    print(f"tunnel floor: {floor*1e3:.2f} ms", flush=True)
+
+    # ---- on-device clustered corpus -----------------------------------
+    # Noise is sigma/sqrt(d) per dim so the TOTAL noise norm is ~sigma
+    # relative to the unit-norm centers (0.35 per dim in 768-d would give
+    # noise norm ~9.7 — uniform-on-the-sphere data where ANN recall is
+    # meaningless; real embedding corpora are clustered).
+    n_centers = 2048
+    sigma = 0.35
+
+    @jax.jit
+    def gen(key):
+        kc, kn = jax.random.split(key)
+        cents = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        cents = cents / jnp.linalg.norm(cents, axis=1, keepdims=True)
+        idx = jnp.arange(n) % n_centers
+        pts = cents[idx] + (sigma / np.sqrt(d)) * jax.random.normal(
+            kn, (n, d), jnp.float32
+        )
+        return pts / jnp.linalg.norm(pts, axis=1, keepdims=True)
+
+    pts = gen(jax.random.key(0))
+    np.asarray(pts[0, 0])
+    print("corpus generated", flush=True)
+
+    store = VectorStore(n, d, dtype=args.dtype)
+    if args.dtype == "int8":
+        qv, qs = quantize_int8_reference(pts)
+        store.vectors = jax.device_put(qv[None], store._vec_sharding)
+        store.scales = jax.device_put(qs[None], store._scale_sharding)
+    else:
+        store.vectors = jax.device_put(
+            pts[None].astype(jnp.bfloat16), store._vec_sharding
+        )
+    store.size = n
+
+    # Queries = corpus rows + modest perturbation (the realistic retrieval
+    # case: a query embedding lands near its relevant documents' cluster).
+    rng_q = np.random.default_rng(1)
+    q_ids = rng_q.choice(n, size=256, replace=False)
+    base = np.asarray(pts[jnp.asarray(q_ids)])
+    noise = rng_q.standard_normal((256, d)).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    qall = base + 0.3 * noise
+    qall /= np.linalg.norm(qall, axis=1, keepdims=True)
+    del pts
+
+    # ---- build IVF on chip --------------------------------------------
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(
+        store, n_clusters=args.clusters, nprobe=args.nprobe,
+        kmeans_iters=10, sample_n=131072, seed=0,
+    )
+    print(f"IVF build: {time.perf_counter()-t0:.1f}s  "
+          f"C={ivf.n_clusters} cap={ivf.cap} spill={int(ivf._spill_counts.sum())} "
+          f"({100.0*ivf._spill_counts.sum()/n:.2f}%)", flush=True)
+
+    # ---- recall vs an exact-f32 oracle over the SAME quantized corpus --
+    # (isolates probing error from quantization error; "vs flat" alone is
+    # misleading on near-tie clustered data — the flat kernel quantizes
+    # the query to int8 and its own ordering noise dominates: measured
+    # flat-vs-f32 0.77 while IVF-exact-vs-f32 was 0.99 on clustered data)
+    k = 10
+    oracle = _f32_oracle(store, qall[:64], k)
+    _, flat_ids = store.topk(qall[:64], k, mode="fast")
+    flat_ids = np.asarray(flat_ids)
+    rec_flat = np.mean([len(set(flat_ids[i]) & set(oracle[i])) / k
+                        for i in range(64)])
+    print(f"recall@10 vs f32 oracle: flat={rec_flat:.4f}", flush=True)
+    for p in (8, 16, 32, 64):
+        _, ids = ivf.topk(qall[:64], k, nprobe=p)
+        ids = np.asarray(ids)
+        rec = np.mean([len(set(ids[i]) & set(oracle[i])) / k
+                       for i in range(64)])
+        print(f"recall@10 vs f32 oracle, ivf nprobe={p}: {rec:.4f}",
+              flush=True)
+
+    # ---- latency A/B ---------------------------------------------------
+    for b in (8, 64, 256):
+        q = qall[:b]
+        flat_t = _best(lambda: np.asarray(store.topk(q, k, mode="turbo")[0]), 8)
+        ivf_t = _best(lambda: np.asarray(ivf.topk(q, k)[0]), 8)
+        print(
+            f"B={b:4d}: flat {flat_t*1e3:7.2f} ms  ivf {ivf_t*1e3:7.2f} ms  "
+            f"(minus floor: {max(flat_t-floor,1e-9)*1e3:7.2f} vs "
+            f"{max(ivf_t-floor,1e-9)*1e3:7.2f} ms -> "
+            f"{max(flat_t-floor,1e-9)/max(ivf_t-floor,1e-9):5.1f}x)",
+            flush=True,
+        )
+
+
+def _f32_oracle(store, q, k) -> np.ndarray:
+    """Exact f32 top-k over the dequantized corpus, computed on device in
+    chunks (the corpus never leaves HBM; only (B, k) ids come back)."""
+    import jax
+    import jax.numpy as jnp
+
+    s, capps, d = store.vectors.shape
+    flat = store.vectors.reshape(s * capps, d)
+    scales = (
+        store.scales.reshape(s * capps) if store.dtype == "int8" else None
+    )
+    gs = store.global_scale if store.dtype == "int8_global" else None
+    n = store.size
+    chunk = 65536
+
+    @jax.jit
+    def chunk_topk(qf, v, sc, gids):
+        x = v.astype(jnp.float32)
+        if sc is not None:
+            x = x * sc[:, None]
+        elif gs is not None:
+            x = x * jnp.float32(gs)
+        part = qf @ x.T  # (B, chunk) f32
+        part = jnp.where(gids[None, :] < n, part, -jnp.inf)
+        vals, pos = jax.lax.top_k(part, k)  # on device; fetch only (B, k)
+        return vals, jnp.take_along_axis(
+            jnp.broadcast_to(gids[None, :], part.shape), pos, axis=1
+        )
+
+    qf = jnp.asarray(q, jnp.float32)
+    best_s = np.full((q.shape[0], k), -np.inf, np.float32)
+    best_i = np.full((q.shape[0], k), -1, np.int64)
+    n_slab = s * capps
+    for lo in range(0, n_slab, chunk):
+        hi = min(lo + chunk, n_slab)
+        if hi - lo < chunk:  # keep one jit shape
+            lo = max(0, hi - chunk)
+        sc = scales[lo:hi] if scales is not None else None
+        rows = np.arange(lo, hi)
+        # slab row (shard si, slot r) -> gid r*S + si
+        gids = jnp.asarray((rows % capps) * s + rows // capps)
+        vals, ids = chunk_topk(qf, flat[lo:hi], sc, gids)
+        cat_s = np.concatenate([best_s, np.asarray(vals)], axis=1)
+        cat_i = np.concatenate([best_i, np.asarray(ids)], axis=1)
+        sel = np.argsort(-cat_s, axis=1)[:, :k]
+        best_s = np.take_along_axis(cat_s, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+    return best_i
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _best(fn, reps: int) -> float:
+    fn()  # compile
+    return min(_timed(fn) for _ in range(reps))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""IVF clustered ANN index (engine/ivf.py) — the faiss-IVF capability
+(reference inference_pipeline/db_utils/heavy_ranker.py:78-101 runs on
+txtai, whose vector backend is faiss)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vietnamese_qa_system_tpu.core.mesh import SHARD_AXIS, create_mesh
+from vietnamese_qa_system_tpu.engine.ivf import IVFIndex, load_index
+from vietnamese_qa_system_tpu.engine.store import VectorStore
+
+N, D = 8192, 64
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(40, D))
+    pts = centers[rng.integers(0, 40, N)] + 0.3 * rng.normal(size=(N, D))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    q = pts[rng.choice(N, 24, replace=False)] + 0.05 * rng.normal(size=(24, D))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = np.argsort(-(q @ pts.T), axis=1)[:, :10]
+    return pts, q, oracle
+
+
+def _build(corpus, dtype, shards=1, **kw):
+    pts, _, _ = corpus
+    mesh = create_mesh({SHARD_AXIS: shards})
+    store = VectorStore(N, D, mesh=mesh, dtype=dtype)
+    store.add(pts)
+    kw.setdefault("n_clusters", 64)
+    kw.setdefault("nprobe", 12)
+    kw.setdefault("kmeans_iters", 6)
+    kw.setdefault("sample_n", 4096)
+    return store, IVFIndex.build(store, seed=0, **kw)
+
+
+def _recall(ids, oracle):
+    ids = np.asarray(ids)
+    return np.mean(
+        [len(set(ids[i]) & set(oracle[i])) / oracle.shape[1]
+         for i in range(len(oracle))]
+    )
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+def test_recall_vs_oracle(corpus, dtype):
+    _, q, oracle = corpus
+    _, ivf = _build(corpus, dtype)
+    _, ids = ivf.topk(q, 10)
+    floor = {"bf16": 0.95, "int8": 0.92, "int8_global": 0.80}[dtype]
+    assert _recall(ids, oracle) >= floor
+
+
+def test_exact_mode_matches_flat_store(corpus):
+    """mode="exact" probes every cluster; with int8 codes moved verbatim
+    it must rank identically to the flat store's scan (set-level)."""
+    _, q, _ = corpus
+    store, ivf = _build(corpus, "int8")
+    _, flat_ids = store.topk(q, 10, mode="exact")
+    _, ivf_ids = ivf.topk(q, 10, mode="exact")
+    flat_ids, ivf_ids = np.asarray(flat_ids), np.asarray(ivf_ids)
+    agree = np.mean(
+        [len(set(flat_ids[i]) & set(ivf_ids[i])) / 10 for i in range(len(q))]
+    )
+    assert agree >= 0.99  # ties at equal score may order differently
+
+
+def test_sharded_matches_single_shard(corpus):
+    _, q, _ = corpus
+    _, ivf1 = _build(corpus, "bf16", shards=1)
+    _, ivf4 = _build(corpus, "bf16", shards=4)
+    _, ids1 = ivf1.topk(q, 10, mode="exact")
+    _, ids4 = ivf4.topk(q, 10, mode="exact")
+    ids1, ids4 = np.asarray(ids1), np.asarray(ids4)
+    agree = np.mean(
+        [len(set(ids1[i]) & set(ids4[i])) / 10 for i in range(len(q))]
+    )
+    assert agree >= 0.99
+
+
+def test_nprobe_increases_recall(corpus):
+    _, q, oracle = corpus
+    _, ivf = _build(corpus, "bf16")
+    _, ids_small = ivf.topk(q, 10, nprobe=1)
+    _, ids_big = ivf.topk(q, 10, nprobe=32)
+    assert _recall(ids_big, oracle) >= _recall(ids_small, oracle)
+    assert _recall(ids_big, oracle) >= 0.98
+
+
+def test_add_goes_to_spill_and_is_searchable(corpus):
+    pts, _, _ = corpus
+    _, ivf = _build(corpus, "bf16")
+    size0 = ivf.size
+    extra = pts[:6] + 0.001
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    ids = ivf.add(extra)
+    assert list(ids) == list(range(size0, size0 + 6))
+    assert ivf.size == size0 + 6
+    _, got = ivf.topk(extra, 2)
+    got = np.asarray(got)
+    # each added vector finds itself (or its near-duplicate source row)
+    for i in range(6):
+        assert ids[i] in got[i] or i in got[i]
+    # round-trips through get_vectors
+    back = ivf.get_vectors(ids)
+    assert np.allclose(back, extra, atol=0.02)
+
+
+def test_spill_full_raises(corpus):
+    pts, _, _ = corpus
+    _, ivf = _build(corpus, "bf16", spill_headroom=0)
+    room = ivf.spill_cap * ivf.n_shards - int(ivf._spill_counts.sum())
+    with pytest.raises(ValueError, match="spill region full"):
+        ivf.add(np.zeros((room + 1, D), np.float32))
+
+
+def test_get_vectors_bucket_rows(corpus):
+    pts, _, _ = corpus
+    store, ivf = _build(corpus, "int8")
+    ids = [0, 17, N - 1]
+    got = ivf.get_vectors(ids)
+    want = store.get_vectors(ids)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_save_load_roundtrip(corpus, tmp_path):
+    _, q, _ = corpus
+    _, ivf = _build(corpus, "int8", shards=2)
+    s0, i0 = ivf.topk(q, 10)
+    path = str(tmp_path / "ivf")
+    ivf.save(path)
+    mesh = create_mesh({SHARD_AXIS: 2})
+    back = load_index(path, mesh=mesh)
+    assert isinstance(back, IVFIndex)
+    s1, i1 = back.topk(q, 10)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    # mesh-size mismatch is an explicit error, not silent corruption
+    with pytest.raises(ValueError, match="shards"):
+        IVFIndex.load(path, mesh=create_mesh({SHARD_AXIS: 4}))
+
+
+def test_load_index_dispatches_flat(corpus, tmp_path):
+    pts, _, _ = corpus
+    store = VectorStore(N, D, dtype="bf16")
+    store.add(pts[:128])
+    path = str(tmp_path / "flat")
+    store.save(path)
+    back = load_index(path, capacity=0)
+    assert isinstance(back, VectorStore)
+    assert back.size == 128
+
+
+def test_k_exceeding_probed_rows_raises(corpus):
+    _, q, _ = corpus
+    _, ivf = _build(corpus, "bf16")
+    with pytest.raises(ValueError, match="exceeds probed rows|< k"):
+        ivf.topk(q, ivf.n_clusters * ivf.cap + ivf.spill_cap + 1)
+
+
+def test_empty_store_raises():
+    store = VectorStore(1024, D, dtype="bf16")
+    with pytest.raises(ValueError, match="empty"):
+        IVFIndex.build(store)
+
+
+def test_retriever_over_ivf(corpus, tmp_path):
+    """Retriever treats an IVFIndex exactly like a VectorStore."""
+    from vietnamese_qa_system_tpu.data.tokenizer import ByteTokenizer
+    from vietnamese_qa_system_tpu.engine.docstore import DocStore
+    from vietnamese_qa_system_tpu.engine.ingest import IngestPipeline
+    from vietnamese_qa_system_tpu.engine.query import Retriever
+    from vietnamese_qa_system_tpu.models.config import tiny_test
+    from vietnamese_qa_system_tpu.models.encoder import init_encoder
+
+    cfg = tiny_test("encoder")
+    params = init_encoder(jax.random.key(0), cfg)
+    tok = ByteTokenizer()
+    docs = [f"tài liệu tiếng Việt số {i} nói về chủ đề {i % 7}"
+            for i in range(64)]
+    store = VectorStore(256, cfg.d_model, dtype="bf16")
+    docstore = DocStore(str(tmp_path / "docs.db"))
+    pipe = IngestPipeline(params, cfg, tok, store, docstore,
+                          batch_size=32, max_len=32)
+    pipe.add_documents(docs, ["t"] * len(docs), chunk_size=512)
+    ivf = IVFIndex.build(store, n_clusters=8, nprobe=8, kmeans_iters=3,
+                         sample_n=256)
+    r = Retriever(params, cfg, tok, ivf, docstore, max_len=32,
+                  query_batch=8)
+    res = r.search([docs[3], docs[40]], k=3)
+    assert len(res) == 2 and all(len(row) == 3 for row in res)
+    assert res[0][0].doc is not None
+    # nprobe = all clusters → same hits as the flat store under the
+    # same encoder
+    r_flat = Retriever(params, cfg, tok, store, docstore, max_len=32,
+                       query_batch=8)
+    res_flat = r_flat.search([docs[3]], k=3)
+    assert {x.id for x in res[0]} & {x.id for x in res_flat[0]}

@@ -569,6 +569,34 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_build_ivf(args) -> int:
+    """Cluster a flat index into an IVF ANN index (the faiss-IVF
+    capability behind the reference's txtai backend; engine/ivf.py).
+    Serving loads either directory transparently (meta.json type)."""
+    from ..core.mesh import SHARD_AXIS, create_mesh
+    from ..engine import IVFIndex, VectorStore
+
+    mesh = create_mesh({SHARD_AXIS: args.shards}) if args.shards > 1 else None
+    store = VectorStore.load(args.index, mesh=mesh, capacity=0)
+    ivf = IVFIndex.build(
+        store,
+        n_clusters=args.clusters,
+        nprobe=args.nprobe,
+        cap_mult=args.cap_mult,
+        kmeans_iters=args.kmeans_iters,
+        seed=args.seed,
+    )
+    ivf.save(args.out)
+    spill = int(ivf._spill_counts.sum())
+    dist_print(
+        f"IVF index saved -> {args.out}: {ivf.size} vectors, "
+        f"{ivf.n_clusters} clusters x cap {ivf.cap} per shard, "
+        f"{spill} spilled ({100.0 * spill / max(ivf.size, 1):.2f}%), "
+        f"default nprobe {ivf.nprobe}"
+    )
+    return 0
+
+
 # --------------------------------------------------------------------- serve
 
 
@@ -577,15 +605,16 @@ def cmd_serve(args) -> int:
     path as a usable REPL)."""
     import jax
 
-    from ..engine import BM25Index, DocStore, Retriever, VectorStore
+    from ..engine import BM25Index, DocStore, Retriever, load_index
 
     params, cfg = _encoder_from_spec(args.encoder, args.seed)
     tok = _tokenizer(args.tokenizer)
     # shrink-to-fit: query cost scans the slab, not the build-time
     # headroom (a 40-doc dev index built with --capacity 1M would
     # otherwise scan 1M rows per query); --capacity N keeps room for
-    # online /ingest growth
-    store = VectorStore.load(args.index, capacity=args.capacity)
+    # online /ingest growth.  IVF directories (cli build-ivf) load as
+    # IVFIndex transparently.
+    store = load_index(args.index, capacity=args.capacity)
     docstore = DocStore(args.db)
     lexical = None
     bm25_path = os.path.join(args.index, "bm25.json")
@@ -1064,6 +1093,20 @@ def build_parser() -> argparse.ArgumentParser:
                     "(capability of txtai hybrid=True, heavy_ranker.py:78)")
     pi.add_argument("--seed", type=int, default=42)
     pi.set_defaults(fn=cmd_ingest)
+
+    pf = sub.add_parser(
+        "build-ivf", help="cluster a flat index into an IVF ANN index"
+    )
+    pf.add_argument("--index", required=True, help="flat index dir (cli ingest)")
+    pf.add_argument("--out", required=True, help="output IVF index dir")
+    pf.add_argument("--clusters", type=int, default=None,
+                    help="cluster count (default ~4*sqrt(N))")
+    pf.add_argument("--nprobe", type=int, default=8)
+    pf.add_argument("--cap-mult", type=float, default=1.6)
+    pf.add_argument("--kmeans-iters", type=int, default=10)
+    pf.add_argument("--shards", type=int, default=1)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.set_defaults(fn=cmd_build_ivf)
 
     ps = sub.add_parser("serve", help="interactive retrieval REPL")
     ps.add_argument("--index", required=True)

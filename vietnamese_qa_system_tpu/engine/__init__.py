@@ -1,4 +1,5 @@
 from .store import VectorStore
+from .ivf import IVFIndex, load_index
 from .docstore import DocStore
 from .chunking import chunk_text
 from .ingest import IngestPipeline
@@ -14,6 +15,8 @@ __all__ = [
     "ServingApp",
     "make_server",
     "VectorStore",
+    "IVFIndex",
+    "load_index",
     "BM25Index",
     "fuse_scores",
     "DocStore",
