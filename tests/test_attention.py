@@ -201,3 +201,110 @@ def test_alibi_causal_lm_flash_matches_dense(rng):
         np.asarray(l_ref[:, :20]), np.asarray(l_flash[:, :20]),
         atol=0.15, rtol=0.05,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window (local) attention: GPT-Neo local layers / Mistral SWA
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("window", [64, 300])
+def test_window_forward_matches_reference(rng, window):
+    """Sliding-window mode must match the banded dense oracle, including
+    across k-block boundaries (window caps blk_k at >=256, so t=512 spans
+    multiple k-blocks for small windows)."""
+    q, k, v = _qkv(rng, b=2, t=512, h=2, d=32)
+    out = flash_attention(q, k, v, causal=True, window=window)
+    ref = flash_attention_reference(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), causal=True, window=window,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_window_multi_qblock(rng):
+    """t > blk_q exercises the band skip across BOTH grid axes (q-blocks
+    that see no early k-blocks; k-blocks invisible to late q-blocks)."""
+    q, k, v = _qkv(rng, b=1, t=2048, h=1, d=32)
+    out = flash_attention(q, k, v, causal=True, window=200)
+    ref = flash_attention_reference(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), causal=True, window=200,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_window_with_key_padding(rng):
+    q, k, v = _qkv(rng, b=3, t=512, h=2, d=32)
+    lens = jnp.asarray([512, 300, 17], jnp.int32)
+    out = flash_attention(q, k, v, kv_lens=lens, causal=True, window=128)
+    ref = flash_attention_reference(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), kv_lens=lens, causal=True, window=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_window_requires_causal(rng):
+    q, k, v = _qkv(rng, b=1, t=128, h=1, d=32)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, causal=False, window=64)
+
+
+def test_window_grads_match_reference(rng):
+    q, k, v = _qkv(rng, b=2, t=512, h=2, d=32)
+
+    def f_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, window=100) ** 2
+        )
+
+    def f_ref(q, k, v):
+        return jnp.sum(
+            flash_attention_reference(
+                q, k, v, causal=True, window=100
+            ) ** 2
+        )
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+
+
+def test_local_causal_lm_flash_matches_dense(rng):
+    """GPT-Neo-style alternating local/global layers: the flash path (local
+    layers on the kernel's sliding-window mode) must match the dense masked
+    path, including right padding."""
+    import dataclasses
+
+    from vietnamese_qa_system_tpu.models import causal_lm, tiny_test
+
+    cfg = dataclasses.replace(
+        tiny_test("causal"),
+        attention_layers=("global", "local"), attention_window=8,
+        positional="learned",
+    )
+    params = causal_lm.init_causal_lm(jax.random.key(2), cfg)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 24)), jnp.int32)
+    mask = jnp.ones((2, 24), jnp.int32)
+    mask = mask.at[1, 20:].set(0)
+    l_ref = causal_lm.forward(params, cfg, ids, mask)
+    cfg_flash = dataclasses.replace(cfg, use_flash_attention=True)
+    l_flash = causal_lm.forward(params, cfg_flash, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(l_ref[:, :20]), np.asarray(l_flash[:, :20]),
+        atol=0.15, rtol=0.05,
+    )

@@ -981,3 +981,74 @@ def test_qwen2_init_bias_layout_and_training_smoke():
     state = tr.fit(batches)
     assert np.isfinite(float(np.asarray(
         state["params"]["blocks"][0]["attn"]["wq"]["b"]).sum()))
+
+
+def test_mistral_sliding_window_logits_match_transformers():
+    """Mistral = llama layout + sliding-window attention on every layer
+    (config.sliding_window).  Our import maps it to an all-"local"
+    attention_layers tuple riding the flash kernel's window mode; logits
+    must match HF (T=16 > window=8, so the band actually truncates)."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_llama,
+        llama_config,
+    )
+
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=160,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        sliding_window=8,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    model = transformers.MistralForCausalLM(hf_cfg).eval()
+    cfg = llama_config(hf_cfg)
+    assert cfg.attention_layers == ("local", "local")
+    assert cfg.attention_window == 8
+    params = convert_llama(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.ones((2, 16), jnp.int32),
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    # tiny random 128-vocab model: near-ties flip a few argmaxes in bf16
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.9
+
+
+def test_qwen2_sliding_window_layer_map():
+    """HF Qwen2 applies SWA only to layers >= max_window_layers
+    (modeling_qwen2); the importer must reproduce that per-layer split."""
+    from vietnamese_qa_system_tpu.models.convert_hf import qwen2_config
+
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=160, max_position_embeddings=64,
+        use_sliding_window=True, sliding_window=8, max_window_layers=1,
+    )
+    cfg = qwen2_config(hf_cfg)
+    assert cfg.attention_layers == ("global", "local", "local")
+    assert cfg.attention_window == 8
+    # without the flag the family stays all-global
+    hf_cfg2 = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=160, max_position_embeddings=64,
+        use_sliding_window=False, sliding_window=8,
+    )
+    assert qwen2_config(hf_cfg2).attention_layers is None

@@ -461,3 +461,47 @@ def test_model_config_json_respects_scan_flag(tmp_path):
         model_size="tiny",
     )
     assert _model_config(args).scan_layers
+
+
+def test_scan_all_local_stack(rng):
+    """An all-"local" stack (Mistral-style sliding window) is homogeneous
+    and must scan: stacked forward == list forward, flash == dense."""
+    base = dataclasses.replace(
+        mcfg.tiny_test("causal"),
+        attention_layers=("local", "local"), attention_window=8,
+    )
+    params_list = causal_lm.init_causal_lm(jax.random.key(3), base)
+    cfg_scan = dataclasses.replace(base, scan_layers=True)
+    stacked = causal_lm.stack_blocks(params_list)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 24)), jnp.int32)
+    mask = jnp.ones((2, 24), jnp.int32).at[1, 20:].set(0)
+    l0 = causal_lm.forward(params_list, base, ids, mask)
+    l1 = causal_lm.forward(stacked, cfg_scan, ids, mask)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5)
+    cfg_scan_flash = dataclasses.replace(
+        cfg_scan, use_flash_attention=True
+    )
+    l2 = causal_lm.forward(stacked, cfg_scan_flash, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(l0[:, :20]), np.asarray(l2[:, :20]), atol=0.15, rtol=0.05
+    )
+
+
+def test_scan_all_local_decode(rng):
+    """Greedy decode through the stacked KV cache must honor the window."""
+    base = dataclasses.replace(
+        mcfg.tiny_test("causal"),
+        attention_layers=("local", "local"), attention_window=8,
+    )
+    params_list = causal_lm.init_causal_lm(jax.random.key(4), base)
+    cfg_scan = dataclasses.replace(base, scan_layers=True)
+    stacked = causal_lm.stack_blocks(params_list)
+    prompts = jnp.asarray(rng.integers(4, 512, (2, 6)), jnp.int32)
+    pmask = jnp.ones((2, 6), jnp.int32)
+    out_list = generate.generate(
+        params_list, base, prompts, pmask, max_new_tokens=12
+    )
+    out_scan = generate.generate(
+        stacked, cfg_scan, prompts, pmask, max_new_tokens=12
+    )
+    np.testing.assert_array_equal(np.asarray(out_list), np.asarray(out_scan))

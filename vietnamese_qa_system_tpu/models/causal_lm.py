@@ -66,10 +66,15 @@ def blocks_stacked(params: dict) -> bool:
 
 def init_causal_lm(key, cfg: ModelConfig):
     ks = jax.random.split(key, cfg.n_layers + 4)
-    if cfg.scan_layers and cfg.attention_layers is not None:
+    if (
+        cfg.scan_layers
+        and cfg.attention_layers is not None
+        and len(set(cfg.attention_layers)) > 1
+    ):
         raise ValueError(
             "scan_layers requires homogeneous layers (GPT-Neo's "
-            "local/global alternation cannot be scanned)"
+            "local/global alternation cannot be scanned; an all-local "
+            "Mistral-style stack can)"
         )
     params = {
         "tok_embed": jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_model)) * 0.02,
@@ -180,19 +185,29 @@ def hidden_states(
             )
             flash = {"kv_lens": lens, "causal": True}
         local_mask = None
+        flash_local = None
         if has_local:
             slots = jnp.arange(t)
             local_mask = mask & _window_mask(slots, slots, cfg.attention_window)
+            if flash is not None:
+                # (causal & padding & window) is exactly the fused kernel's
+                # sliding-window mode — local layers stay on the flash path
+                flash_local = dict(flash, window=cfg.attention_window)
         new_caches = None
+        # scan stacks are homogeneous (init guard): all-local stacks
+        # (Mistral-style sliding window) scan with the local mask/kernel
+        scan_mask = local_mask if has_local else mask
+        scan_flash = flash_local if has_local else flash
         if blocks_stacked(params):
             # scan-over-layers: one traced/compiled layer regardless of
             # depth, with per-layer remat (the standard TPU checkpointing
             # granularity — bwd recomputes one layer at a time)
             def body(h, p_blk):
                 h2, _ = block(
-                    p_blk, h, n_heads=cfg.n_heads, mask=mask,
+                    p_blk, h, n_heads=cfg.n_heads, mask=scan_mask,
                     rope=rope, positions=positions, eps=cfg.norm_eps,
-                    flash=flash, parallel_residual=cfg.parallel_residual,
+                    flash=scan_flash,
+                    parallel_residual=cfg.parallel_residual,
                     scale=cfg.attention_scale, activation=cfg.activation,
                     n_kv_heads=cfg.n_kv_heads, bias=bias,
                     activation_dtype=adt,
@@ -213,9 +228,7 @@ def hidden_states(
                     p_blk, x, n_heads=cfg.n_heads,
                     mask=local_mask if local else mask,
                     rope=rope, positions=positions, eps=cfg.norm_eps,
-                    # the fused kernel expresses (causal & kv_lens) only;
-                    # local layers take the dense masked path
-                    flash=None if local else flash,
+                    flash=flash_local if local else flash,
                     parallel_residual=cfg.parallel_residual,
                     scale=cfg.attention_scale, activation=cfg.activation,
                     n_kv_heads=cfg.n_kv_heads, bias=bias,
@@ -240,7 +253,7 @@ def hidden_states(
                 q_slots = cache_index[:, None] + jnp.arange(t)[None, :]
             else:
                 q_slots = cache_index + jnp.arange(t)
-            k_slots = jnp.arange(cache[0]["k"].shape[1])
+            k_slots = jnp.arange(cache_len)
             local_mask = mask & _window_mask(
                 q_slots, k_slots, cfg.attention_window
             )
@@ -251,7 +264,8 @@ def hidden_states(
             def body(h, xs):
                 p_blk, layer_cache = xs
                 h2, nc = block(
-                    p_blk, h, n_heads=cfg.n_heads, mask=mask,
+                    p_blk, h, n_heads=cfg.n_heads,
+                    mask=local_mask if has_local else mask,
                     rope=rope, positions=positions,
                     cache=layer_cache, cache_index=cache_index,
                     eps=cfg.norm_eps,

@@ -419,9 +419,15 @@ def load_gpt2(model_dir: str):
 def llama_config(hf_cfg) -> ModelConfig:
     """transformers LlamaConfig (also covers Mistral-style configs) ->
     ModelConfig: RMSNorm, SwiGLU, GQA, full-dim RoPE, bias-free
-    projections."""
+    projections.  Mistral's ``sliding_window`` (all layers local) maps to
+    an all-"local" ``attention_layers`` tuple + ``attention_window``, which
+    runs on the fused flash kernel's O(T*window) sliding-window mode."""
     n_heads = hf_cfg.num_attention_heads
     n_kv = int(getattr(hf_cfg, "num_key_value_heads", n_heads))
+    window = getattr(hf_cfg, "sliding_window", None)
+    local = window is not None and (
+        getattr(hf_cfg, "model_type", "") == "mistral"
+    )
     return ModelConfig(
         arch="causal",
         vocab_size=hf_cfg.vocab_size,
@@ -437,6 +443,9 @@ def llama_config(hf_cfg) -> ModelConfig:
         n_kv_heads=None if n_kv == n_heads else n_kv,
         mlp_gated=True,
         attention_bias=bool(getattr(hf_cfg, "attention_bias", False)),
+        attention_layers=("local",) * hf_cfg.num_hidden_layers
+        if local else None,
+        attention_window=int(window) if local else 256,
     )
 
 
@@ -446,14 +455,25 @@ def qwen2_config(hf_cfg) -> ModelConfig:
     embeddings.  Qwen2/2.5 is the strongest multilingual open-weights
     family for Vietnamese; the reference would load it through its
     AutoModelForCausalLM path (reference src/models/trainer.py:536-551)."""
-    if bool(getattr(hf_cfg, "use_sliding_window", False)):
-        raise NotImplementedError(
-            "Qwen2 sliding-window attention variants are not supported"
-        )
     base = llama_config(hf_cfg)
     import dataclasses
 
-    return dataclasses.replace(base, attention_bias="qkv")
+    extra = {}
+    if bool(getattr(hf_cfg, "use_sliding_window", False)) and getattr(
+        hf_cfg, "sliding_window", None
+    ):
+        # HF Qwen2 applies SWA only to layers >= max_window_layers
+        # (modeling_qwen2: `use_sliding_window and layer_idx >=
+        # config.max_window_layers`); lower layers attend globally
+        mwl = int(
+            getattr(hf_cfg, "max_window_layers", hf_cfg.num_hidden_layers)
+        )
+        extra["attention_layers"] = tuple(
+            "global" if i < mwl else "local"
+            for i in range(hf_cfg.num_hidden_layers)
+        )
+        extra["attention_window"] = int(hf_cfg.sliding_window)
+    return dataclasses.replace(base, attention_bias="qkv", **extra)
 
 
 def load_qwen2(model_dir: str):

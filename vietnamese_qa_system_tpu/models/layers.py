@@ -387,6 +387,7 @@ def attention(
             causal=flash.get("causal", True),
             scale=scale,
             bias=None if bias is None else jnp.asarray(bias)[0],
+            window=flash.get("window"),
         )
         b_, t_ = out.shape[:2]
         return dense(p["wo"], out.reshape(b_, t_, -1)), None

@@ -60,6 +60,7 @@ def _fa_kernel(
     causal: bool,
     scale: float,
     has_bias: bool = False,
+    window: int | None = None,
 ):
     if has_bias:
         bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
@@ -102,6 +103,11 @@ def _fa_kernel(
         mask = k_pos < cur_len
         if causal:
             mask &= k_pos <= q_pos
+        if window is not None:
+            # sliding window: a query sees at most `window` keys ending at
+            # itself (GPT-Neo/Mistral local attention; matches
+            # models/causal_lm._window_mask in slot space)
+            mask &= (q_pos - k_pos) < window
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:]
@@ -119,8 +125,15 @@ def _fa_kernel(
         m_scr[:] = m_cur
 
     if causal:
-        # skip blocks entirely above the diagonal
-        @pl.when(ik * blk_k <= (iq + 1) * blk_q - 1)
+        # skip blocks entirely above the diagonal; with a sliding window
+        # also skip blocks entirely below it (O(T*window) work, not O(T^2))
+        cond = ik * blk_k <= (iq + 1) * blk_q - 1
+        if window is not None:
+            cond = jnp.logical_and(
+                cond, (ik + 1) * blk_k - 1 >= iq * blk_q - (window - 1)
+            )
+
+        @pl.when(cond)
         def _():
             compute()
     else:
@@ -137,17 +150,17 @@ def _fa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
-                     "n_heads"),
+                     "n_heads", "window"),
 )
 def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
-               interpret, n_heads: int = 1):
+               interpret, n_heads: int = 1, window: int | None = None):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq = tq // blk_q
     grid = (bh, nq, tk // blk_k)
     kernel = functools.partial(
         _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
-        has_bias=bias is not None,
+        has_bias=bias is not None, window=window,
     )
     in_specs = [
         # whole lens vector in SMEM (tiny); per-bh blocks would violate
@@ -202,7 +215,7 @@ def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
     )(*inputs)
 
 
-def _reference_attention(q, k, v, kv_lens, causal, scale):
+def _reference_attention(q, k, v, kv_lens, causal, scale, window=None):
     """XLA reference (used for tests and the custom-vjp backward)."""
     kv_lens = kv_lens.reshape(-1)  # accept (BH,), (BH, 1) or (1, BH)
     s = jnp.einsum(
@@ -216,6 +229,8 @@ def _reference_attention(q, k, v, kv_lens, causal, scale):
     mask = k_pos < kv_lens[:, None, None]
     if causal:
         mask &= k_pos <= jnp.arange(tq)[None, :, None]
+    if window is not None:
+        mask &= (jnp.arange(tq)[None, :, None] - k_pos) < window
     s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
@@ -229,7 +244,8 @@ def _reference_attention(q, k, v, kv_lens, causal, scale):
 
 
 def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-                   iq, ik, *, blk_q, blk_k, causal, scale, bias_ref=None):
+                   iq, ik, *, blk_q, blk_k, causal, scale, bias_ref=None,
+                   window: int | None = None):
     """Recompute P for one (q-block, k-block) pair and form dS.
 
     Returns (p, ds) both (BLK_Q, BLK_K) f32.  lse/dd are sublane-replicated
@@ -252,6 +268,8 @@ def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     mask = k_pos < cur_len
     if causal:
         mask &= k_pos <= q_pos
+    if window is not None:
+        mask &= (q_pos - k_pos) < window
     lse = lse_ref[0, 0, 0, :].reshape(blk_q, 1)  # (BLK_Q, 1)
     p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # normalized probs
     dp = jax.lax.dot_general(
@@ -267,6 +285,7 @@ def _fa_bwd_kv_kernel(
     lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     *rest,
     blk_q, blk_k, causal, scale, has_bias: bool = False,
+    window: int | None = None,
 ):
     """grid (BH, nk, nq), q innermost: accumulate dK/dV per k-block."""
     if has_bias:
@@ -288,7 +307,7 @@ def _fa_bwd_kv_kernel(
         p, ds = _fa_bwd_common(
             cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
-            bias_ref=bias_ref,
+            bias_ref=bias_ref, window=window,
         )
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(jnp.bfloat16), do_ref[0],
@@ -302,8 +321,15 @@ def _fa_bwd_kv_kernel(
         )
 
     if causal:
-        # q-blocks strictly above the diagonal contribute nothing
-        @pl.when((iq + 1) * blk_q - 1 >= ik * blk_k)
+        # q-blocks strictly above the diagonal contribute nothing; with a
+        # sliding window neither do q-blocks entirely past k+window-1
+        cond = (iq + 1) * blk_q - 1 >= ik * blk_k
+        if window is not None:
+            cond = jnp.logical_and(
+                cond, iq * blk_q <= (ik + 1) * blk_k - 1 + (window - 1)
+            )
+
+        @pl.when(cond)
         def _():
             compute()
     else:
@@ -319,6 +345,7 @@ def _fa_bwd_q_kernel(
     lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     *rest,
     blk_q, blk_k, causal, scale, has_bias: bool = False,
+    window: int | None = None,
 ):
     """grid (BH, nq, nk), k innermost: accumulate dQ per q-block."""
     if has_bias:
@@ -339,7 +366,7 @@ def _fa_bwd_q_kernel(
         _, ds = _fa_bwd_common(
             cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
-            bias_ref=bias_ref,
+            bias_ref=bias_ref, window=window,
         )
         dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
             ds.astype(jnp.bfloat16), k_ref[0],
@@ -348,7 +375,13 @@ def _fa_bwd_q_kernel(
         )  # (BLK_Q, D)
 
     if causal:
-        @pl.when(ik * blk_k <= (iq + 1) * blk_q - 1)
+        cond = ik * blk_k <= (iq + 1) * blk_q - 1
+        if window is not None:
+            cond = jnp.logical_and(
+                cond, (ik + 1) * blk_k - 1 >= iq * blk_q - (window - 1)
+            )
+
+        @pl.when(cond)
         def _():
             compute()
     else:
@@ -362,10 +395,11 @@ def _fa_bwd_q_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
-                     "n_heads"),
+                     "n_heads", "window"),
 )
 def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
-                    blk_q, blk_k, scale, interpret, n_heads: int = 1):
+                    blk_q, blk_k, scale, interpret, n_heads: int = 1,
+                    window: int | None = None):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq, nk = tq // blk_q, tk // blk_k
@@ -387,7 +421,7 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
     # dK/dV: grid (BH, nk, nq), q innermost
     kv_kernel = functools.partial(
         _fa_bwd_kv_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
-        scale=scale, has_bias=has_bias,
+        scale=scale, has_bias=has_bias, window=window,
     )
     kv_inputs = [kv_lens, q, k, v, do, lse4, dd4]
     kv_in_specs = common_in_specs + [
@@ -430,7 +464,7 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
     # dQ: grid (BH, nq, nk), k innermost
     q_kernel = functools.partial(
         _fa_bwd_q_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
-        scale=scale, has_bias=has_bias,
+        scale=scale, has_bias=has_bias, window=window,
     )
     q_inputs = [kv_lens, q, k, v, do, lse4, dd4]
     q_in_specs = common_in_specs + [
@@ -464,26 +498,26 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window):
     o, _ = _flash_fwd(
         q, k, v, kv_lens,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-        interpret=_should_interpret(None),
+        interpret=_should_interpret(None), window=window,
     )
     return o
 
 
-def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k):
+def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window):
     o, lse4 = _flash_fwd(
         q, k, v, kv_lens,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-        interpret=_should_interpret(None),
+        interpret=_should_interpret(None), window=window,
     )
     return o, (q, k, v, kv_lens, o, lse4)
 
 
-def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
+def _flash_core_bwd(causal, scale, blk_q, blk_k, window, residuals, g):
     """Fully fused FA2 backward: dK/dV and dQ kernels recompute P blockwise
     from the saved logsumexp — O(T) memory, no (Tq, Tk) materialization."""
     q, k, v, kv_lens, o, lse4 = residuals
@@ -498,7 +532,7 @@ def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
     dq, dk, dv = _flash_bwd_impl(
         q, k, v, kv_lens, do, lse4, dd4,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-        interpret=_should_interpret(None),
+        interpret=_should_interpret(None), window=window,
     )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
@@ -506,28 +540,29 @@ def _flash_core_bwd(causal, scale, blk_q, blk_k, residuals, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_core_bias(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
-                     n_heads):
+                     n_heads, window):
     o, _ = _flash_fwd(
         q, k, v, kv_lens, bias,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-        interpret=_should_interpret(None), n_heads=n_heads,
+        interpret=_should_interpret(None), n_heads=n_heads, window=window,
     )
     return o
 
 
 def _flash_core_bias_fwd(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
-                         n_heads):
+                         n_heads, window):
     o, lse4 = _flash_fwd(
         q, k, v, kv_lens, bias,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-        interpret=_should_interpret(None), n_heads=n_heads,
+        interpret=_should_interpret(None), n_heads=n_heads, window=window,
     )
     return o, (q, k, v, kv_lens, bias, o, lse4)
 
 
-def _flash_core_bias_bwd(causal, scale, blk_q, blk_k, n_heads, residuals, g):
+def _flash_core_bias_bwd(causal, scale, blk_q, blk_k, n_heads, window,
+                         residuals, g):
     """Fused backward with the additive bias folded into the blockwise
     recompute of P.  The bias cotangent is ZERO by design: exact for
     constant biases (ALiBi) and for frozen relative-bias tables (LoRA
@@ -543,7 +578,7 @@ def _flash_core_bias_bwd(causal, scale, blk_q, blk_k, n_heads, residuals, g):
     dq, dk, dv = _flash_bwd_impl(
         q, k, v, kv_lens, do, lse4, dd4, bias,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
-        interpret=_should_interpret(None), n_heads=n_heads,
+        interpret=_should_interpret(None), n_heads=n_heads, window=window,
     )
     return (
         dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -572,6 +607,7 @@ def flash_attention(
     causal: bool = True,
     scale: float | None = None,
     bias=None,
+    window: int | None = None,
 ):
     """Fused attention over (B, T, H, D) tensors.
 
@@ -584,6 +620,11 @@ def flash_attention(
       ALiBi's constant bias and for LoRA training, which freezes
       relative-bias tables — training that updates the bias table itself
       must use the dense path).
+    - ``window``: optional sliding window (causal only) — a query attends
+      to at most ``window`` keys ending at itself (GPT-Neo local layers,
+      reference GPTNeo `attention_types` / Mistral `sliding_window`).
+      Blocks wholly outside the band are skipped in both directions, so
+      work scales O(T*window) instead of O(T^2).
     - T is padded internally to the block size; outputs are sliced back.
     """
     b, tq, h, d = q.shape
@@ -592,9 +633,19 @@ def flash_attention(
         scale = 1.0 / (d ** 0.5)
     if kv_lens is None:
         kv_lens = jnp.full((b,), tk, jnp.int32)
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
 
     blk_q = min(_BLKQ, max(128, 1 << max(tq - 1, 1).bit_length()))
     blk_k = min(_BLKK, max(128, 1 << max(tk - 1, 1).bit_length()))
+    # No block-size cap for windows: measured on v5e (T=8192, w=256),
+    # 256-wide k-blocks track the band tightly but the extra per-block
+    # softmax rescale/pipeline overhead cancels the saving (3.38 ms vs
+    # 3.48 full causal), while coarse 1024-block band skipping wins
+    # (2.91 ms at w=1024).  The kernel is VPU-bound, so fewer, larger
+    # blocks with whole-block skips beat a tighter band.
     if bias is not None and bias.shape[1] != 1:
         # a full-rank (H, Tq, Tk) f32 bias adds a (blk_q, blk_k) block to
         # every kernel's VMEM working set; 1024x1024 (4 MB double-buffered
@@ -625,15 +676,18 @@ def flash_attention(
             ((0, 0), (0, pad_q if bias.shape[1] != 1 else 0), (0, pad_k)),
         )
         out = _flash_core_bias(
-            qb, kb, vb, lens, bias, causal, scale, blk_q, blk_k, h
+            qb, kb, vb, lens, bias, causal, scale, blk_q, blk_k, h, window
         )
     else:
-        out = _flash_core(qb, kb, vb, lens, causal, scale, blk_q, blk_k)
+        out = _flash_core(
+            qb, kb, vb, lens, causal, scale, blk_q, blk_k, window
+        )
     out = out.reshape(b, h, tq + pad_q, d)[:, :, :tq]
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def flash_attention_reference(q, k, v, *, kv_lens=None, causal=True, scale=None):
+def flash_attention_reference(q, k, v, *, kv_lens=None, causal=True,
+                              scale=None, window=None):
     """(B, T, H, D) XLA oracle with identical masking semantics."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
@@ -645,5 +699,5 @@ def flash_attention_reference(q, k, v, *, kv_lens=None, causal=True, scale=None)
     kb = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, tk, d)
     vb = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, tk, d)
     lens = jnp.repeat(kv_lens.astype(jnp.int32), h)
-    out = _reference_attention(qb, kb, vb, lens, causal, scale)
+    out = _reference_attention(qb, kb, vb, lens, causal, scale, window)
     return jnp.transpose(out.reshape(b, h, tq, d), (0, 2, 1, 3))
