@@ -431,3 +431,42 @@ def test_prefill_chunk_must_be_a_bucket():
     with pytest.raises(ValueError, match="prefill_chunk"):
         ContinuousEngine(params, cfg, n_slots=1, total=64,
                          buckets=(16, 32), prefill_chunk=24)
+
+
+def test_local_window_model_matches_generate(engine_factory):
+    """Sliding-window (GPT-Neo local / Mistral SWA) models through the
+    slot engine: window masking is slot-space (_window_mask), and the
+    engine's right-padded layout keeps slot == position, so streams must
+    stay token-identical to generate() — across chunks and slot reuse."""
+    cfg = ModelConfig(**{**BASE,
+                         "attention_layers": ("global", "local"),
+                         "attention_window": 6})
+    params = _mk(cfg, seed=5)
+    rng = np.random.default_rng(7)
+    eng = engine_factory(params, cfg, n_slots=2, total=64,
+                         buckets=(16, 32), chunk_steps=4)
+    prompts = [_prompt(rng, n) for n in (5, 11, 14, 3)]
+    outs = [eng.generate_ids(p, max_new_tokens=18) for p in prompts]
+    for p, out in zip(prompts, outs):
+        bucket = 16 if len(p) <= 16 else 32
+        assert out == _ref_generated(params, cfg, p, bucket, 18, None)
+
+
+def test_all_local_stacked_model_matches_generate(engine_factory):
+    """Mistral-style all-local stack, scan-stacked params, through the
+    engine (stacked KV cache + per-row window masks)."""
+    import dataclasses
+
+    cfg = ModelConfig(**{**BASE,
+                         "attention_layers": ("local", "local"),
+                         "attention_window": 6})
+    params = _mk(cfg, seed=6)
+    stacked = stack_blocks(params)
+    cfg_scan = dataclasses.replace(cfg, scan_layers=True)
+    rng = np.random.default_rng(9)
+    eng = engine_factory(stacked, cfg_scan, n_slots=2, total=64,
+                         buckets=(16,), chunk_steps=4)
+    prompts = [_prompt(rng, n) for n in (4, 9, 13)]
+    outs = [eng.generate_ids(p, max_new_tokens=16) for p in prompts]
+    for p, out in zip(prompts, outs):
+        assert out == _ref_generated(stacked, cfg_scan, p, 16, 16, None)
