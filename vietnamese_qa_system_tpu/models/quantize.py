@@ -29,10 +29,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # 16-level normal-float codebook (QLoRA paper, appendix E): quantiles of a
-# standard normal, renormalized to [-1, 1], with an exact zero.
-NF4_LEVELS = jnp.array(
+# standard normal, renormalized to [-1, 1], with an exact zero.  A numpy
+# constant on purpose: a module-level jnp.array would eagerly initialize
+# the DEFAULT backend at import time (it landed on the real TPU and broke
+# the driver's CPU-mesh dryrun whenever the axon terminal was unhealthy —
+# MULTICHIP_r01/r02).  Convert with jnp.asarray at the point of use.
+NF4_LEVELS = np.array(
     [
         -1.0,
         -0.6961928009986877,
@@ -51,7 +56,7 @@ NF4_LEVELS = jnp.array(
         0.7229568362236023,
         1.0,
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
@@ -159,7 +164,7 @@ def dequantize_weight(leaf: dict, dtype=jnp.bfloat16):
         lo = (q & 0xF).astype(jnp.int32)
         hi = (q >> 4).astype(jnp.int32)
         codes = jnp.stack([lo, hi], axis=1).reshape(2 * q.shape[0], d_out)
-        w = NF4_LEVELS[codes]
+        w = jnp.asarray(NF4_LEVELS)[codes]
         d_in = 2 * q.shape[0]
     else:
         w = q.astype(jnp.float32)
