@@ -323,7 +323,8 @@ def cmd_train(args) -> int:
         if eval_examples:
             metrics.update(
                 perplexity_eval(
-                    params, model, dl.batches(eval_examples, shuffle=False)
+                    params, model, dl.batches(eval_examples, shuffle=False),
+                    mesh=trainer.mesh,
                 )
             )
         if args.do_generative_eval and eval_examples:

@@ -80,7 +80,7 @@ def _fa_kernel(
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    def compute():
+    def compute(masked: bool):
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(
@@ -94,21 +94,26 @@ def _fa_kernel(
             # applied after scaling — same semantics as layers.attention
             s = s + bias_ref[0]
 
-        q_pos = iq * blk_q + jax.lax.broadcasted_iota(
-            jnp.int32, (blk_q, blk_k), 0
-        )
-        k_pos = ik * blk_k + jax.lax.broadcasted_iota(
-            jnp.int32, (blk_q, blk_k), 1
-        )
-        mask = k_pos < cur_len
-        if causal:
-            mask &= k_pos <= q_pos
-        if window is not None:
-            # sliding window: a query sees at most `window` keys ending at
-            # itself (GPT-Neo/Mistral local attention; matches
-            # models/causal_lm._window_mask in slot space)
-            mask &= (q_pos - k_pos) < window
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            # one combined mask: k_pos < min(cur_len, q_pos+1) folds the
+            # length and causal constraints into a single compare against
+            # a per-row (BLK_Q, 1) limit — vs the naive two full-size
+            # iotas + two compares + and (the kernel is VPU-bound, so
+            # every (BLK_Q, BLK_K) pass counts)
+            q_col = iq * blk_q + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, 1), 0
+            )
+            k_pos = ik * blk_k + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1
+            )
+            limit = jnp.minimum(cur_len, q_col + 1) if causal else cur_len
+            mask = k_pos < limit
+            if window is not None:
+                # sliding window: a query sees at most `window` keys ending
+                # at itself (GPT-Neo/Mistral local attention; matches
+                # models/causal_lm._window_mask in slot space)
+                mask &= k_pos > q_col - window
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -124,6 +129,19 @@ def _fa_kernel(
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_cur
 
+    # Interior blocks need NO masking at all: every key in the block is
+    # (a) inside the valid length, (b) at-or-before every query (causal),
+    # and (c) inside the sliding-window band.  At large T most computed
+    # blocks are interior, and the mask machinery was ~half the VPU work
+    # of this VPU-bound kernel.
+    clean = (ik + 1) * blk_k <= cur_len
+    if causal:
+        clean = jnp.logical_and(clean, (ik + 1) * blk_k - 1 <= iq * blk_q)
+    if window is not None:
+        clean = jnp.logical_and(
+            clean, (iq + 1) * blk_q - 1 - ik * blk_k < window
+        )
+
     if causal:
         # skip blocks entirely above the diagonal; with a sliding window
         # also skip blocks entirely below it (O(T*window) work, not O(T^2))
@@ -132,12 +150,16 @@ def _fa_kernel(
             cond = jnp.logical_and(
                 cond, (ik + 1) * blk_k - 1 >= iq * blk_q - (window - 1)
             )
-
-        @pl.when(cond)
-        def _():
-            compute()
     else:
-        compute()
+        cond = True
+
+    @pl.when(jnp.logical_and(cond, clean))
+    def _clean():
+        compute(masked=False)
+
+    @pl.when(jnp.logical_and(cond, jnp.logical_not(clean)))
+    def _masked():
+        compute(masked=True)
 
     @pl.when(ik == nk - 1)
     def _emit():
@@ -243,15 +265,33 @@ def _reference_attention(q, k, v, kv_lens, causal, scale, window=None):
 # ---------------------------------------------------------------------------
 
 
+def _bwd_clean_cond(cur_len, iq, ik, *, blk_q, blk_k, causal,
+                    window: int | None):
+    """Scalar predicate: this (q-block, k-block) pair needs NO mask (every
+    key valid, at-or-before every query, inside the window band)."""
+    clean = (ik + 1) * blk_k <= cur_len
+    if causal:
+        clean = jnp.logical_and(clean, (ik + 1) * blk_k - 1 <= iq * blk_q)
+    if window is not None:
+        clean = jnp.logical_and(
+            clean, (iq + 1) * blk_q - 1 - ik * blk_k < window
+        )
+    return clean
+
+
 def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
                    iq, ik, *, blk_q, blk_k, causal, scale, bias_ref=None,
-                   window: int | None = None):
-    """Recompute P for one (q-block, k-block) pair and form dS.
+                   window: int | None = None, masked: bool = True):
+    """Recompute P for one (q-block, k-block) pair and form dS/scale.
 
-    Returns (p, ds) both (BLK_Q, BLK_K) f32.  lse/dd are sublane-replicated
-    (1, 1, 8, BLK_Q) blocks; row 0 carries the values.  ``cur_len`` must be
-    read at kernel top level (program_id breaks inside pl.when branches in
-    interpret mode).
+    Returns (p, ds0) both (BLK_Q, BLK_K) f32 with ds0 = p * (dp - dd) —
+    the ``* scale`` factor is deliberately NOT applied here: callers fold
+    it into the tiny (BLK, D) accumulator at emit time instead of paying
+    a full-size f32 multiply per block (the kernel is VPU-bound).
+    lse/dd are sublane-replicated (1, 1, 8, BLK_Q) blocks; row 0 carries
+    the values.  ``cur_len`` must be read at kernel top level (program_id
+    breaks inside pl.when branches in interpret mode).  ``masked=False``
+    skips the mask machinery entirely (interior blocks).
     """
     q = q_ref[0]
     k = k_ref[0]
@@ -263,22 +303,28 @@ def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         # same post-scale additive bias as the forward recompute; a
         # (1, BLK_K) block broadcasts over the q rows (ALiBi key-only form)
         s = s + bias_ref[0]
-    q_pos = iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
-    k_pos = ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
-    mask = k_pos < cur_len
-    if causal:
-        mask &= k_pos <= q_pos
-    if window is not None:
-        mask &= (q_pos - k_pos) < window
     lse = lse_ref[0, 0, 0, :].reshape(blk_q, 1)  # (BLK_Q, 1)
-    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # normalized probs
+    if masked:
+        q_col = iq * blk_q + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, 1), 0
+        )
+        k_pos = ik * blk_k + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, blk_k), 1
+        )
+        limit = jnp.minimum(cur_len, q_col + 1) if causal else cur_len
+        mask = k_pos < limit
+        if window is not None:
+            mask &= k_pos > q_col - window
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # normalized probs
+    else:
+        p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BLK_Q, BLK_K)
     dd = dd_ref[0, 0, 0, :].reshape(blk_q, 1)  # rowsum(dO * O)
-    ds = p * (dp - dd) * scale
-    return p, ds
+    ds0 = p * (dp - dd)
+    return p, ds0
 
 
 def _fa_bwd_kv_kernel(
@@ -303,11 +349,11 @@ def _fa_bwd_kv_kernel(
         dk_acc[:] = jnp.zeros(dk_acc.shape, jnp.float32)
         dv_acc[:] = jnp.zeros(dv_acc.shape, jnp.float32)
 
-    def compute():
-        p, ds = _fa_bwd_common(
+    def compute(masked: bool):
+        p, ds0 = _fa_bwd_common(
             cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
-            bias_ref=bias_ref, window=window,
+            bias_ref=bias_ref, window=window, masked=masked,
         )
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(jnp.bfloat16), do_ref[0],
@@ -315,7 +361,7 @@ def _fa_bwd_kv_kernel(
             preferred_element_type=jnp.float32,
         )  # (BLK_K, D)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-            ds.astype(jnp.bfloat16), q_ref[0],
+            ds0.astype(jnp.bfloat16), q_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -328,16 +374,26 @@ def _fa_bwd_kv_kernel(
             cond = jnp.logical_and(
                 cond, iq * blk_q <= (ik + 1) * blk_k - 1 + (window - 1)
             )
-
-        @pl.when(cond)
-        def _():
-            compute()
     else:
-        compute()
+        cond = True
+    clean = _bwd_clean_cond(
+        cur_len, iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal,
+        window=window,
+    )
+
+    @pl.when(jnp.logical_and(cond, clean))
+    def _clean():
+        compute(masked=False)
+
+    @pl.when(jnp.logical_and(cond, jnp.logical_not(clean)))
+    def _masked():
+        compute(masked=True)
 
     @pl.when(iq == nq - 1)
     def _emit():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        # dS = ds0 * scale, folded into the (BLK_K, D) accumulator here
+        # instead of a full (BLK_Q, BLK_K) multiply per block
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -362,14 +418,14 @@ def _fa_bwd_q_kernel(
     def _init():
         dq_acc[:] = jnp.zeros(dq_acc.shape, jnp.float32)
 
-    def compute():
-        _, ds = _fa_bwd_common(
+    def compute(masked: bool):
+        _, ds0 = _fa_bwd_common(
             cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
-            bias_ref=bias_ref, window=window,
+            bias_ref=bias_ref, window=window, masked=masked,
         )
         dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
-            ds.astype(jnp.bfloat16), k_ref[0],
+            ds0.astype(jnp.bfloat16), k_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BLK_Q, D)
@@ -380,16 +436,25 @@ def _fa_bwd_q_kernel(
             cond = jnp.logical_and(
                 cond, (ik + 1) * blk_k - 1 >= iq * blk_q - (window - 1)
             )
-
-        @pl.when(cond)
-        def _():
-            compute()
     else:
-        compute()
+        cond = True
+    clean = _bwd_clean_cond(
+        cur_len, iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal,
+        window=window,
+    )
+
+    @pl.when(jnp.logical_and(cond, clean))
+    def _clean():
+        compute(masked=False)
+
+    @pl.when(jnp.logical_and(cond, jnp.logical_not(clean)))
+    def _masked():
+        compute(masked=True)
 
     @pl.when(ik == nk - 1)
     def _emit():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        # dS = ds0 * scale, folded into the (BLK_Q, D) accumulator here
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
 
 
 @functools.partial(

@@ -21,34 +21,73 @@ from ..models import causal_lm, generate as gen_mod, seq2seq
 from ..models.config import ModelConfig
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _loss_causal(params, cfg, batch):
-    return causal_lm.loss_fn(params, cfg, batch)
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _loss_accum_causal(params, cfg, batch, acc):
+    loss, n = causal_lm.loss_fn(params, cfg, batch)
+    return acc[0] + loss * n, acc[1] + n
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _loss_seq2seq(params, cfg, batch):
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _loss_accum_seq2seq(params, cfg, batch, acc):
     if cfg.seq2seq_family == "t5":
         from ..models import t5
 
-        return t5.loss_fn(params, cfg, batch)
-    return seq2seq.loss_fn(params, cfg, batch)
+        loss, n = t5.loss_fn(params, cfg, batch)
+    else:
+        loss, n = seq2seq.loss_fn(params, cfg, batch)
+    return acc[0] + loss * n, acc[1] + n
 
 
-def perplexity_eval(params, cfg: ModelConfig, batches: Iterable[dict]) -> dict:
-    """Token-weighted perplexity over an eval set."""
-    loss_fn = _loss_causal if cfg.arch == "causal" else _loss_seq2seq
-    total_nll, total_n = 0.0, 0
+def perplexity_eval(
+    params, cfg: ModelConfig, batches: Iterable[dict], *, mesh=None
+) -> dict:
+    """Token-weighted perplexity over an eval set.
+
+    ONE host sync per eval: (sum nll, token count) accumulate on device
+    across all batches (donated carry — no per-batch `float()` round
+    trip, which paid the session-dependent 1.3-32 ms tunnel dispatch+sync
+    floor per batch; reference fwd-only ppl loop trainer.py:1056-1076).
+
+    Multi-device / multi-host (capability of the reference's
+    `gather_for_metrics` loss gather, reference src/models/trainer.py:
+    1067): with ``mesh``, each batch is sharded over the mesh's data axis
+    so the forward runs data-parallel; on a multi-process runtime each
+    host feeds its own shard of the eval set and the (nll, n) totals are
+    summed across processes before the single fetch.
+    """
+    loss_fn = _loss_accum_causal if cfg.arch == "causal" else _loss_accum_seq2seq
+    put = None
+    if mesh is not None:
+        from ..parallel.sharding import batch_sharding, replicated
+
+        bs = batch_sharding(mesh)
+        put = lambda v: jax.device_put(jnp.asarray(v), bs)  # noqa: E731
+        acc = jax.device_put(
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            replicated(mesh),
+        )
+    else:
+        acc = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
     for batch in batches:
-        b = {k: jnp.asarray(v) for k, v in batch.items()}
-        loss, n = loss_fn(params, cfg, b)
-        total_nll += float(loss) * int(n)
-        total_n += int(n)
-    mean_nll = total_nll / max(total_n, 1)
+        b = {
+            k: (put(v) if put is not None else jnp.asarray(v))
+            for k, v in batch.items()
+        }
+        acc = loss_fn(params, cfg, b, acc)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        totals = multihost_utils.process_allgather(
+            jnp.stack([acc[0], acc[1]])
+        ).sum(axis=0)
+        total_nll, total_n = float(totals[0]), float(totals[1])
+    else:
+        total_nll, total_n = float(acc[0]), float(acc[1])  # the one sync
+    mean_nll = total_nll / max(total_n, 1.0)
     return {
         "eval_loss": mean_nll,
         "perplexity": float(np.exp(min(mean_nll, 80.0))),
-        "eval_tokens": total_n,
+        "eval_tokens": int(total_n),
     }
 
 
@@ -64,6 +103,7 @@ def generative_eval(
     log_dir: Optional[str] = None,
     epoch: int = 0,
     run_name: str = "model",
+    mesh=None,
 ) -> dict:
     """Generation over prompts driven by a full GenerationConfig (beam /
     top-k/p / repetition penalty / no-repeat-ngram — capability of the
@@ -73,7 +113,17 @@ def generative_eval(
     (trainer.py:974-998).  Batches: {"input_ids","attention_mask"} with
     LEFT-padded prompts (causal) or encoder inputs (seq2seq), optional
     "reference" strings.  ``max_new_tokens``/``temperature`` are legacy
-    shorthands used when ``gen_config`` is not given."""
+    shorthands used when ``gen_config`` is not given.
+
+    With ``mesh``, prompt batches are sharded over the mesh's data axis
+    (data-parallel decode).  On a multi-process runtime, each host feeds
+    its own shard of the eval set and every host's generated token blocks
+    are all-gathered before decoding, so all hosts end with the full
+    prediction log — the capability of the reference's
+    ``pad_across_processes`` + ``gather_for_metrics``
+    (reference src/models/trainer.py:947-948,1028-1029).  Per-host
+    "reference" strings are kept local-only in that mode (strings do not
+    ride the array gather)."""
     if gen_config is None:
         gen_config = gen_mod.GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature
@@ -81,6 +131,13 @@ def generative_eval(
     records = []
     t0 = time.time()
     n_tokens = 0
+    multihost = jax.process_count() > 1
+    put = None
+    if mesh is not None:
+        from ..parallel.sharding import batch_sharding
+
+        bs = batch_sharding(mesh)
+        put = lambda v: jax.device_put(jnp.asarray(v), bs)  # noqa: E731
 
     def flush(pending):
         """Fetch + decode one finished batch (host work that overlaps the
@@ -92,6 +149,20 @@ def generative_eval(
             out = np.concatenate([ids_np, np.asarray(gen)], axis=1)
         else:
             out = np.asarray(gen)
+        if multihost:
+            # all-gather every host's (prompt, generated) token blocks so
+            # each host decodes the full eval set (same static shapes per
+            # host by construction — batches are padded to fixed widths)
+            from jax.experimental import multihost_utils
+
+            ids_np = np.concatenate(
+                multihost_utils.process_allgather(ids_np), axis=0
+            )
+            out = np.concatenate(
+                multihost_utils.process_allgather(out), axis=0
+            )
+            batch = dict(batch)
+            batch.pop("reference", None)
         prompt_len = ids_np.shape[1]
         # count only tokens actually generated (up to and excluding the
         # pad/eos fill after early stopping) — the fixed-width buffer size
@@ -116,8 +187,12 @@ def generative_eval(
 
     pending = None
     for batch in batches:
-        ids = jnp.asarray(batch["input_ids"])
-        mask = jnp.asarray(batch["attention_mask"])
+        if put is not None:
+            ids = put(batch["input_ids"])
+            mask = put(batch["attention_mask"])
+        else:
+            ids = jnp.asarray(batch["input_ids"])
+            mask = jnp.asarray(batch["attention_mask"])
         gen = gen_mod.generate_with_config(
             params, cfg, ids, mask, gen_config,
             eos_id=tokenizer.eos_id,
