@@ -177,11 +177,14 @@ def hidden_states(
             mask = mask & attn_mask[:, None, :].astype(jnp.bool_)
         if cfg.use_flash_attention:
             # right-padded batches: the (causal & padding) mask is exactly
-            # (kv_lens, causal=True) for the fused kernel
+            # (kv_lens, causal=True) for the fused kernel.  kv_lens=None
+            # (no mask) compiles the kernel's fast lens-free
+            # specialization (~4x on v5e, see ops/attention._fa_kernel) —
+            # loss_fn exploits this by dropping the mask entirely.
             lens = (
                 jnp.sum(attn_mask, axis=1).astype(jnp.int32)
                 if attn_mask is not None
-                else jnp.full((b,), t, jnp.int32)
+                else None
             )
             flash = {"kv_lens": lens, "causal": True}
         local_mask = None
@@ -194,11 +197,20 @@ def hidden_states(
                 # sliding-window mode — local layers stay on the flash path
                 flash_local = dict(flash, window=cfg.attention_window)
         new_caches = None
-        # scan stacks are homogeneous (init guard): all-local stacks
-        # (Mistral-style sliding window) scan with the local mask/kernel
+        # scan stacks are homogeneous: all-local stacks (Mistral-style
+        # sliding window) scan with the local mask/kernel.  init_causal_lm
+        # guards this at init, but a mixed pytree stacked externally via
+        # stack_blocks would otherwise silently compute EVERY layer as
+        # local — enforce it here too.
         scan_mask = local_mask if has_local else mask
         scan_flash = flash_local if has_local else flash
         if blocks_stacked(params):
+            if len(set(kinds)) > 1:
+                raise ValueError(
+                    "scan-over-layers requires homogeneous attention_layers "
+                    f"(got {sorted(set(kinds))}); keep mixed global/local "
+                    "stacks as list pytrees"
+                )
             # scan-over-layers: one traced/compiled layer regardless of
             # depth, with per-layer remat (the standard TPU checkpointing
             # granularity — bwd recomputes one layer at a time)
@@ -349,18 +361,23 @@ def loss_fn(params, cfg: ModelConfig, batch):
     Real-vocabulary models stream the classifier in chunks so full logits
     never materialize (ops/xent.py); the paths are numerically equivalent
     (tested to 1e-5 on loss and grads).
+
+    The attention mask is deliberately NOT passed to the forward: with
+    right padding and causal attention, no real query can attend a padded
+    key (pads sit at positions >= the query's), and padded positions carry
+    IGNORE_INDEX labels, so their logits never reach the loss — identical
+    loss AND grads (tested), while the maskless forward compiles the flash
+    kernel's lens-free specialization (~4x on v5e, ops/attention).
     """
     labels = batch["labels"][:, 1:]
     if cfg.vocab_size >= CHUNKED_XENT_MIN_VOCAB:
         from ..ops.xent import masked_mean_xent
 
-        h = hidden_states(
-            params, cfg, batch["input_ids"], batch.get("attention_mask")
-        )
+        h = hidden_states(params, cfg, batch["input_ids"], None)
         return masked_mean_xent(
             h[:, :-1], _head_weight(params, cfg), labels, IGNORE_INDEX
         )
-    logits = forward(params, cfg, batch["input_ids"], batch.get("attention_mask"))
+    logits = forward(params, cfg, batch["input_ids"], None)
     logits = logits[:, :-1]
     valid = labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, labels, 0)

@@ -425,9 +425,13 @@ def llama_config(hf_cfg) -> ModelConfig:
     n_heads = hf_cfg.num_attention_heads
     n_kv = int(getattr(hf_cfg, "num_key_value_heads", n_heads))
     window = getattr(hf_cfg, "sliding_window", None)
-    local = window is not None and (
-        getattr(hf_cfg, "model_type", "") == "mistral"
-    )
+    # Keyed on the CONFIG SHAPE, not model_type: any config with a bare
+    # ``sliding_window`` and no Qwen2-style ``use_sliding_window`` gate
+    # uses Mistral semantics (all layers local) — covers "ministral"-type
+    # forks that would otherwise silently import as all-global attention
+    # and produce wrong logits.  Qwen2 configs carry ``use_sliding_window``
+    # and get their per-layer mapping in :func:`qwen2_config`.
+    local = window is not None and not hasattr(hf_cfg, "use_sliding_window")
     return ModelConfig(
         arch="causal",
         vocab_size=hf_cfg.vocab_size,

@@ -315,10 +315,12 @@ def decode(
         if cfg.use_flash_attention and t >= 256:
             # fused causal self-attention with the in-kernel relative bias
             # (zero bias-table cotangent — LoRA/inference only, see encode)
+            # kv_lens=None drops the kernel's lens operand (the fast
+            # specialization, ops/attention._fa_kernel)
             lens = (
                 jnp.sum(dec_mask, axis=1).astype(jnp.int32)
                 if dec_mask is not None
-                else jnp.full((b,), t, jnp.int32)
+                else None
             )
             flash = {"kv_lens": lens, "causal": True}
         new_caches = None

@@ -48,31 +48,40 @@ def _should_interpret(interpret: bool | None) -> bool:
 
 
 def _fa_kernel(
-    lens_ref,  # (1, BH) int32 in SMEM: valid kv length per row (a single
-    # row — SMEM pads each row to 512 B, so a (BH, 1) column layout blows
-    # the 1 MB SMEM budget for encoder-sized BH = batch*heads)
-    q_ref,  # (1, BLK_Q, D)
-    k_ref,  # (1, BLK_K, D)
-    v_ref,  # (1, BLK_K, D)
-    *rest,  # [bias_ref (1, BLK_Q, BLK_K)?], o_ref, lse_ref, m/l/acc scratch
+    *refs,  # [lens_ref (1, BH) SMEM if static_len is None], q_ref (1, BLK_Q,
+    # D), k_ref, v_ref, [bias_ref (1, BLK_Q, BLK_K)?], o_ref, lse_ref,
+    # m/l/acc scratch.  The lens row lives in SMEM when present (a (BH, 1)
+    # column layout blows the 1 MB SMEM budget for encoder-sized BH).
     blk_q: int,
     blk_k: int,
     causal: bool,
     scale: float,
     has_bias: bool = False,
     window: int | None = None,
+    static_len: int | None = None,
 ):
+    # MEASURED (v5e, T=4096 causal fwd, scripts/probe_flash_4th.py /
+    # probe_flash_dimsem.py): ANY operand beyond q/k/v costs ~4x — 150 TF/s
+    # with 3 inputs vs 36-37 TF/s with a 4th, regardless of memory space
+    # (SMEM scalar, scalar-prefetch, VMEM vector), position, index map,
+    # deadness, or dimension_semantics; output count is free.  So the
+    # kernel is SPECIALIZED: when every row attends the full (static)
+    # key length, `static_len` bakes the length in as a compile-time
+    # constant and the lens operand is dropped entirely.
+    refs = list(refs)
+    if static_len is None:
+        lens_ref = refs.pop(0)
     if has_bias:
-        bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     else:
         bias_ref = None
-        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
     # hoisted out of the pl.when branch: program_id / SMEM reads must run
     # at kernel top level for interpret mode
-    cur_len = lens_ref[0, pl.program_id(0)]
+    cur_len = static_len if static_len is not None else lens_ref[0, pl.program_id(0)]
 
     @pl.when(ik == 0)
     def _init():
@@ -172,27 +181,32 @@ def _fa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
-                     "n_heads", "window"),
+                     "n_heads", "window", "static_len"),
 )
 def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
-               interpret, n_heads: int = 1, window: int | None = None):
+               interpret, n_heads: int = 1, window: int | None = None,
+               static_len: int | None = None):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq = tq // blk_q
     grid = (bh, nq, tk // blk_k)
     kernel = functools.partial(
         _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
-        has_bias=bias is not None, window=window,
+        has_bias=bias is not None, window=window, static_len=static_len,
     )
     in_specs = [
-        # whole lens vector in SMEM (tiny); per-bh blocks would violate
-        # Mosaic's min block-shape rules
-        pl.BlockSpec((1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
     ]
-    inputs = [kv_lens, q, k, v]
+    inputs = [q, k, v]
+    if static_len is None:
+        # whole lens vector in SMEM (tiny); per-bh blocks would violate
+        # Mosaic's min block-shape rules.  Costs ~4x on the fwd (see
+        # _fa_kernel) — only used when rows genuinely differ in length.
+        in_specs.insert(0, pl.BlockSpec(
+            (1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM))
+        inputs.insert(0, kv_lens)
     if bias is not None:
         # (H, Tq|1, Tk) shared across the batch; grid rows are bh = b*H + h.
         # A q-dim of 1 (ALiBi key-only bias) broadcasts inside the kernel.
@@ -328,12 +342,21 @@ def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
 
 
 def _fa_bwd_kv_kernel(
-    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-    *rest,
+    *refs,
     blk_q, blk_k, causal, scale, has_bias: bool = False,
-    window: int | None = None,
+    window: int | None = None, static_len: int | None = None,
 ):
-    """grid (BH, nk, nq), q innermost: accumulate dK/dV per k-block."""
+    """grid (BH, nk, nq), q innermost: accumulate dK/dV per k-block.
+
+    Like the forward, specialized on ``static_len``: the lens operand is
+    dropped when all rows share one (static) key length — any extra
+    operand costs ~4x on v5e (see _fa_kernel).
+    """
+    refs = list(refs)
+    if static_len is None:
+        lens_ref = refs.pop(0)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref = refs[:6]
+    rest = refs[6:]
     if has_bias:
         bias_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     else:
@@ -342,7 +365,7 @@ def _fa_bwd_kv_kernel(
     ik = pl.program_id(1)
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
-    cur_len = lens_ref[0, pl.program_id(0)]
+    cur_len = static_len if static_len is not None else lens_ref[0, pl.program_id(0)]
 
     @pl.when(iq == 0)
     def _init():
@@ -398,12 +421,16 @@ def _fa_bwd_kv_kernel(
 
 
 def _fa_bwd_q_kernel(
-    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-    *rest,
+    *refs,
     blk_q, blk_k, causal, scale, has_bias: bool = False,
-    window: int | None = None,
+    window: int | None = None, static_len: int | None = None,
 ):
     """grid (BH, nq, nk), k innermost: accumulate dQ per q-block."""
+    refs = list(refs)
+    if static_len is None:
+        lens_ref = refs.pop(0)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref = refs[:6]
+    rest = refs[6:]
     if has_bias:
         bias_ref, dq_ref, dq_acc = rest
     else:
@@ -412,7 +439,7 @@ def _fa_bwd_q_kernel(
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
-    cur_len = lens_ref[0, pl.program_id(0)]
+    cur_len = static_len if static_len is not None else lens_ref[0, pl.program_id(0)]
 
     @pl.when(ik == 0)
     def _init():
@@ -460,19 +487,26 @@ def _fa_bwd_q_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
-                     "n_heads", "window"),
+                     "n_heads", "window", "static_len"),
 )
 def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
                     blk_q, blk_k, scale, interpret, n_heads: int = 1,
-                    window: int | None = None):
+                    window: int | None = None,
+                    static_len: int | None = None):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq, nk = tq // blk_q, tk // blk_k
     has_bias = bias is not None
 
-    common_in_specs = [
-        pl.BlockSpec((1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
-    ]
+    if static_len is None:
+        common_in_specs = [
+            pl.BlockSpec((1, bh), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        common_inputs = [kv_lens]
+    else:
+        common_in_specs = []
+        common_inputs = []
 
     def qspec(im):
         return pl.BlockSpec((1, blk_q, d), im, memory_space=pltpu.VMEM)
@@ -486,9 +520,9 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
     # dK/dV: grid (BH, nk, nq), q innermost
     kv_kernel = functools.partial(
         _fa_bwd_kv_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
-        scale=scale, has_bias=has_bias, window=window,
+        scale=scale, has_bias=has_bias, window=window, static_len=static_len,
     )
-    kv_inputs = [kv_lens, q, k, v, do, lse4, dd4]
+    kv_inputs = common_inputs + [q, k, v, do, lse4, dd4]
     kv_in_specs = common_in_specs + [
         qspec(lambda b, jk, iq: (b, iq, 0)),
         kspec(lambda b, jk, iq: (b, jk, 0)),
@@ -529,9 +563,9 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
     # dQ: grid (BH, nq, nk), k innermost
     q_kernel = functools.partial(
         _fa_bwd_q_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
-        scale=scale, has_bias=has_bias, window=window,
+        scale=scale, has_bias=has_bias, window=window, static_len=static_len,
     )
-    q_inputs = [kv_lens, q, k, v, do, lse4, dd4]
+    q_inputs = common_inputs + [q, k, v, do, lse4, dd4]
     q_in_specs = common_in_specs + [
         qspec(lambda b, iq, jk: (b, iq, 0)),
         kspec(lambda b, iq, jk: (b, jk, 0)),
@@ -563,26 +597,31 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_core(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window,
+                static_len):
     o, _ = _flash_fwd(
         q, k, v, kv_lens,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None), window=window,
+        static_len=static_len,
     )
     return o
 
 
-def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window):
+def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window,
+                    static_len):
     o, lse4 = _flash_fwd(
         q, k, v, kv_lens,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None), window=window,
+        static_len=static_len,
     )
     return o, (q, k, v, kv_lens, o, lse4)
 
 
-def _flash_core_bwd(causal, scale, blk_q, blk_k, window, residuals, g):
+def _flash_core_bwd(causal, scale, blk_q, blk_k, window, static_len,
+                    residuals, g):
     """Fully fused FA2 backward: dK/dV and dQ kernels recompute P blockwise
     from the saved logsumexp — O(T) memory, no (Tq, Tk) materialization."""
     q, k, v, kv_lens, o, lse4 = residuals
@@ -598,6 +637,7 @@ def _flash_core_bwd(causal, scale, blk_q, blk_k, window, residuals, g):
         q, k, v, kv_lens, do, lse4, dd4,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None), window=window,
+        static_len=static_len,
     )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
@@ -605,29 +645,31 @@ def _flash_core_bwd(causal, scale, blk_q, blk_k, window, residuals, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_core_bias(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
-                     n_heads, window):
+                     n_heads, window, static_len):
     o, _ = _flash_fwd(
         q, k, v, kv_lens, bias,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None), n_heads=n_heads, window=window,
+        static_len=static_len,
     )
     return o
 
 
 def _flash_core_bias_fwd(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
-                         n_heads, window):
+                         n_heads, window, static_len):
     o, lse4 = _flash_fwd(
         q, k, v, kv_lens, bias,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None), n_heads=n_heads, window=window,
+        static_len=static_len,
     )
     return o, (q, k, v, kv_lens, bias, o, lse4)
 
 
 def _flash_core_bias_bwd(causal, scale, blk_q, blk_k, n_heads, window,
-                         residuals, g):
+                         static_len, residuals, g):
     """Fused backward with the additive bias folded into the blockwise
     recompute of P.  The bias cotangent is ZERO by design: exact for
     constant biases (ALiBi) and for frozen relative-bias tables (LoRA
@@ -644,6 +686,7 @@ def _flash_core_bias_bwd(causal, scale, blk_q, blk_k, n_heads, window,
         q, k, v, kv_lens, do, lse4, dd4, bias,
         causal=causal, blk_q=blk_q, blk_k=blk_k, scale=scale,
         interpret=_should_interpret(None), n_heads=n_heads, window=window,
+        static_len=static_len,
     )
     return (
         dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -655,10 +698,11 @@ _flash_core_bias.defvjp(_flash_core_bias_fwd, _flash_core_bias_bwd)
 
 # Block-size sweep on v5e at D=64 (T=2048 causal fwd, best-of-rounds):
 # 256x256 5.63 ms, 512x512 3.22, 512x1024 2.75-2.94, 1024x1024 2.57 (2.2x),
-# 1024x2048 / 2048x1024 regress.  The kernel is VPU-softmax-bound; bigger
-# blocks amortize per-block reductions and pipeline overhead until
-# diagonal-block masking waste wins.  exp2-based softmax measured neutral
-# (Mosaic already lowers exp well).  Details in docs/BENCHMARKS.md.
+# 1024x2048 / 2048x1024 regress.  exp2-based softmax measured neutral
+# (Mosaic already lowers exp well).  With the round-3 lens-free
+# specialization the fwd reaches 143-150 TF/s at T=4k (~75% of v5e bf16
+# peak) — the round-2 "VPU-softmax-bound" diagnosis was actually the 4th
+# operand penalty (see _fa_kernel).  Details in docs/BENCHMARKS.md.
 _BLKQ = 1024
 _BLKK = 1024
 
@@ -696,8 +740,12 @@ def flash_attention(
     tk = k.shape[1]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
-    if kv_lens is None:
-        kv_lens = jnp.full((b,), tk, jnp.int32)
+    # kv_lens=None compiles the FAST specialization: the key length is a
+    # compile-time constant and the kernels carry no lens operand at all
+    # (any 4th operand costs ~4x on v5e — see _fa_kernel).  Padded key
+    # columns (tk -> tk+pad_k) stay masked: the static length is the
+    # UNPADDED tk.
+    static_len = tk if kv_lens is None else None
     if window is not None:
         if not causal:
             raise ValueError("window requires causal=True")
@@ -732,7 +780,10 @@ def flash_attention(
     qb = to_bh(q, pad_q)
     kb = to_bh(k, pad_k)
     vb = to_bh(v, pad_k)
-    lens = jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(1, b * h)
+    lens = (
+        None if kv_lens is None
+        else jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(1, b * h)
+    )
 
     if bias is not None:
         bias = jnp.asarray(bias, jnp.float32)
@@ -741,11 +792,12 @@ def flash_attention(
             ((0, 0), (0, pad_q if bias.shape[1] != 1 else 0), (0, pad_k)),
         )
         out = _flash_core_bias(
-            qb, kb, vb, lens, bias, causal, scale, blk_q, blk_k, h, window
+            qb, kb, vb, lens, bias, causal, scale, blk_q, blk_k, h, window,
+            static_len,
         )
     else:
         out = _flash_core(
-            qb, kb, vb, lens, causal, scale, blk_q, blk_k, window
+            qb, kb, vb, lens, causal, scale, blk_q, blk_k, window, static_len
         )
     out = out.reshape(b, h, tq + pad_q, d)[:, :, :tq]
     return jnp.transpose(out, (0, 2, 1, 3))
