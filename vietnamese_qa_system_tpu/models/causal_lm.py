@@ -178,9 +178,9 @@ def hidden_states(
         if cfg.use_flash_attention:
             # right-padded batches: the (causal & padding) mask is exactly
             # (kv_lens, causal=True) for the fused kernel.  kv_lens=None
-            # (no mask) compiles the kernel's fast lens-free
-            # specialization (~4x on v5e, see ops/attention._fa_kernel) —
-            # loss_fn exploits this by dropping the mask entirely.
+            # (no mask) compiles the kernel's lens-free specialization
+            # (see ops/attention._fa_kernel); loss_fn drops the mask
+            # entirely (exact — see its docstring).
             lens = (
                 jnp.sum(attn_mask, axis=1).astype(jnp.int32)
                 if attn_mask is not None
@@ -367,7 +367,7 @@ def loss_fn(params, cfg: ModelConfig, batch):
     key (pads sit at positions >= the query's), and padded positions carry
     IGNORE_INDEX labels, so their logits never reach the loss — identical
     loss AND grads (tested), while the maskless forward compiles the flash
-    kernel's lens-free specialization (~4x on v5e, ops/attention).
+    kernel's simpler lens-free specialization (ops/attention).
     """
     labels = batch["labels"][:, 1:]
     if cfg.vocab_size >= CHUNKED_XENT_MIN_VOCAB:

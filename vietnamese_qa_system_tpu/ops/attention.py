@@ -60,14 +60,15 @@ def _fa_kernel(
     window: int | None = None,
     static_len: int | None = None,
 ):
-    # MEASURED (v5e, T=4096 causal fwd, scripts/probe_flash_4th.py /
-    # probe_flash_dimsem.py): ANY operand beyond q/k/v costs ~4x — 150 TF/s
-    # with 3 inputs vs 36-37 TF/s with a 4th, regardless of memory space
-    # (SMEM scalar, scalar-prefetch, VMEM vector), position, index map,
-    # deadness, or dimension_semantics; output count is free.  So the
-    # kernel is SPECIALIZED: when every row attends the full (static)
-    # key length, `static_len` bakes the length in as a compile-time
-    # constant and the lens operand is dropped entirely.
+    # `static_len` specialization: when every row attends the full
+    # (static) key length, the length is baked in as a compile-time
+    # constant and the lens operand is dropped.  Honest A/B (slope method,
+    # scripts/probe_flash_honest.py) measures the two within noise of each
+    # other (45.4 vs 44.8 TF/s at T=4k) — an earlier "4x operand penalty"
+    # claim was a timing artifact: XLA hoists a loop-invariant 3-operand
+    # pallas call out of a timing scan (LICM) but not a 4-operand one, so
+    # hoisted variants looked iters-times faster.  The specialization is
+    # kept for the simpler varlen-free compile path; perf-neutral.
     refs = list(refs)
     if static_len is None:
         lens_ref = refs.pop(0)
@@ -202,8 +203,7 @@ def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
     inputs = [q, k, v]
     if static_len is None:
         # whole lens vector in SMEM (tiny); per-bh blocks would violate
-        # Mosaic's min block-shape rules.  Costs ~4x on the fwd (see
-        # _fa_kernel) — only used when rows genuinely differ in length.
+        # Mosaic's min block-shape rules
         in_specs.insert(0, pl.BlockSpec(
             (1, bh), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM))
         inputs.insert(0, kv_lens)
@@ -349,8 +349,8 @@ def _fa_bwd_kv_kernel(
     """grid (BH, nk, nq), q innermost: accumulate dK/dV per k-block.
 
     Like the forward, specialized on ``static_len``: the lens operand is
-    dropped when all rows share one (static) key length — any extra
-    operand costs ~4x on v5e (see _fa_kernel).
+    dropped when all rows share one (static) key length (perf-neutral,
+    see the note in _fa_kernel).
     """
     refs = list(refs)
     if static_len is None:
@@ -699,10 +699,11 @@ _flash_core_bias.defvjp(_flash_core_bias_fwd, _flash_core_bias_bwd)
 # Block-size sweep on v5e at D=64 (T=2048 causal fwd, best-of-rounds):
 # 256x256 5.63 ms, 512x512 3.22, 512x1024 2.75-2.94, 1024x1024 2.57 (2.2x),
 # 1024x2048 / 2048x1024 regress.  exp2-based softmax measured neutral
-# (Mosaic already lowers exp well).  With the round-3 lens-free
-# specialization the fwd reaches 143-150 TF/s at T=4k (~75% of v5e bf16
-# peak) — the round-2 "VPU-softmax-bound" diagnosis was actually the 4th
-# operand penalty (see _fa_kernel).  Details in docs/BENCHMARKS.md.
+# (Mosaic already lowers exp well).  Honest slope-method numbers
+# (scripts/probe_flash_honest.py): fwd 4.55 ms = 45 TF/s at T=4k, bwd
+# impl 12.1 ms, full grad 18.1 ms = 40 TF/s combined.  The kernel is
+# VPU-softmax-bound at D=64 (round-2 diagnosis confirmed after the
+# round-3 hoisting artifact was found).  Details in docs/BENCHMARKS.md.
 _BLKQ = 1024
 _BLKK = 1024
 
@@ -740,11 +741,11 @@ def flash_attention(
     tk = k.shape[1]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
-    # kv_lens=None compiles the FAST specialization: the key length is a
-    # compile-time constant and the kernels carry no lens operand at all
-    # (any 4th operand costs ~4x on v5e — see _fa_kernel).  Padded key
-    # columns (tk -> tk+pad_k) stay masked: the static length is the
-    # UNPADDED tk.
+    # kv_lens=None compiles the static specialization: the key length is
+    # a compile-time constant and the kernels carry no lens operand
+    # (perf-neutral vs the lens operand — see _fa_kernel — but a simpler
+    # compile path).  Padded key columns (tk -> tk+pad_k) stay masked:
+    # the static length is the UNPADDED tk.
     static_len = tk if kv_lens is None else None
     if window is not None:
         if not causal:
