@@ -335,6 +335,29 @@ def test_maskless_loss_exact(rng):
         )
 
 
+def test_split_bwd_fallback_matches(rng, monkeypatch):
+    """Long sequences fall back to the two-kernel backward (the fused
+    single-pass kernel caps its full-length VMEM accumulators); force the
+    fallback and check grads against the fused path."""
+    from vietnamese_qa_system_tpu.ops import attention as A
+
+    q, k, v = _qkv(rng, b=1, t=256, h=2, d=32)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(q, k, v, causal=True)))
+
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(A, "_FUSED_BWD_MAX_BYTES", 0)
+    A._flash_bwd_impl.clear_cache()
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    A._flash_bwd_impl.clear_cache()
+    for a, b in zip(g_fused, g_split):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
 def test_window_requires_causal(rng):
     q, k, v = _qkv(rng, b=1, t=128, h=1, d=32)
     with pytest.raises(ValueError):

@@ -73,10 +73,10 @@ def _fa_kernel(
     if static_len is None:
         lens_ref = refs.pop(0)
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, acc_scr = refs
     else:
         bias_ref = None
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr = refs
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -87,7 +87,6 @@ def _fa_kernel(
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
-        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def compute(masked: bool):
@@ -98,7 +97,11 @@ def _fa_kernel(
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (BLK_Q, BLK_K)
+        )  # (BLK_Q, BLK_K)
+        if scale != 1.0:
+            # the public wrapper pre-scales q so this full-size multiply
+            # vanishes (the kernel is VPU-bound; every per-score op counts)
+            s = s * scale
         if bias_ref is not None:
             # additive per-head score bias (MPNet/T5 relative positions),
             # applied after scaling — same semantics as layers.attention
@@ -127,15 +130,22 @@ def _fa_kernel(
 
         m_prev = m_scr[:]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_cur)  # (BLK_Q, BLK_K) f32
+        # NOTE: exp in bf16 measured neutral-to-worse (3.97 vs 3.84 ms
+        # honest at T=4k) — Mosaic's transcendental rate doesn't double
+        p = jnp.exp(s - m_cur).astype(jnp.bfloat16)  # (BLK_Q, BLK_K)
         alpha = jnp.exp(m_prev - m_cur)  # (BLK_Q, 1)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # row-sum rides the MXU for free: the matmul N-dim (D=64) only
+        # half-fills the 128-wide MXU tile, so appending a ones column to
+        # v computes sum(p) in the SAME pass as p@v — the VPU row-sum and
+        # the separate l recurrence disappear (l is acc column D, sharing
+        # the alpha rescale)
+        v_ext = jnp.pad(v_ref[0], ((0, 0), (0, 1)), constant_values=1.0)
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16),
-            v_ref[0],
+            p,
+            v_ext,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (BLK_Q, D+1); column D is sum(p)
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_cur
 
@@ -173,8 +183,9 @@ def _fa_kernel(
 
     @pl.when(ik == nk - 1)
     def _emit():
-        l = jnp.maximum(l_scr[:], 1e-30)
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        d = acc_scr.shape[-1] - 1
+        l = jnp.maximum(acc_scr[:, d:], 1e-30)  # (BLK_Q, 1): sum(p)
+        o_ref[0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
         lse = (m_scr[:] + jnp.log(l)).reshape(1, blk_q)  # (1, BLK_Q)
         lse_ref[0, 0] = jnp.broadcast_to(lse, (8, blk_q))
 
@@ -239,8 +250,8 @@ def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
         ),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 1), jnp.float32),
-            pltpu.VMEM((blk_q, 1), jnp.float32),
-            pltpu.VMEM((blk_q, d), jnp.float32),
+            # accumulator column d carries sum(p) (the MXU-rowsum trick)
+            pltpu.VMEM((blk_q, d + 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * tq * tk * d,
@@ -312,7 +323,11 @@ def _fa_bwd_common(cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if scale != 1.0:
+        # the public wrapper pre-scales q, making this a no-op (see
+        # flash_attention); kept for direct callers
+        s = s * scale
     if bias_ref is not None:
         # same post-scale additive bias as the forward recompute; a
         # (1, BLK_K) block broadcasts over the q rows (ALiBi key-only form)
@@ -484,6 +499,123 @@ def _fa_bwd_q_kernel(
         dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
 
 
+def _fa_bwd_fused_kernel(
+    *refs,
+    blk_q, blk_k, causal, scale, has_bias: bool = False,
+    window: int | None = None, static_len: int | None = None,
+):
+    """Single-pass backward: grid (BH, nq, nk) with k innermost, computing
+    dQ, dK AND dV in one sweep.
+
+    The split dq/dkv design recomputes p and dp twice (7 matmuls total)
+    and reads q/k/v/dO/lse/dd from HBM twice; here the recompute happens
+    ONCE (5 matmuls) and the inputs stream once.  dQ accumulates in a
+    (BLK_Q, D) scratch reset per q-row (emitted at the row's last
+    k-block, exactly like the split dq kernel).  dK/dV accumulate into
+    FULL-LENGTH (Tk, D) f32 VMEM scratch persisting across the whole
+    per-bh subgrid (zeroed at the subgrid's first step) and are emitted
+    blockwise on the last q-row.  The dk/dv output windows are revisited
+    once per q-row, so Pallas DMAs partially-accumulated blocks out
+    (nq-1) extra times — wasted bandwidth but correct, because the grid
+    is sequential and the final (iq == nq-1) write lands last; the waste
+    is bounded by the VMEM cap below (see _flash_bwd_impl), and the
+    recompute + re-read savings measured larger (docs/BENCHMARKS.md).
+    """
+    refs = list(refs)
+    if static_len is None:
+        lens_ref = refs.pop(0)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref = refs[:6]
+    rest = refs[6:]
+    if has_bias:
+        (bias_ref, dq_ref, dk_ref, dv_ref,
+         dq_acc, dk_full, dv_full) = rest
+    else:
+        bias_ref = None
+        dq_ref, dk_ref, dv_ref, dq_acc, dk_full, dv_full = rest
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nq = pl.num_programs(1)
+    nk = pl.num_programs(2)
+    cur_len = static_len if static_len is not None else lens_ref[0, pl.program_id(0)]
+
+    @pl.when(ik == 0)
+    def _init_row():
+        dq_acc[:] = jnp.zeros(dq_acc.shape, jnp.float32)
+
+    @pl.when(jnp.logical_and(iq == 0, ik == 0))
+    def _init_bh():
+        dk_full[:] = jnp.zeros(dk_full.shape, jnp.float32)
+        dv_full[:] = jnp.zeros(dv_full.shape, jnp.float32)
+
+    def compute(masked: bool):
+        p, ds0 = _fa_bwd_common(
+            cur_len, q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+            iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
+            bias_ref=bias_ref, window=window, masked=masked,
+        )
+        pb = p.astype(jnp.bfloat16)
+        dsb = ds0.astype(jnp.bfloat16)
+        dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+            dsb, k_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BLK_Q, D)
+        sl = pl.dslice(ik * blk_k, blk_k)
+        dv_full[sl] = dv_full[sl] + jax.lax.dot_general(
+            pb, do_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BLK_K, D)
+        dk_full[sl] = dk_full[sl] + jax.lax.dot_general(
+            dsb, q_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        cond = ik * blk_k <= (iq + 1) * blk_q - 1
+        if window is not None:
+            cond = jnp.logical_and(
+                cond, (ik + 1) * blk_k - 1 >= iq * blk_q - (window - 1)
+            )
+    else:
+        cond = True
+    clean = _bwd_clean_cond(
+        cur_len, iq, ik, blk_q=blk_q, blk_k=blk_k, causal=causal,
+        window=window,
+    )
+
+    @pl.when(jnp.logical_and(cond, clean))
+    def _clean():
+        compute(masked=False)
+
+    @pl.when(jnp.logical_and(cond, jnp.logical_not(clean)))
+    def _masked():
+        compute(masked=True)
+
+    @pl.when(ik == nk - 1)
+    def _emit_dq():
+        out = dq_acc[:]
+        if scale != 1.0:
+            out = out * scale
+        dq_ref[0] = out.astype(dq_ref.dtype)
+
+    @pl.when(iq == nq - 1)
+    def _emit_dkv():
+        sl = pl.dslice(ik * blk_k, blk_k)
+        dk = dk_full[sl]
+        if scale != 1.0:
+            dk = dk * scale
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_full[sl].astype(dv_ref.dtype)
+
+
+# The fused single-pass backward holds full-length (Tk, D) f32 dK/dV
+# accumulators in VMEM; cap the residency (2 * Tk * D * 4 bytes) and fall
+# back to the two-kernel path for longer sequences.
+_FUSED_BWD_MAX_BYTES = 4 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
@@ -507,6 +639,69 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
     else:
         common_in_specs = []
         common_inputs = []
+
+    if 2 * tk * d * 4 <= _FUSED_BWD_MAX_BYTES:
+        # single-pass fused backward (see _fa_bwd_fused_kernel)
+        fused_kernel = functools.partial(
+            _fa_bwd_fused_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal,
+            scale=scale, has_bias=has_bias, window=window,
+            static_len=static_len,
+        )
+
+        def qspec_f(im):
+            return pl.BlockSpec((1, blk_q, d), im, memory_space=pltpu.VMEM)
+
+        def kspec_f(im):
+            return pl.BlockSpec((1, blk_k, d), im, memory_space=pltpu.VMEM)
+
+        f_inputs = common_inputs + [q, k, v, do, lse4, dd4]
+        f_in_specs = common_in_specs + [
+            qspec_f(lambda b, iq, jk: (b, iq, 0)),
+            kspec_f(lambda b, iq, jk: (b, jk, 0)),
+            kspec_f(lambda b, iq, jk: (b, jk, 0)),
+            qspec_f(lambda b, iq, jk: (b, iq, 0)),
+            pl.BlockSpec((1, 1, 8, blk_q), lambda b, iq, jk: (b, iq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, blk_q), lambda b, iq, jk: (b, iq, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if has_bias:
+            bq = blk_q if bias.shape[1] != 1 else 1
+            f_in_specs.append(
+                pl.BlockSpec(
+                    (1, bq, blk_k),
+                    lambda b, iq, jk: (b % n_heads, iq if bq != 1 else 0, jk),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            f_inputs.append(bias)
+        dq, dk, dv = pl.pallas_call(
+            fused_kernel,
+            grid=(bh, nq, nk),
+            in_specs=f_in_specs,
+            out_specs=(
+                qspec_f(lambda b, iq, jk: (b, iq, 0)),
+                kspec_f(lambda b, iq, jk: (b, jk, 0)),
+                kspec_f(lambda b, iq, jk: (b, jk, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((blk_q, d), jnp.float32),
+                pltpu.VMEM((tk, d), jnp.float32),
+                pltpu.VMEM((tk, d), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=10 * bh * tq * tk * d,
+                bytes_accessed=2 * bh * (2 * tq + 2 * tk) * d,
+                transcendentals=bh * tq * tk,
+            ),
+            interpret=interpret,
+        )(*f_inputs)
+        return dq, dk, dv
 
     def qspec(im):
         return pl.BlockSpec((1, blk_q, d), im, memory_space=pltpu.VMEM)
@@ -550,8 +745,10 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
             kspec(lambda b, jk, iq: (b, jk, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+            # emitted in the input dtype: the custom-vjp caller casts to
+            # q.dtype anyway, so f32 outputs only doubled the write DMA
+            jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((blk_k, d), jnp.float32),
@@ -589,7 +786,7 @@ def _flash_bwd_impl(q, k, v, kv_lens, do, lse4, dd4, bias=None, *, causal,
         grid=(bh, nq, nk),
         in_specs=q_in_specs,
         out_specs=qspec(lambda b, iq, jk: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         interpret=interpret,
     )(*q_inputs)
@@ -778,9 +975,16 @@ def flash_attention(
             .astype(jnp.bfloat16)
         )
 
-    qb = to_bh(q, pad_q)
+    # Fold the softmax scale into q OUTSIDE the kernel: the in-kernel
+    # `s * scale` was a full (BLK_Q, BLK_K) f32 multiply per block on the
+    # VPU-bound path; pre-scaling q touches only (T, D) elements and fuses
+    # into the transpose/cast.  The backward is exact automatically: the
+    # kernels see scale=1 and autodiff through this multiply restores the
+    # scale factor on dq.
+    qb = to_bh(q * scale if scale != 1.0 else q, pad_q)
     kb = to_bh(k, pad_k)
     vb = to_bh(v, pad_k)
+    kernel_scale = 1.0
     lens = (
         None if kv_lens is None
         else jnp.repeat(kv_lens.astype(jnp.int32), h).reshape(1, b * h)
@@ -793,12 +997,13 @@ def flash_attention(
             ((0, 0), (0, pad_q if bias.shape[1] != 1 else 0), (0, pad_k)),
         )
         out = _flash_core_bias(
-            qb, kb, vb, lens, bias, causal, scale, blk_q, blk_k, h, window,
-            static_len,
+            qb, kb, vb, lens, bias, causal, kernel_scale, blk_q, blk_k, h,
+            window, static_len,
         )
     else:
         out = _flash_core(
-            qb, kb, vb, lens, causal, scale, blk_q, blk_k, window, static_len
+            qb, kb, vb, lens, causal, kernel_scale, blk_q, blk_k, window,
+            static_len,
         )
     out = out.reshape(b, h, tq + pad_q, d)[:, :, :tq]
     return jnp.transpose(out, (0, 2, 1, 3))
