@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--scan-layers", action="store_true",
                     help="stacked blocks under lax.scan — O(1)-in-depth "
                     "compile for deep flash models on the remote tunnel")
+    ap.add_argument("--remat-policy", default=None,
+                    choices=["full", "dots", "none"],
+                    help="scan-over-layers remat granularity "
+                         "(models/layers.py::remat_wrap)")
     ap.add_argument("--lora-r", type=int, default=0,
                     help="train a LoRA adapter of this rank (0 = full FT)")
     ap.add_argument("--quantize-base", choices=["int8", "nf4", "nf4-dq"], default=None)
@@ -59,10 +63,15 @@ def main() -> None:
         "llama1b": mcfg.llama_1b_class,
         "tiny": mcfg.tiny_test,
     }[args.preset]()
-    if args.scan_layers:
+    if args.scan_layers or args.remat_policy:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, scan_layers=True)
+        repl = {}
+        if args.scan_layers:
+            repl["scan_layers"] = True
+        if args.remat_policy:
+            repl["remat_policy"] = args.remat_policy
+        cfg = dataclasses.replace(cfg, **repl)
 
     B, T = args.batch, args.seq
     key = jax.random.key(0)
@@ -147,6 +156,7 @@ def main() -> None:
     rec = {
         "preset": args.preset, "batch": B, "seq": T,
         "remat": not args.no_remat,
+        "remat_policy": args.remat_policy or "full",
         "lora_r": args.lora_r, "quantize_base": args.quantize_base,
         "ms_per_step": round(dt * 1e3, 2),
         "tokens_per_s": round(tokens / dt, 1),

@@ -276,3 +276,30 @@ def test_cli_serve_reader_strategy_tp(dataset, tmp_path, monkeypatch,
     assert rc == 0
     out = capsys.readouterr().out
     assert "reader sharded: strategy=tp over 8 devices" in out
+
+
+def test_cli_serve_ivf_crossover_warning(dataset, tmp_path, monkeypatch,
+                                         capsys):
+    """Serving an IVF index with a query batch beyond the measured
+    flat-scan crossover (batch > rows_per_shard / (nprobe * cap)) must
+    print the advisory (docs/BENCHMARKS.md "IVF vs flat")."""
+    _, docs = dataset
+    assert main([
+        "ingest", "--inputs", str(docs),
+        "--index", str(tmp_path / "index"), "--db", str(tmp_path / "d.db"),
+        "--capacity", "512", "--batch-size", "8", "--max-len", "48",
+    ]) == 0
+    assert main([
+        "build-ivf", "--index", str(tmp_path / "index"),
+        "--out", str(tmp_path / "ivf"), "--clusters", "4", "--nprobe", "2",
+    ]) == 0
+    capsys.readouterr()
+
+    monkeypatch.setattr("builtins.input", lambda *a: "")
+    assert main([
+        "serve", "--index", str(tmp_path / "ivf"),
+        "--db", str(tmp_path / "d.db"), "--k", "2", "--max-len", "48",
+    ]) == 0
+    out = capsys.readouterr().out
+    # tiny corpus: 256 offline query batch >> crossover — advisory fires
+    assert "crossover" in out

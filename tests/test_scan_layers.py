@@ -505,3 +505,46 @@ def test_scan_all_local_decode(rng):
         stacked, cfg_scan, prompts, pmask, max_new_tokens=12
     )
     np.testing.assert_array_equal(np.asarray(out_list), np.asarray(out_scan))
+
+
+@pytest.mark.parametrize("policy", ["dots", "none"])
+def test_remat_policy_grad_parity(pair, rng, policy):
+    """remat_policy changes WHAT the backward saves, never the math: loss
+    and grads must match the default full-remat scan bitwise-closely,
+    including on the flash path (the "dots" policy saves the tagged
+    flash_out so the kernel forward is not recomputed)."""
+    base, _, cfg_scan, stacked = pair
+    cfg_flash = dataclasses.replace(cfg_scan, use_flash_attention=True)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 128)), jnp.int32)
+    mask = jnp.ones((2, 128), jnp.int32).at[1, 100:].set(0)
+    batch = {"input_ids": ids, "attention_mask": mask, "labels": ids}
+
+    cfg_pol = dataclasses.replace(cfg_flash, remat_policy=policy)
+    loss_full, _ = causal_lm.loss_fn(stacked, cfg_flash, batch)
+    loss_pol, _ = causal_lm.loss_fn(stacked, cfg_pol, batch)
+    np.testing.assert_allclose(float(loss_full), float(loss_pol), rtol=1e-6)
+
+    g_full = jax.jit(
+        jax.grad(lambda p: causal_lm.loss_fn(p, cfg_flash, batch)[0])
+    )(stacked)
+    g_pol = jax.jit(
+        jax.grad(lambda p: causal_lm.loss_fn(p, cfg_pol, batch)[0])
+    )(stacked)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_pol)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3
+        )
+
+
+def test_remat_policy_rejects_unknown(pair):
+    _, _, cfg_scan, stacked = pair
+    cfg_bad = dataclasses.replace(cfg_scan, remat_policy="sometimes")
+    ids = jnp.ones((1, 16), jnp.int32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.grad(
+            lambda p: causal_lm.loss_fn(
+                p, cfg_bad,
+                {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+                 "labels": ids},
+            )[0]
+        )(stacked)

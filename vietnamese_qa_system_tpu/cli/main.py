@@ -37,6 +37,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="stack homogeneous blocks and run them under "
                    "lax.scan (T5X/MaxText-style): compile time O(1) in "
                    "depth + per-layer remat (lower memory; causal only)")
+    g.add_argument("--remat-policy", default=None,
+                   choices=["full", "dots", "none"],
+                   help="scan-over-layers remat granularity: full = "
+                   "recompute the layer (min memory), dots = save matmul/"
+                   "flash outputs and recompute only elementwise glue "
+                   "(faster when HBM allows), none = no remat")
     g.add_argument("--init-params", help="checkpoint dir or converted-weights .npz to start from")
 
     g = p.add_argument_group("lora (reference peft group, train.py:33)")
@@ -149,6 +155,8 @@ def _model_config(args):
             cfg = mcfg.ModelConfig.from_json(f.read())
         if getattr(args, "scan_layers", False):
             cfg = dataclasses.replace(cfg, scan_layers=True)
+        if getattr(args, "remat_policy", None):
+            cfg = dataclasses.replace(cfg, remat_policy=args.remat_policy)
         return cfg
     presets = {
         "tiny": lambda: mcfg.tiny_test(args.arch),
@@ -170,6 +178,8 @@ def _model_config(args):
                 "--scan-layers requires a homogeneous causal model"
             )
         cfg = dataclasses.replace(cfg, scan_layers=True)
+    if getattr(args, "remat_policy", None):
+        cfg = dataclasses.replace(cfg, remat_policy=args.remat_policy)
     return cfg
 
 
@@ -617,6 +627,26 @@ def cmd_serve(args) -> int:
     # IVFIndex transparently.
     store = load_index(args.index, capacity=args.capacity)
     docstore = DocStore(args.db)
+    # IVF-vs-flat crossover advisory (measured, scripts/probe_ivf.py +
+    # docs/BENCHMARKS.md "IVF vs flat"): IVF reads ~nprobe*cap rows PER
+    # QUERY while the flat scan reads the corpus once PER BATCH, so IVF
+    # only wins while batch < rows_per_shard / (nprobe * cap).  Beyond
+    # that the probed-bucket gather moves more HBM than the full scan.
+    from ..engine.ivf import IVFIndex
+
+    if isinstance(store, IVFIndex):
+        rows_per_shard = store.size // max(store.n_shards, 1)
+        crossover = max(1, rows_per_shard // (store.nprobe * store.cap))
+        qb = args.max_batch if args.port is not None else 256
+        if qb > crossover:
+            dist_print(
+                f"WARNING: IVF index with query batch {qb} > crossover "
+                f"~{crossover} (= {rows_per_shard} rows / nprobe "
+                f"{store.nprobe} * cap {store.cap}); the probed-bucket "
+                "gather will exceed a flat scan. Lower --max-batch, "
+                "rebuild with a smaller build-ivf --nprobe, or serve "
+                "the flat index."
+            )
     lexical = None
     bm25_path = os.path.join(args.index, "bm25.json")
     if args.hybrid_weight < 1.0 and os.path.exists(bm25_path):

@@ -28,6 +28,7 @@ from .layers import (
     init_layernorm,
     init_rmsnorm,
     layernorm,
+    remat_wrap,
     rope_frequencies,
 )
 
@@ -229,7 +230,7 @@ def hidden_states(
             # blocks emit f32 activations unless the bf16 policy is on;
             # pin the carry dtype for scan's type invariance
             x, _ = jax.lax.scan(
-                jax.checkpoint(body),
+                remat_wrap(body, cfg.remat_policy),
                 x.astype(adt or jnp.float32),
                 params["blocks"],
             )

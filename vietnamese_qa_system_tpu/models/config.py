@@ -101,6 +101,16 @@ class ModelConfig:
     # local/global alternation).  The stacked pytree is the on-disk and
     # in-memory format when this is set (models/causal_lm.py::stack_blocks).
     scan_layers: bool = False
+    # Remat granularity for the scan-over-layers path (layers.remat_wrap):
+    # "full" = recompute the whole layer in bwd (min memory);
+    # "dots" = save matmul outputs + the flash-attention out/lse, recompute
+    # only elementwise glue — trades ~B*T*(4d+2ff) saved f32/layer for
+    # skipping the fwd recompute (~25% of step FLOPs; measured numbers in
+    # docs/BENCHMARKS.md);
+    # "none" = no remat (deep flash stacks OOM).  The capability knob
+    # behind torch's gradient_checkpointing_enable (reference
+    # src/models/trainer.py:527-533), with selectivity torch's flag lacks.
+    remat_policy: str = "full"
     # bf16 residual/norm-output activations (norm math stays fp32):
     # standard inference mixed precision; halves inter-op HBM traffic.
     # On by default only for the retrieval encoders (their outputs are

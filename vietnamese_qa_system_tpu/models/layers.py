@@ -26,6 +26,46 @@ def _matmul(x, w):
     )
 
 
+def remat_wrap(fn, policy_name: str):
+    """Wrap a scan body in ``jax.checkpoint`` per ``ModelConfig.remat_policy``.
+
+    - ``"full"``: classic per-layer remat — save only the layer boundary,
+      recompute the whole layer forward in the backward pass.  Minimal
+      memory; the recompute re-runs every matmul (~+2N FLOPs/token of the
+      8N total) AND, on the flash path, the whole Pallas forward kernel.
+    - ``"dots"``: selective remat — save matmul outputs (XLA dots with no
+      batch dims: the q/k/v/o and MLP projections) plus the flash-attention
+      kernel output AND logsumexp (tagged ``checkpoint_name`` "flash_out"/
+      "flash_lse" in ops/attention.py's custom_vjp forwards — without the
+      lse the Pallas forward would re-run in the backward just to
+      regenerate that residual), recomputing only the cheap elementwise
+      glue (norms, activations, nf4 dequants).  Trades ~B*T*(4*d + 2*ff)
+      saved f32/layer for skipping the forward recompute (~25% of step
+      FLOPs) — the standard TPU training trade once HBM allows it
+      (measured numbers in docs/BENCHMARKS.md).
+    - ``"none"``: no remat — scan saves everything XLA decides to keep
+      (deep flash stacks typically OOM; small models profile fastest).
+
+    Equivalent capability to torch's ``gradient_checkpointing_enable``
+    (used by the reference at src/models/trainer.py:527-533), with the
+    selectivity the reference's all-or-nothing flag lacks.
+    """
+    if policy_name == "none":
+        return fn
+    if policy_name == "dots":
+        cp = jax.checkpoint_policies
+        policy = cp.save_from_both_policies(
+            cp.dots_with_no_batch_dims_saveable,
+            cp.save_only_these_names("flash_out", "flash_lse"),
+        )
+        return jax.checkpoint(fn, policy=policy)
+    if policy_name == "full":
+        return jax.checkpoint(fn)
+    raise ValueError(
+        f"unknown remat_policy {policy_name!r}; want full | dots | none"
+    )
+
+
 # -----------------------------------------------------------------------------
 # Dense
 # -----------------------------------------------------------------------------

@@ -41,6 +41,7 @@ from .layers import (
     init_dense,
     layernorm,
     padding_mask,
+    remat_wrap,
 )
 
 
@@ -244,7 +245,8 @@ def encode(params, cfg: ModelConfig, ids, attn_mask):
         # blocks emit f32 (fp32-accum matmuls + residual); pin the carry
         # dtype so bf16 embeddings don't break scan's type invariance
         x, _ = jax.lax.scan(
-            jax.checkpoint(body), x.astype(jnp.float32), params["enc_blocks"]
+            remat_wrap(body, cfg.remat_policy),
+            x.astype(jnp.float32), params["enc_blocks"],
         )
     else:
         for p_blk in params["enc_blocks"]:
@@ -345,7 +347,8 @@ def decode(
 
         if t5_stacked(params):
             x, _ = jax.lax.scan(
-                jax.checkpoint(lambda h, p: (dec_layer(h, p), None)),
+                remat_wrap(lambda h, p: (dec_layer(h, p), None),
+                           cfg.remat_policy),
                 x.astype(jnp.float32), params["dec_blocks"],
             )
         else:

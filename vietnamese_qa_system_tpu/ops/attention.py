@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -814,6 +815,12 @@ def _flash_core_fwd(q, k, v, kv_lens, causal, scale, blk_q, blk_k, window,
         interpret=_should_interpret(None), window=window,
         static_len=static_len,
     )
+    # name the kernel outputs so selective remat policies can SAVE them
+    # (models/layers.py::remat_wrap "dots"): unnamed pallas results are
+    # not dots, so the whole forward kernel would re-run in the backward
+    # just to regenerate these residuals
+    o = checkpoint_name(o, "flash_out")
+    lse4 = checkpoint_name(lse4, "flash_lse")
     return o, (q, k, v, kv_lens, o, lse4)
 
 
@@ -862,6 +869,8 @@ def _flash_core_bias_fwd(q, k, v, kv_lens, bias, causal, scale, blk_q, blk_k,
         interpret=_should_interpret(None), n_heads=n_heads, window=window,
         static_len=static_len,
     )
+    o = checkpoint_name(o, "flash_out")
+    lse4 = checkpoint_name(lse4, "flash_lse")
     return o, (q, k, v, kv_lens, bias, o, lse4)
 
 
