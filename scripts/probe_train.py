@@ -113,7 +113,12 @@ def main() -> None:
         loss, n = causal_lm.loss_fn(p, cfg, batch)
         return loss
 
-    if not args.no_remat:
+    if not args.no_remat and not (
+        cfg.scan_layers and cfg.remat_policy != "none"
+    ):
+        # outer whole-loss remat is redundant (and costly: an extra full
+        # forward recompute) when the scan-over-layers body is already
+        # checkpointed — mirror trainer.py's guard
         loss_fn = jax.checkpoint(loss_fn)
 
     def one_step(base, carry, batch):

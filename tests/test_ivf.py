@@ -200,3 +200,42 @@ def test_retriever_over_ivf(corpus, tmp_path):
                        query_batch=8)
     res_flat = r_flat.search([docs[3]], k=3)
     assert {x.id for x in res[0]} & {x.id for x in res_flat[0]}
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bf16"])
+def test_probe_score_kernel_parity(dtype):
+    """The fused Pallas probe-score kernel (ops/ivf_probe.py) must match
+    the XLA gather+einsum oracle bit-for-bit on gids and to bf16 rounding
+    on scores, including -inf on pad rows and a probe count that is not a
+    multiple of the internal 8-padding."""
+    import jax.numpy as jnp
+
+    from vietnamese_qa_system_tpu.ops.ivf_probe import (
+        ivf_probe_scores, ivf_probe_scores_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    C, cap, d, B, P = 12, 128, 256, 4, 5  # P=5: exercises pad-to-8
+    if dtype == "int8":
+        buckets = jnp.asarray(rng.integers(-127, 128, (C, cap, d)), jnp.int8)
+        scales = jnp.asarray(rng.random((C, cap)) + 0.1, jnp.float32)
+    else:
+        buckets = jnp.asarray(rng.standard_normal((C, cap, d)), jnp.bfloat16)
+        scales = None
+    gids = jnp.asarray(rng.integers(0, 10000, (C, cap)), jnp.int32)
+    # sprinkle pad rows (gid -1) including a fully-padded bucket
+    gids = gids.at[:, cap - 7:].set(-1).at[2].set(-1)
+    q = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, C, (B, P)), jnp.int32)
+    ids = ids.at[0, 0].set(2)  # hit the all-pad bucket
+
+    s, g = ivf_probe_scores(q, ids, buckets, scales, gids)
+    sr, gr = ivf_probe_scores_reference(q, ids, buckets, scales, gids)
+    assert s.shape == (B, P, cap) and g.shape == (B, P, cap)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(gr))
+    np.testing.assert_array_equal(np.isneginf(np.asarray(s)),
+                                  np.isneginf(np.asarray(sr)))
+    finite = np.isfinite(np.asarray(sr))
+    np.testing.assert_allclose(np.asarray(s)[finite], np.asarray(sr)[finite],
+                               rtol=2e-2, atol=1e-2)
+    assert np.all(np.isneginf(np.asarray(s)[0, 0]))  # all-pad bucket

@@ -629,23 +629,29 @@ def cmd_serve(args) -> int:
     docstore = DocStore(args.db)
     # IVF-vs-flat crossover advisory (measured, scripts/probe_ivf.py +
     # docs/BENCHMARKS.md "IVF vs flat"): IVF reads ~nprobe*cap rows PER
-    # QUERY while the flat scan reads the corpus once PER BATCH, so IVF
-    # only wins while batch < rows_per_shard / (nprobe * cap).  Beyond
-    # that the probed-bucket gather moves more HBM than the full scan.
+    # QUERY while the flat scan reads the corpus once PER BATCH; the
+    # probed-bucket kernel is additionally ~KAPPA x less byte-efficient
+    # than the flat streaming scan (slab-gather DMA + M=1 matvecs vs a
+    # full-rate sequential sweep — measured crossover B~25 at 1M rows,
+    # nprobe 8, cap 512), so IVF wins while
+    # batch < rows_per_shard / (nprobe * cap * KAPPA).
     from ..engine.ivf import IVFIndex
 
+    KAPPA = 10
     if isinstance(store, IVFIndex):
         rows_per_shard = store.size // max(store.n_shards, 1)
-        crossover = max(1, rows_per_shard // (store.nprobe * store.cap))
+        crossover = max(
+            1, rows_per_shard // (store.nprobe * store.cap * KAPPA)
+        )
         qb = args.max_batch if args.port is not None else 256
         if qb > crossover:
             dist_print(
                 f"WARNING: IVF index with query batch {qb} > crossover "
-                f"~{crossover} (= {rows_per_shard} rows / nprobe "
-                f"{store.nprobe} * cap {store.cap}); the probed-bucket "
-                "gather will exceed a flat scan. Lower --max-batch, "
-                "rebuild with a smaller build-ivf --nprobe, or serve "
-                "the flat index."
+                f"~{crossover} (= {rows_per_shard} rows / (nprobe "
+                f"{store.nprobe} * cap {store.cap} * {KAPPA})); probed-"
+                "bucket reads will exceed the flat scan's amortized "
+                "cost. Lower --max-batch, rebuild with a smaller "
+                "build-ivf --nprobe, or serve the flat index."
             )
     lexical = None
     bm25_path = os.path.join(args.index, "bm25.json")

@@ -20,12 +20,16 @@ faiss's CPU pointer-chasing lists:
   the device — sampling, assignment and the bucket gather are all device
   ops (the only host traffic is the (N,) int32 assignment used to lay out
   bucket slots).
-- **Query = probe + gather + batched matvec.**  Centroid scores (B, C) on
-  the MXU, ``lax.top_k`` picks ``nprobe`` clusters, one gather pulls the
-  probed buckets, and scoring reads ``B * nprobe * cap * D`` bytes instead
-  of the whole corpus: at serving batch sizes this is a ~10-100x HBM-read
-  reduction over the flat scan, which is exactly when the flat scan's
-  batch-amortization (corpus bytes / B) stops working.
+- **Query = probe + fused probe-score kernel.**  Centroid scores (B, C)
+  on the MXU, ``lax.top_k`` picks ``nprobe`` clusters, then the Pallas
+  kernel in ops/ivf_probe.py scores the probed buckets directly — the
+  probe ids ride scalar prefetch into the block index map, so the
+  "gather" is the grid's own DMA pipeline (the XLA gather+einsum
+  formulation measured ~500x slower at B=1; scripts/probe_ivf_decomp.py).
+  Reads ``B * nprobe * cap * D`` bytes instead of the whole corpus —
+  measured 7.9x faster than the flat scan at B=1 and 4x at B=8 on 1M x
+  768 (scripts/probe_ivf.py; flat wins again past B~25, where its
+  batch-amortized corpus sweep catches up).
 - **Same merge as the flat store.**  Per-shard local top-k then an
   all-gather over ICI + a tiny (B, S*k) top-k, under the same ``shard``
   mesh axis (store.py), so Retriever / serving / CLI treat the two index
@@ -50,6 +54,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import SHARD_AXIS, create_mesh
+from ..ops.ivf_probe import ivf_probe_scores
 from ..ops.quant import quantize_int8_reference
 from .store import VectorStore
 
@@ -247,7 +252,10 @@ class IVFIndex:
         valid = gid_of < n
 
         mean_sz = max(n / (s * n_clusters), 1.0)
-        cap = _round_up(max(int(np.ceil(cap_mult * mean_sz)), 8), 32)
+        # cap is lane-aligned (128) so the probe-score kernel's (1, cap)
+        # score/gid blocks tile cleanly (ops/ivf_probe.py); the extra pad
+        # rows double as spill absorption
+        cap = _round_up(max(int(np.ceil(cap_mult * mean_sz)), 8), 128)
         idx.cap = cap
 
         gather_idx = np.zeros((s, n_clusters, cap), np.int64)
@@ -371,6 +379,16 @@ class IVFIndex:
         n_shards = self.n_shards
         is_int8 = self.dtype == "int8"
         g_scale = self.global_scale if self.dtype == "int8_global" else None
+        # the fused Pallas probe-score kernel needs a lane-aligned cap
+        # (build rounds to 128) and a lane-aligned vector dim; legacy
+        # indexes / odd dims fall back to the XLA gather+einsum path
+        # (measured ~500x slower at B=1 — scripts/probe_ivf_decomp.py —
+        # but still correct).  Interpret mode (CPU) has no tile rules, so
+        # only the real-TPU path needs the dim gates.
+        on_tpu = jax.default_backend() == "tpu"
+        use_kernel = self.cap % 128 == 0 and (
+            not on_tpu or self.dim % 128 == 0
+        )
 
         def local(q, cents, buckets, bscales, bgids, spv, sps, spg):
             bq = q.astype(jnp.bfloat16)
@@ -379,17 +397,26 @@ class IVFIndex:
                 preferred_element_type=jnp.float32,
             )  # (B, C)
             _, probe = jax.lax.top_k(cscores, p)  # (B, P)
-            bv = buckets[0][probe]  # (B, P, cap, D)
-            g = bgids[0][probe]     # (B, P, cap)
-            sc = jnp.einsum(
-                "bd,bpcd->bpc", bq, bv.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            if is_int8:
-                sc = sc * bscales[0][probe]
-            elif g_scale is not None:
-                sc = sc * jnp.float32(g_scale)
-            sc = jnp.where(g >= 0, sc, -jnp.inf)
+            if use_kernel:
+                qk = q.astype(jnp.float32)
+                if g_scale is not None:
+                    qk = qk * jnp.float32(g_scale)
+                sc, g = ivf_probe_scores(
+                    qk, probe.astype(jnp.int32), buckets[0],
+                    bscales[0] if is_int8 else None, bgids[0],
+                )  # (B, P, cap) each, pads already -inf / -1
+            else:
+                bv = buckets[0][probe]  # (B, P, cap, D)
+                g = bgids[0][probe]     # (B, P, cap)
+                sc = jnp.einsum(
+                    "bd,bpcd->bpc", bq, bv.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                if is_int8:
+                    sc = sc * bscales[0][probe]
+                elif g_scale is not None:
+                    sc = sc * jnp.float32(g_scale)
+                sc = jnp.where(g >= 0, sc, -jnp.inf)
             bsz = q.shape[0]
             sc = sc.reshape(bsz, -1)
             g = g.reshape(bsz, -1)

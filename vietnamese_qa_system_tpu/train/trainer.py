@@ -164,7 +164,16 @@ def make_train_step(
         loss, n = loss_of(params, batch=mb)
         return loss, n
 
-    if cfg.remat:
+    if cfg.remat and not (
+        cfg.model.scan_layers and cfg.model.remat_policy != "none"
+    ):
+        # Outer whole-loss remat — only when the scan-over-layers body is
+        # not already checkpointed: stacking both forces an EXTRA full
+        # forward recompute in the backward (outer re-runs the forward,
+        # then every inner per-layer checkpoint re-runs its layer again)
+        # — measured ~5F vs 4F FLOPs per step (scripts/probe_remat_ab.py).
+        # scan_layers + remat_policy="none" keeps the outer wrap: it is
+        # then the only remat.
         loss_for = jax.checkpoint(loss_for)
 
     grad_fn = jax.value_and_grad(loss_for, has_aux=True)
