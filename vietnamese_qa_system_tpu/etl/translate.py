@@ -43,16 +43,22 @@ class Seq2SeqTranslator:
     src/data/features/final_storge_converted/data_parser.py:75-93, which
     loads a seq2seq translation model instead of calling googletrans).
 
-    Wraps any of this framework's seq2seq families (native or T5/mT5 —
-    e.g. an envit5-class checkpoint imported via
-    models/convert_hf.py::load_seq2seq_auto) and batches generation on
-    device.  A ``prompt`` template can inject the language pair the way
-    envit5/mt5 expect (e.g. ``"{src}: {text}"``).
+    Wraps any of this framework's seq2seq families (native, T5/mT5, or
+    mBART — e.g. an envit5-class or vinai-translate-class checkpoint
+    imported via models/convert_hf.py::load_seq2seq_auto) and batches
+    generation on device.  A ``prompt`` template can inject the language
+    pair the way envit5/mt5 expect (e.g. ``"{src}: {text}"``).
+
+    mBART checkpoints (the reference's actual en→vi model,
+    data_parser.py:75-93) start the decoder at eos and force the target
+    language id as the first produced token: pass ``bos_id=eos`` and
+    ``forced_bos_id=<lang id>`` (HF ``tokenizer.lang_code_to_id[dst]``).
     """
 
     def __init__(self, params, cfg, tokenizer, *, max_len: int = 256,
                  max_new_tokens: int = 256, num_beams: int = 1,
-                 prompt: str = "{text}"):
+                 prompt: str = "{text}", bos_id: int = 0,
+                 forced_bos_id: int | None = None):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -60,6 +66,8 @@ class Seq2SeqTranslator:
         self.max_new_tokens = max_new_tokens
         self.num_beams = num_beams
         self.prompt = prompt
+        self.bos_id = bos_id
+        self.forced_bos_id = forced_bos_id
 
     def translate_batch(self, texts, src, dst):
         import numpy as np
@@ -76,14 +84,17 @@ class Seq2SeqTranslator:
             gen_mod.GenerationConfig(
                 max_new_tokens=self.max_new_tokens,
                 num_beams=self.num_beams,
+                forced_bos_token_id=self.forced_bos_id,
             ),
             eos_id=self.tok.eos_id,
+            bos_id=self.bos_id,
         )
         out = np.asarray(out)
+        skip = {self.tok.pad_id, self.tok.eos_id}
+        if self.forced_bos_id is not None:
+            skip.add(self.forced_bos_id)  # the language tag is not text
         return [
-            self.tok.decode(
-                [t for t in row if t not in (self.tok.pad_id, self.tok.eos_id)]
-            )
+            self.tok.decode([t for t in row if t not in skip])
             for row in out
         ]
 

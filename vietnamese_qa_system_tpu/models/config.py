@@ -85,11 +85,19 @@ class ModelConfig:
     # "qkv" = biases on the q/k/v projections only (Qwen2 family — the
     # strongest multilingual open weights for Vietnamese today)
     attention_bias: bool | str = True
-    # T5-family knobs (the reference's mt5 seq2seq path, src/test.py:106-147):
-    # "t5" selects models/t5.py (T5 RMS norms, per-stack shared relative
-    # bias, unscaled attention, gated-gelu FFN) for arch="seq2seq";
-    # "native" keeps the framework's RoPE encoder-decoder (models/seq2seq.py).
+    # Seq2seq family selection for arch="seq2seq":
+    # - "t5" selects models/t5.py (T5 RMS norms, per-stack shared relative
+    #   bias, unscaled attention, gated-gelu FFN) — the reference's mt5
+    #   path (src/test.py:106-147);
+    # - "bart" selects models/bart.py (mBART pre-LN, learned +2-offset
+    #   positions, embedding layernorm, tied head) — the reference's
+    #   vinai-translate en→vi model (data_parser.py:75-93) is mBART;
+    # - "native" keeps the framework's RoPE encoder-decoder
+    #   (models/seq2seq.py).
     seq2seq_family: str = "native"
+    # mBART multiplies token embeddings by sqrt(d_model) (HF
+    # scale_embedding); only the bart family reads this.
+    scale_embedding: bool = False
     # T5 decouples the attention inner dim from d_model: head_dim = d_kv
     # (mt5-small: 6 heads x 64 = 384 vs d_model 512).  None = d_model/heads.
     d_kv: int | None = None

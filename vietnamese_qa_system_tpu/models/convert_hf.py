@@ -1337,15 +1337,123 @@ def load_t5(model_dir: str):
     return params, cfg
 
 
+def mbart_config(hf_cfg) -> ModelConfig:
+    """transformers MBartConfig -> ModelConfig (models/bart.py family).
+    Covers vinai-translate / mbart-50-class checkpoints — the reference's
+    offline en→vi translation model (reference src/data/features/
+    final_storge_converted/data_parser.py:75-93) is mBART-architecture."""
+    if hf_cfg.encoder_attention_heads != hf_cfg.decoder_attention_heads:
+        raise ValueError("mbart import requires equal enc/dec head counts")
+    if hf_cfg.encoder_ffn_dim != hf_cfg.decoder_ffn_dim:
+        raise ValueError("mbart import requires equal enc/dec FFN dims")
+    return ModelConfig(
+        arch="seq2seq",
+        seq2seq_family="bart",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.d_model,
+        n_heads=int(hf_cfg.encoder_attention_heads),
+        n_layers=int(hf_cfg.encoder_layers),
+        n_decoder_layers=int(hf_cfg.decoder_layers),
+        d_ff=int(hf_cfg.encoder_ffn_dim),
+        max_seq_len=int(hf_cfg.max_position_embeddings),
+        positional="learned",
+        activation=str(getattr(hf_cfg, "activation_function", "gelu")),
+        scale_embedding=bool(getattr(hf_cfg, "scale_embedding", False)),
+        tie_embeddings=True,
+        # HF MBart layers use torch nn.LayerNorm's default eps
+        norm_eps=1e-5,
+        attention_bias=True,
+    )
+
+
+def convert_mbart(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """MBart state dict -> the models/bart.py pytree.  ``final_logits_bias``
+    (a zeros buffer in published checkpoints) is stored only when nonzero —
+    its presence is self-describing (bart._logits)."""
+
+    def pick(name):
+        for key in (name, "model." + name):
+            if key in state_dict:
+                return _t(state_dict[key])
+        raise KeyError(f"missing weight {name!r} in state dict")
+
+    def lin(pre):
+        return {"w": pick(pre + ".weight").T.copy(), "b": pick(pre + ".bias")}
+
+    def ln(pre):
+        return {"scale": pick(pre + ".weight"), "bias": pick(pre + ".bias")}
+
+    def attn(pre):
+        return {
+            "wq": lin(pre + ".q_proj"),
+            "wk": lin(pre + ".k_proj"),
+            "wv": lin(pre + ".v_proj"),
+            "wo": lin(pre + ".out_proj"),
+        }
+
+    def block(pre, cross: bool):
+        p = {
+            "ln1": ln(pre + ".self_attn_layer_norm"),
+            "attn": attn(pre + ".self_attn"),
+            "ln2": ln(pre + ".final_layer_norm"),
+            "mlp": {"fc1": lin(pre + ".fc1"), "fc2": lin(pre + ".fc2")},
+        }
+        if cross:
+            p["ln_cross"] = ln(pre + ".encoder_attn_layer_norm")
+            p["cross_attn"] = attn(pre + ".encoder_attn")
+        return p
+
+    params = {
+        "tok_embed": pick("shared.weight"),
+        "enc_pos_embed": pick("encoder.embed_positions.weight"),
+        "dec_pos_embed": pick("decoder.embed_positions.weight"),
+        "enc_ln_emb": ln("encoder.layernorm_embedding"),
+        "dec_ln_emb": ln("decoder.layernorm_embedding"),
+        "enc_blocks": [
+            block(f"encoder.layers.{i}", cross=False)
+            for i in range(cfg.n_layers)
+        ],
+        "enc_ln_f": ln("encoder.layer_norm"),
+        "dec_blocks": [
+            block(f"decoder.layers.{i}", cross=True)
+            for i in range(cfg.decoder_layers)
+        ],
+        "dec_ln_f": ln("decoder.layer_norm"),
+    }
+    try:
+        bias = pick("final_logits_bias").reshape(-1)
+        if np.any(bias != 0.0):
+            params["logits_bias"] = bias
+    except KeyError:
+        pass
+    return params
+
+
+def load_mbart(model_dir: str):
+    """Local transformers mBART directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForSeq2SeqLM  # local only
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForSeq2SeqLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = mbart_config(hf_cfg)
+    params = convert_mbart(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
 def load_seq2seq_auto(model_dir: str):
     """Local transformers seq2seq directory -> (params, ModelConfig).
-    Currently the t5/mt5 family (the only seq2seq family in the
-    reference's experiments)."""
+    t5/mt5 (the reference's mt5 experiments) and mbart (the reference's
+    vinai-translate en→vi model)."""
     from transformers import AutoConfig
 
     model_type = getattr(AutoConfig.from_pretrained(model_dir), "model_type", "")
     if model_type in ("t5", "mt5", "longt5"):
         return load_t5(model_dir)
+    if model_type == "mbart":
+        return load_mbart(model_dir)
     raise ValueError(f"unsupported seq2seq model_type {model_type!r}")
 
 

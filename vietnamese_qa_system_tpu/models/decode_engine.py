@@ -620,15 +620,15 @@ def decode_chunk_spec(
 
 
 def _s2s_mod(cfg: ModelConfig):
-    from . import seq2seq, t5
+    from .families import s2s_module
 
-    return t5 if cfg.seq2seq_family == "t5" else seq2seq
+    return s2s_module(cfg)
 
 
 def _s2s_stacked(cfg: ModelConfig, params) -> bool:
-    from . import t5
+    from .families import s2s_stacked
 
-    return cfg.seq2seq_family == "t5" and t5.t5_stacked(params)
+    return s2s_stacked(cfg, params)
 
 
 def make_decode_state_seq2seq(cfg: ModelConfig, n_slots: int, total: int,

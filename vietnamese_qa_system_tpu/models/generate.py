@@ -52,6 +52,13 @@ class GenerationConfig:
     # per-token HBM read at a small logits perturbation.  Causal
     # greedy/sampled path only (beams/seq2seq/speculative keep bf16).
     kv_dtype: str = "bf16"
+    # mBART-style forced first generated token (HF forced_bos_token_id):
+    # the target-language id for translation checkpoints like
+    # vinai-translate (models/bart.py).  Seq2seq paths only.
+    forced_bos_token_id: int | None = None
+    # HF forced_eos_token_id (an MBartConfig DEFAULT): rows still running
+    # at the last step emit eos instead of their argmax.  Seq2seq only.
+    forced_eos_token_id: int | None = None
 
 
 def generate_with_config(
@@ -87,6 +94,14 @@ def generate_with_config(
         raise ValueError(
             f"unknown speculative mode {gen.speculative!r} "
             "(none|ngram|draft)"
+        )
+    if (
+        gen.forced_bos_token_id is not None
+        or gen.forced_eos_token_id is not None
+    ) and cfg.arch != "seq2seq":
+        raise ValueError(
+            "forced_bos/eos_token_id are seq2seq conventions (mBART "
+            "language forcing); causal prompts carry their own start"
         )
     if gen.kv_dtype != "bf16" and (
         cfg.arch == "seq2seq" or gen.num_beams > 1
@@ -156,6 +171,8 @@ def generate_with_config(
                 length_penalty=gen.length_penalty,
                 repetition_penalty=gen.repetition_penalty,
                 min_new_tokens=gen.min_new_tokens,
+                forced_bos_id=gen.forced_bos_token_id,
+                forced_eos_id=gen.forced_eos_token_id,
             )
         return generate_seq2seq(
             params, cfg, ids, attn_mask,
@@ -167,6 +184,8 @@ def generate_with_config(
             min_new_tokens=gen.min_new_tokens,
             eos_id=eos_id,
             bos_id=bos_id,
+            forced_bos_id=gen.forced_bos_token_id,
+            forced_eos_id=gen.forced_eos_token_id,
             key=jax.random.key(gen.seed),
         )
     if gen.num_beams > 1:
@@ -980,7 +999,8 @@ def generate_speculative_draft(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "eos_id", "top_k", "top_p",
-        "repetition_penalty", "min_new_tokens",
+        "repetition_penalty", "min_new_tokens", "forced_bos_id",
+        "forced_eos_id",
     ),
 )
 def generate_seq2seq(
@@ -997,15 +1017,17 @@ def generate_seq2seq(
     min_new_tokens: int = 0,
     eos_id: int | None = None,
     bos_id: int = 0,
+    forced_bos_id: int | None = None,
+    forced_eos_id: int | None = None,
     key=None,
 ):
     """Encoder-decoder decode (capability of the reference's seq2seq
     `generate` eval path, trainer.py:928-949): encode once, then scan
     decoder steps with a self-attention KV cache; cross-attention reads the
     fixed encoder output.  Returns (B, max_new_tokens) generated ids."""
-    from . import seq2seq, t5
+    from .families import s2s_module, s2s_stacked
 
-    s2s = t5 if cfg.seq2seq_family == "t5" else seq2seq
+    s2s = s2s_module(cfg)
     b = enc_ids.shape[0]
     if key is None:
         key = jax.random.key(0)
@@ -1016,7 +1038,7 @@ def generate_seq2seq(
     total = max_new_tokens + 1  # slot 0 holds BOS
     cache = _make_cache(
         cfg, b, total, cfg.decoder_layers,
-        stacked=cfg.seq2seq_family == "t5" and t5.t5_stacked(params),
+        stacked=s2s_stacked(cfg, params),
     )
     jj = jnp.arange(total)[None, None, :]
 
@@ -1042,6 +1064,24 @@ def generate_seq2seq(
             cross_kv=cross_kv,
         )
         lg = logits[:, 0].astype(jnp.float32)
+        if forced_bos_id is not None:
+            # mBART-style forced first token (the target-language id; HF
+            # forced_bos_token_id): step 0 can only produce it
+            lg = jnp.where(
+                (idx == 0)
+                & (jnp.arange(lg.shape[-1])[None, :] != forced_bos_id),
+                -1e30,
+                lg,
+            )
+        if forced_eos_id is not None:
+            # HF forced_eos_token_id (an MBartConfig default): rows still
+            # running at the last step emit eos instead of their argmax
+            lg = jnp.where(
+                (idx == max_new_tokens - 1)
+                & (jnp.arange(lg.shape[-1])[None, :] != forced_eos_id),
+                -1e30,
+                lg,
+            )
         if repetition_penalty != 1.0:
             lg = jnp.where(
                 seen,
@@ -1087,7 +1127,7 @@ def generate_seq2seq(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_id",
                      "bos_id", "length_penalty", "repetition_penalty",
-                     "min_new_tokens"),
+                     "min_new_tokens", "forced_bos_id", "forced_eos_id"),
 )
 def beam_search_seq2seq(
     params,
@@ -1102,6 +1142,8 @@ def beam_search_seq2seq(
     length_penalty: float = 1.0,
     repetition_penalty: float = 1.0,
     min_new_tokens: int = 0,
+    forced_bos_id: int | None = None,
+    forced_eos_id: int | None = None,
 ):
     """Encoder-decoder beam search (num_beams capability of the
     reference's GenerationConfig on the seq2seq eval path,
@@ -1109,9 +1151,9 @@ def beam_search_seq2seq(
     dimension over the decoder scan, reorder the self-attention cache by
     parent beam each step.  Returns (B, max_new_tokens) — the best beam
     per row under HF length normalization."""
-    from . import seq2seq, t5
+    from .families import s2s_module, s2s_stacked
 
-    s2s = t5 if cfg.seq2seq_family == "t5" else seq2seq
+    s2s = s2s_module(cfg)
     b = enc_ids.shape[0]
     w = num_beams
     neg = -1e30
@@ -1125,7 +1167,7 @@ def beam_search_seq2seq(
     total = max_new_tokens + 1  # slot 0 holds BOS
     cache = _make_cache(
         cfg, b * w, total, cfg.decoder_layers,
-        stacked=cfg.seq2seq_family == "t5" and t5.t5_stacked(params),
+        stacked=s2s_stacked(cfg, params),
     )
     jj = jnp.arange(total)[None, None, :]
 
@@ -1155,6 +1197,24 @@ def beam_search_seq2seq(
     def step(carry, step_idx):
         cache, last_logits, scores, toks, done, seen = carry
         ll = last_logits
+        if forced_bos_id is not None:
+            # mBART-style forced first token (HF forced_bos_token_id):
+            # every beam's step 0 can only produce the target-language id
+            ll = jnp.where(
+                (step_idx == 0)
+                & (jnp.arange(ll.shape[-1])[None, :] != forced_bos_id),
+                neg,
+                ll,
+            )
+        if forced_eos_id is not None:
+            # HF forced_eos_token_id (an MBartConfig default): beams still
+            # running at the last step can only emit eos
+            ll = jnp.where(
+                (step_idx == max_new_tokens - 1)
+                & (jnp.arange(ll.shape[-1])[None, :] != forced_eos_id),
+                neg,
+                ll,
+            )
         if repetition_penalty != 1.0:  # HF semantics: on logits, pre-softmax
             flat_seen = seen.reshape(b * w, v)
             ll = jnp.where(

@@ -29,12 +29,9 @@ def _loss_accum_causal(params, cfg, batch, acc):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def _loss_accum_seq2seq(params, cfg, batch, acc):
-    if cfg.seq2seq_family == "t5":
-        from ..models import t5
+    from ..models.families import s2s_module
 
-        loss, n = t5.loss_fn(params, cfg, batch)
-    else:
-        loss, n = seq2seq.loss_fn(params, cfg, batch)
+    loss, n = s2s_module(cfg).loss_fn(params, cfg, batch)
     return acc[0] + loss * n, acc[1] + n
 
 

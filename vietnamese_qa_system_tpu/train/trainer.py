@@ -121,6 +121,10 @@ def init_model_params(cfg: ModelConfig, key):
             from ..models import t5
 
             return t5.init_t5(key, cfg)
+        if cfg.seq2seq_family == "bart":
+            from ..models import bart
+
+            return bart.init_bart(key, cfg)
         return init_seq2seq(key, cfg)
     if cfg.arch == "encoder":
         return init_encoder(key, cfg)
@@ -131,11 +135,9 @@ def model_loss_fn(cfg: ModelConfig) -> Callable:
     if cfg.arch == "causal":
         return functools.partial(causal_lm.loss_fn, cfg=cfg)
     if cfg.arch == "seq2seq":
-        if cfg.seq2seq_family == "t5":
-            from ..models import t5
+        from ..models.families import s2s_module
 
-            return functools.partial(t5.loss_fn, cfg=cfg)
-        return functools.partial(seq2seq.loss_fn, cfg=cfg)
+        return functools.partial(s2s_module(cfg).loss_fn, cfg=cfg)
     raise ValueError(f"no training loss for arch {cfg.arch!r}")
 
 
