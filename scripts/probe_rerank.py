@@ -1,0 +1,158 @@
+"""Probe: two-stage retrieval — int8 first-pass scan + exact re-rank.
+
+Hypothesis: the headline bench (bf16 turbo, 1M x 768) sits AT the bf16
+HBM-streaming roofline (~5.2 ms/batch = 49k QPS).  An int8 first pass
+reads half the bytes (~2.6 ms), and re-ranking a small candidate set
+(B x K' rows) in higher precision restores recall@10 = 1.000 for ~free:
+the gather reads only B*K'*768 bytes (~12 MB at B=256, K'=64).
+
+Index-memory-neutral variant: residual int8 (primary + residual codes =
+1536 B/row, SAME as bf16).  First pass reads the primary half only; the
+re-rank dequantizes primary+residual of the candidates (~15.7 effective
+bits, comparable to bf16's 8-bit mantissa... better, actually).
+
+Timing rules per CLAUDE.md: all reps inside ONE dispatch, distinct query
+batches as scan xs, best-of-rounds, same-process A/B.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# K'=32 selection registers overflow the default 16M scoped-vmem cap
+# (measured 18.4-19.6M on v5e); raise it — v5e has 128M physical VMEM.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_tpu_scoped_vmem_limit_kib=40960"
+)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vietnamese_qa_system_tpu.ops import matmul_topk
+
+B, D, K = 256, 768, 10
+N = 1024 * 1024
+TILE = 2048
+REPS, ROUNDS = 10, 3
+
+
+def bench_scan(fn, qs, *args):
+    """Best-of-ROUNDS mean per-batch time for fn run over REPS query
+    batches inside one lax.scan dispatch."""
+
+    @jax.jit
+    def run_many(qs, *args):
+        def body(_, qb):
+            s, i = fn(qb, *args)
+            return 0, (s[0, 0], i[0, 0])
+
+        _, outs = jax.lax.scan(body, 0, qs)
+        return outs
+
+    np.asarray(run_many(qs, *args)[0])  # compile + settle
+    dt = float("inf")
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        out = run_many(qs, *args)
+        np.asarray(out[0])
+        dt = min(dt, (time.perf_counter() - t0) / REPS)
+    return dt
+
+
+def recall_oracle(q, corpus_f32, ids):
+    """Fraction of returned ids that are true top-K members (strict
+    rank-counting, tie-correct)."""
+
+    @jax.jit
+    def rank_counts(q_o, corpus, ids):
+        scores = jnp.einsum(
+            "bd,nd->bn", q_o.astype(jnp.float32), corpus.astype(jnp.float32)
+        )
+        true_s = jnp.take_along_axis(scores, ids, axis=1)
+        return jnp.sum(scores[:, :, None] > true_s[:, None, :], axis=1)
+
+    counts = np.asarray(rank_counts(q, corpus_f32, ids))
+    return float(np.mean(counts < K))
+
+
+def main():
+    kq, kc = jax.random.split(jax.random.key(0))
+    qs = jax.random.normal(kq, (REPS, B, D), jnp.bfloat16)
+    q = qs[0]
+    corpus = jax.random.normal(kc, (N, D), jnp.bfloat16)
+    np.asarray(jnp.sum(corpus[::4096, 0]))
+    print("corpus materialized", flush=True)
+
+    # --- residual int8 quantization (on device) -------------------------
+    @jax.jit
+    def quantize_residual(c):
+        x = c.astype(jnp.float32)
+        s1 = jnp.max(jnp.abs(x), axis=1) / 127.0  # (N,)
+        c1 = jnp.clip(jnp.round(x / s1[:, None]), -127, 127).astype(jnp.int8)
+        r = x - s1[:, None] * c1.astype(jnp.float32)
+        s2 = jnp.maximum(jnp.max(jnp.abs(r), axis=1), 1e-12) / 127.0
+        c2 = jnp.clip(jnp.round(r / s2[:, None]), -127, 127).astype(jnp.int8)
+        return c1, s1, c2, s2
+
+    c1, s1, c2, s2 = quantize_residual(corpus)
+    np.asarray(s1[:4])
+    print("quantized", flush=True)
+
+    # --- arms ------------------------------------------------------------
+    def arm_bf16(qb, corpus):
+        return matmul_topk(qb, corpus, K, tile_n=TILE, mode="turbo")
+
+    def arm_int8(qb, c1, s1):
+        return matmul_topk(qb, c1, K, tile_n=4096, mode="turbo",
+                           corpus_scales=s1)
+
+    def make_rerank(kprime, residual):
+        def arm(qb, c1, s1, c2, s2, corpus):
+            # tile_n=2048: K'=32/64 selection registers push a 4096-row
+            # tile past the 16M scoped-vmem cap (measured OOM on v5e)
+            _, cand = matmul_topk(qb, c1, kprime, tile_n=2048, mode="turbo",
+                                  corpus_scales=s1)
+            qf = qb.astype(jnp.float32)
+            p = jnp.take(c1, cand, axis=0).astype(jnp.float32)  # (B,K',D)
+            sc = jnp.einsum("bd,bkd->bk", qf, p) * jnp.take(s1, cand)
+            if residual:
+                r = jnp.take(c2, cand, axis=0).astype(jnp.float32)
+                sc = sc + jnp.einsum("bd,bkd->bk", qf, r) * jnp.take(s2, cand)
+            else:  # bf16 rerank (reads the original corpus rows)
+                g = jnp.take(corpus, cand, axis=0).astype(jnp.float32)
+                sc = jnp.einsum("bd,bkd->bk", qf, g)
+            top_s, pos = jax.lax.top_k(sc, K)
+            return top_s, jnp.take_along_axis(cand, pos, axis=1)
+
+        return arm
+
+    results = {}
+    dt = bench_scan(arm_bf16, qs, corpus)
+    ids = arm_bf16(q, corpus)[1]
+    results["bf16 turbo (current headline)"] = (dt, recall_oracle(q, corpus, ids))
+
+    dt = bench_scan(arm_int8, qs, c1, s1)
+    ids = arm_int8(q, c1, s1)[1]
+    results["int8 turbo, no rerank"] = (dt, recall_oracle(q, corpus, ids))
+
+    for kprime in (32, 64):
+        for residual in (True, False):
+            arm = make_rerank(kprime, residual)
+            dt = bench_scan(arm, qs, c1, s1, c2, s2, corpus)
+            ids = arm(q, c1, s1, c2, s2, corpus)[1]
+            tag = f"int8 K'={kprime} + {'residual' if residual else 'bf16'} rerank"
+            results[tag] = (dt, recall_oracle(q, corpus, ids))
+
+    print("\n=== results (per-batch ms in-scan, recall@10 vs f32 oracle) ===")
+    for tag, (dt, rec) in results.items():
+        print(f"{tag:45s} {dt*1e3:7.2f} ms  {B/dt:9.0f} QPS  recall {rec:.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1052,3 +1052,287 @@ def test_qwen2_sliding_window_layer_map():
         use_sliding_window=False, sliding_window=8,
     )
     assert qwen2_config(hf_cfg2).attention_layers is None
+
+
+# ---------------------------------------------------------------------------
+# MPT family (MosaicML MPT — vinai/PhoGPT-4B, the strongest Vietnamese-first
+# open LLM, is model_type "mpt")
+# ---------------------------------------------------------------------------
+
+
+def _tiny_mpt_cfg(**kw):
+    base = dict(
+        vocab_size=128, d_model=48, n_heads=6, n_layers=2,
+        expansion_ratio=4, max_seq_len=64,
+    )
+    base.update(kw)
+    return transformers.MptConfig(**base)
+
+
+def test_mpt_logits_match_transformers():
+    """MPT family (bias-free pre-LN LayerNorms, feature-major fused Wqkv,
+    MPT-variant ALiBi, exact-GELU MLP): our converted pytree must reproduce
+    HF logits.  n_heads=6 exercises MPT's non-power-of-two slope
+    interleave (PhoGPT-4B has 24 heads — also non-power-of-two)."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_mpt,
+        mpt_config,
+    )
+
+    hf_cfg = _tiny_mpt_cfg()
+    torch.manual_seed(21)
+    model = transformers.MptForCausalLM(hf_cfg).eval()
+    cfg = mpt_config(hf_cfg)
+    assert cfg.positional == "alibi" and cfg.alibi_mode == "mpt"
+    assert cfg.attention_bias is False and cfg.clip_qkv is None
+    params = convert_mpt(model.state_dict(), cfg)
+    assert "pos_embed" not in params and "emb_ln" not in params
+    assert "b" not in params["blocks"][0]["attn"]["wq"]
+
+    rng = np.random.default_rng(21)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.ones((2, 16), jnp.int32),
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.9
+
+    # greedy decode through the slot-position KV cache agrees with HF
+    one = ids[:1].astype(np.int32)
+    dec = np.asarray(
+        generate.generate(
+            params, cfg, jnp.asarray(one), jnp.ones((1, 16), jnp.int32),
+            max_new_tokens=1, temperature=0.0,
+        )
+    )
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(one.astype(np.int64)), max_new_tokens=1,
+            do_sample=False,
+        ).numpy()
+    assert dec[0, 16] == hf_out[0, 16]
+
+
+def test_mpt_alibi_slopes_match_hf():
+    """Our mode="mpt" slopes equal HF's build_mpt_alibi_tensor for
+    power-of-two and non-power-of-two head counts (24 = PhoGPT-4B).
+
+    At the default alibi_bias_max=8 MPT's higher-power-of-two interleave
+    reproduces BLOOM's lower-power-of-two extension EXACTLY (verified here
+    across head counts) — the mode knob matters only for configs with a
+    nonstandard alibi_bias_max, which the MPT recipe honors and the BLOOM
+    formula pins to 8."""
+    from transformers.models.mpt.modeling_mpt import build_mpt_alibi_tensor
+
+    from vietnamese_qa_system_tpu.models.layers import alibi_slopes
+
+    for n_heads in (4, 6, 8, 12, 16, 24):
+        hf = build_mpt_alibi_tensor(n_heads, 5)  # (H, 1, 5), slope * (k-4)
+        hf_slopes = (hf[:, 0, 4] - hf[:, 0, 3]).numpy()
+        ours = np.asarray(alibi_slopes(n_heads, mode="mpt"))
+        np.testing.assert_allclose(ours, hf_slopes, rtol=1e-6)
+        # the two published recipes coincide at bias_max=8 ...
+        np.testing.assert_allclose(
+            ours, np.asarray(alibi_slopes(n_heads, mode="bloom")), rtol=1e-6
+        )
+    # ... and mode="mpt" honors a nonstandard alibi_bias_max
+    assert not np.allclose(
+        np.asarray(alibi_slopes(6, mode="mpt", bias_max=4.0)),
+        np.asarray(alibi_slopes(6, mode="mpt")),
+    )
+
+
+def test_mpt_clip_qkv():
+    """attn_config.clip_qkv clamps the fused Wqkv output in HF; our
+    per-projection clamp must be equivalent — and must actually bind at
+    this scale (parity vs an unclipped run differs)."""
+    import dataclasses
+
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_mpt,
+        mpt_config,
+    )
+
+    hf_cfg = _tiny_mpt_cfg(attn_config={"alibi": True, "clip_qkv": 0.02})
+    torch.manual_seed(22)
+    model = transformers.MptForCausalLM(hf_cfg).eval()
+    cfg = mpt_config(hf_cfg)
+    assert cfg.clip_qkv == 0.02
+    params = convert_mpt(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(22)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 12)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.ones((2, 12), jnp.int32),
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+
+    unclipped = np.asarray(
+        causal_lm.forward(
+            params, dataclasses.replace(cfg, clip_qkv=None),
+            jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32),
+        ),
+        np.float32,
+    )
+    assert np.abs(ours - unclipped).max() > 1e-4
+
+
+def test_mpt_export_roundtrip_and_auto_dispatch(tmp_path):
+    """HF MPT -> our pytree -> export_causal_auto -> transformers reload
+    matches; load_causal_auto dispatches a saved MPT dir to load_mpt."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_mpt,
+        export_causal_auto,
+        load_causal_auto,
+        mpt_config,
+    )
+
+    hf_cfg = _tiny_mpt_cfg(n_heads=4)
+    torch.manual_seed(23)
+    model = transformers.MptForCausalLM(hf_cfg).eval()
+    cfg = mpt_config(hf_cfg)
+    params = convert_mpt(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "mpt_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "mpt"
+
+    rng = np.random.default_rng(23)
+    ids = torch.from_numpy(rng.integers(0, 128, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
+        )
+
+    params2, cfg2 = load_causal_auto(out_dir)
+    assert cfg2.alibi_mode == "mpt"
+    ours = np.asarray(
+        causal_lm.forward(
+            params2, cfg2, jnp.asarray(ids.numpy(), jnp.int32),
+            jnp.ones((2, 12), jnp.int32),
+        )
+    )
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            ours, model(ids).logits.numpy(), atol=0.05, rtol=0.05
+        )
+
+
+# ---------------------------------------------------------------------------
+# Gemma family (Google's multilingual open weights — GeGLU, (1+w) RMSNorm
+# fold, sqrt(d) embedding scaling, decoupled head_dim)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_gemma_cfg(**kw):
+    base = dict(
+        vocab_size=128, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=1, head_dim=16,
+        intermediate_size=96, max_position_embeddings=64,
+        hidden_act="gelu_pytorch_tanh", tie_word_embeddings=True,
+    )
+    base.update(kw)
+    return transformers.GemmaConfig(**base)
+
+
+def test_gemma_logits_match_transformers():
+    """Gemma family: (1+w) RMSNorm folded into the imported scales, GeGLU
+    gate (tanh), sqrt(d_model) embedding scaling, head_dim=16 decoupled
+    from d/h=12, MQA (1 kv head): our converted pytree must reproduce HF
+    logits, uncached and through greedy KV-cached decode."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gemma,
+        gemma_config,
+    )
+
+    hf_cfg = _tiny_gemma_cfg()
+    torch.manual_seed(31)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = gemma_config(hf_cfg)
+    assert cfg.scale_embedding and cfg.activation == "gelu_new"
+    assert cfg.d_kv == 16 and cfg.head_dim == 16 and cfg.n_kv_heads == 1
+    params = convert_gemma(model.state_dict(), cfg)
+    # HF init zeros the RMSNorm weights -> folded scales are exactly 1
+    assert np.allclose(np.asarray(params["ln_f"]["scale"]), 1.0)
+
+    rng = np.random.default_rng(31)
+    ids = rng.integers(0, hf_cfg.vocab_size, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(
+        causal_lm.forward(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.ones((2, 16), jnp.int32),
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=0.05, rtol=0.05)
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.9
+
+    one = ids[:1].astype(np.int32)
+    dec = np.asarray(
+        generate.generate(
+            params, cfg, jnp.asarray(one), jnp.ones((1, 16), jnp.int32),
+            max_new_tokens=1, temperature=0.0,
+        )
+    )
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(one.astype(np.int64)), max_new_tokens=1,
+            do_sample=False,
+        ).numpy()
+    assert dec[0, 16] == hf_out[0, 16]
+
+
+def test_gemma_export_roundtrip_and_auto_dispatch(tmp_path):
+    """HF Gemma -> our pytree -> export_causal_auto (scale_embedding
+    fingerprint -> export_gemma, norm fold inverted) -> transformers
+    reload matches; load_causal_auto dispatches model_type gemma."""
+    from vietnamese_qa_system_tpu.models.convert_hf import (
+        convert_gemma,
+        export_causal_auto,
+        gemma_config,
+        load_causal_auto,
+    )
+
+    hf_cfg = _tiny_gemma_cfg()
+    torch.manual_seed(32)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = gemma_config(hf_cfg)
+    params = convert_gemma(model.state_dict(), cfg)
+    out_dir = str(tmp_path / "gemma_exported")
+    export_causal_auto(params, cfg, out_dir)
+    reloaded = transformers.AutoModelForCausalLM.from_pretrained(out_dir).eval()
+    assert reloaded.config.model_type == "gemma"
+
+    rng = np.random.default_rng(32)
+    ids = torch.from_numpy(rng.integers(0, 128, (2, 12)).astype("int64"))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model(ids).logits.numpy(), reloaded(ids).logits.numpy(), atol=1e-4
+        )
+
+    params2, cfg2 = load_causal_auto(out_dir)
+    assert cfg2.scale_embedding and cfg2.d_kv == 16
+    ours = np.asarray(
+        causal_lm.forward(
+            params2, cfg2, jnp.asarray(ids.numpy(), jnp.int32),
+            jnp.ones((2, 12), jnp.int32),
+        )
+    )
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            ours, model(ids).logits.numpy(), atol=0.05, rtol=0.05
+        )

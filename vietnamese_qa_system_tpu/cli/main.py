@@ -28,7 +28,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     g.add_argument("--model-size", default="tiny",
                    choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                            "llama1b", "qwen2-05b", "bloom560m", "mt5small",
+                            "llama1b", "qwen2-05b", "bloom560m", "phogpt4b", "mt5small",
                             "seq2seq-small"],
                    help="preset size (reference used gpt-neo-125m / "
                         "pythia-410m; mt5small = its seq2seq experiments)")
@@ -166,6 +166,7 @@ def _model_config(args):
         "llama1b": mcfg.llama_1b_class,
         "qwen2-05b": mcfg.qwen2_05b_class,
         "bloom560m": mcfg.bloom_560m_class,
+        "phogpt4b": mcfg.phogpt_4b_class,
         "mt5small": mcfg.mt5_small_class,
         "seq2seq-small": mcfg.seq2seq_native_small,
     }
@@ -682,6 +683,7 @@ def cmd_serve(args) -> int:
             "pythia410m": mcfg.pythia_410m_class,
             "qwen2-05b": mcfg.qwen2_05b_class,
             "bloom560m": mcfg.bloom_560m_class,
+        "phogpt4b": mcfg.phogpt_4b_class,
             "tiny-s2s": lambda: mcfg.tiny_test("seq2seq"),
             "mt5small": mcfg.mt5_small_class,
         }
@@ -940,6 +942,7 @@ def cmd_chat(args) -> int:
             "pythia410m": mcfg.pythia_410m_class,
             "qwen2-05b": mcfg.qwen2_05b_class,
             "bloom560m": mcfg.bloom_560m_class,
+        "phogpt4b": mcfg.phogpt_4b_class,
         }
         dcfg = draft_presets[args.draft_size]()
         # the only hard invariant: draft vocab == target vocab (model was
@@ -1161,8 +1164,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--seed", type=int, default=42)
     ps.add_argument("--reader-size", default=None,
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "qwen2-05b", "bloom560m", "tiny-s2s",
-                             "mt5small"],
+                             "qwen2-05b", "bloom560m", "phogpt4b",
+                             "tiny-s2s", "mt5small"],
                     help="enable full QA: retrieve + generate with a reader "
                     "LM (tiny-s2s/mt5small serve encoder-decoder readers)")
     ps.add_argument("--reader-params", default=None)
@@ -1257,7 +1260,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pc.add_argument("--model-size", default="tiny",
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "llama1b", "qwen2-05b", "bloom560m", "mt5small",
+                             "llama1b", "qwen2-05b", "bloom560m", "phogpt4b", "mt5small",
                              "seq2seq-small"])
     pc.add_argument("--model-config", default=None)
     pc.add_argument("--scan-layers", action="store_true",
@@ -1300,7 +1303,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--arch", choices=["causal", "seq2seq"], default="causal")
     pv.add_argument("--model-size", default="tiny",
                     choices=["tiny", "gpt125m", "gptneo125m", "pythia410m",
-                             "llama1b", "qwen2-05b", "bloom560m", "mt5small",
+                             "llama1b", "qwen2-05b", "bloom560m", "phogpt4b", "mt5small",
                              "seq2seq-small"])
     pv.add_argument("--tokenizer", default="byte",
                     help="tokenizer the checkpoint was trained with; sets "

@@ -152,6 +152,9 @@ def hidden_states(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = params["tok_embed"][ids]
+    if cfg.scale_embedding:
+        # Gemma (and mBART-style) sqrt(d_model) embedding scaling
+        x = x * jnp.asarray(cfg.d_model**0.5, x.dtype)
     rope = None
     if cfg.positional == "learned":
         x = x + params["pos_embed"][positions]
@@ -172,7 +175,11 @@ def hidden_states(
 
     if cache is None:
         flash = None
-        bias = alibi_bias(cfg.n_heads, jnp.arange(t)) if alibi else None
+        bias = (
+            alibi_bias(cfg.n_heads, jnp.arange(t), cfg.alibi_mode,
+                       cfg.alibi_bias_max)
+            if alibi else None
+        )
         mask = causal_mask(t)
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, :].astype(jnp.bool_)
@@ -222,7 +229,7 @@ def hidden_states(
                     flash=scan_flash,
                     parallel_residual=cfg.parallel_residual,
                     scale=cfg.attention_scale, activation=cfg.activation,
-                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias, clip=cfg.clip_qkv,
                     activation_dtype=adt,
                 )
                 return h2, None
@@ -244,7 +251,7 @@ def hidden_states(
                     flash=flash_local if local else flash,
                     parallel_residual=cfg.parallel_residual,
                     scale=cfg.attention_scale, activation=cfg.activation,
-                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias, clip=cfg.clip_qkv,
                     activation_dtype=adt,
                 )
     else:
@@ -257,7 +264,9 @@ def hidden_states(
             else cache[0]["k"].shape[1]
         )
         bias = (
-            alibi_bias(cfg.n_heads, jnp.arange(cache_len)) if alibi else None
+            alibi_bias(cfg.n_heads, jnp.arange(cache_len), cfg.alibi_mode,
+                       cfg.alibi_bias_max)
+            if alibi else None
         )
         mask = attn_mask
         local_mask = None
@@ -284,7 +293,7 @@ def hidden_states(
                     eps=cfg.norm_eps,
                     parallel_residual=cfg.parallel_residual,
                     scale=cfg.attention_scale, activation=cfg.activation,
-                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias, clip=cfg.clip_qkv,
                     activation_dtype=adt,
                 )
                 return h2, nc
@@ -302,7 +311,7 @@ def hidden_states(
                     cache=layer_cache, cache_index=cache_index, eps=cfg.norm_eps,
                     parallel_residual=cfg.parallel_residual,
                     scale=cfg.attention_scale, activation=cfg.activation,
-                    n_kv_heads=cfg.n_kv_heads, bias=bias,
+                    n_kv_heads=cfg.n_kv_heads, bias=bias, clip=cfg.clip_qkv,
                     activation_dtype=adt,
                 )
                 new_caches.append(nc)

@@ -38,6 +38,17 @@ class ModelConfig:
     # bloomz/vietcuna, loadable through the reference's AutoModelForCausalLM
     # path at reference src/models/trainer.py:536-551)
     positional: Literal["rope", "learned", "alibi"] = "rope"
+    # ALiBi slope construction for non-power-of-two head counts: "bloom"
+    # extends the closest LOWER power of two's sequence (HF
+    # build_alibi_tensor); "mpt" builds the next HIGHER power of two's
+    # sequence and interleaves (HF build_mpt_alibi_tensor — the MPT/PhoGPT
+    # family, e.g. vinai/PhoGPT-4B with 24 heads).  Identical for
+    # power-of-two head counts at alibi_bias_max=8.
+    alibi_mode: str = "bloom"
+    alibi_bias_max: float = 8.0
+    # MPT attn_config.clip_qkv: clamp q/k/v projections to [-clip, clip]
+    # before attention (None = off)
+    clip_qkv: float | None = None
     rope_theta: float = 10000.0
     norm_eps: float = 1e-6
     tie_embeddings: bool = True
@@ -264,6 +275,25 @@ def bloom_560m_class() -> ModelConfig:
         n_layers=24, d_ff=4096, max_seq_len=2048, positional="alibi",
         embed_layernorm=True, norm_eps=1e-5, tie_embeddings=True,
         activation="gelu_new", use_flash_attention=True,
+    )
+
+
+def phogpt_4b_class() -> ModelConfig:
+    """Faithful vinai/PhoGPT-4B layout — the strongest Vietnamese-first
+    open LLM (trained from scratch on 102B Vietnamese tokens; model_type
+    "mpt"): MPT architecture — ALiBi with the MPT slope recipe (24 heads =
+    non-power-of-two interleave), bias-free pre-LN LayerNorms, fused Wqkv,
+    exact-GELU 4x MLP, tied head, 20480-token Vietnamese BPE vocab.  Real
+    PhoGPT weights import via models/convert_hf.py::load_mpt (the
+    reference loads any such model through AutoModelForCausalLM,
+    reference src/models/trainer.py:536-551).  scan_layers: 32 deep flash
+    layers compile O(1) over the remote-compile tunnel."""
+    return ModelConfig(
+        arch="causal", vocab_size=20480, d_model=3072, n_heads=24,
+        n_layers=32, d_ff=12288, max_seq_len=8192, positional="alibi",
+        alibi_mode="mpt", attention_bias=False, norm_eps=1e-5,
+        tie_embeddings=True, activation="gelu", use_flash_attention=True,
+        scan_layers=True,
     )
 
 

@@ -545,6 +545,61 @@ def convert_llama(state_dict: Mapping, cfg: ModelConfig) -> dict:
     return params
 
 
+def gemma_config(hf_cfg) -> ModelConfig:
+    """transformers GemmaConfig -> ModelConfig (Gemma-1 — Google's
+    multilingual open-weights family): the llama layout plus a GeGLU gate
+    (hidden_act="gelu_pytorch_tanh" — every Gemma release uses the tanh
+    gate), sqrt(d_model) embedding scaling, an explicit head_dim decoupled
+    from d_model (2b: 8 heads x 256 > 2048), and (1+weight) RMSNorms —
+    folded into the imported scales by :func:`convert_gemma`, so the
+    runtime norm stays the standard RMSNorm."""
+    import dataclasses
+
+    base = llama_config(hf_cfg)
+    head_dim = int(
+        getattr(hf_cfg, "head_dim", None)
+        or hf_cfg.hidden_size // hf_cfg.num_attention_heads
+    )
+    return dataclasses.replace(
+        base,
+        activation="gelu_new",
+        scale_embedding=True,
+        tie_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", True)),
+        d_kv=(
+            head_dim
+            if head_dim * hf_cfg.num_attention_heads != hf_cfg.hidden_size
+            else None
+        ),
+    )
+
+
+def convert_gemma(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """HF Gemma state dict -> pytree: the llama layout with every RMSNorm
+    weight stored as (1 + w) — GemmaRMSNorm computes x_hat * (1 + weight)
+    (modeling_gemma.py GemmaRMSNorm.forward), which folds exactly into the
+    standard RMSNorm scale since both normalize in f32."""
+    params = convert_llama(state_dict, cfg)
+    for blk in params["blocks"]:
+        for name in ("ln1", "ln2"):
+            blk[name]["scale"] = blk[name]["scale"] + 1.0
+    params["ln_f"]["scale"] = params["ln_f"]["scale"] + 1.0
+    return params
+
+
+def load_gemma(model_dir: str):
+    """Local transformers Gemma directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = gemma_config(hf_cfg)
+    params = convert_gemma(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
 def load_llama(model_dir: str):
     """Local transformers Llama directory -> (params, ModelConfig)."""
     from transformers import AutoConfig, AutoModelForCausalLM
@@ -717,6 +772,38 @@ def export_qwen2(params, cfg: ModelConfig, out_dir: str) -> str:
     )
     return _export_llama_layout(params, cfg, out_dir, hf_cfg,
                                 Qwen2ForCausalLM)
+
+
+def export_gemma(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable Gemma model directory: the llama
+    state-dict layout with the (1 + w) norm fold of :func:`convert_gemma`
+    inverted (scale - 1) before writing."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    params = dict(params)
+    params["blocks"] = [dict(b) for b in params["blocks"]]
+    for blk in params["blocks"]:
+        for name in ("ln1", "ln2"):
+            blk[name] = {"scale": np.asarray(blk[name]["scale"]) - 1.0}
+    params["ln_f"] = {"scale": np.asarray(params["ln_f"]["scale"]) - 1.0}
+
+    hf_cfg = GemmaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.d_model,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.kv_heads,
+        head_dim=cfg.head_dim,
+        intermediate_size=cfg.d_ff,
+        max_position_embeddings=cfg.max_seq_len,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        tie_word_embeddings=cfg.tie_embeddings,
+        hidden_act="gelu_pytorch_tanh",
+        attention_bias=False,
+    )
+    return _export_llama_layout(params, cfg, out_dir, hf_cfg,
+                                GemmaForCausalLM)
 
 
 def to_gpt2_state_dict(params, cfg: ModelConfig) -> dict:
@@ -957,13 +1044,237 @@ def export_bloom(params, cfg: ModelConfig, out_dir: str) -> str:
     return out_dir
 
 
+def mpt_config(hf_cfg) -> ModelConfig:
+    """transformers MptConfig -> ModelConfig (the MosaicML MPT family —
+    notably vinai/PhoGPT-4B, the strongest Vietnamese-first open LLM,
+    which is ``model_type: mpt``; loadable through the reference's
+    AutoModelForCausalLM path at src/models/trainer.py:536-551).
+
+    MPT is pre-LN with bias-free LayerNorms, a fused bias-free Wqkv,
+    MPT-variant ALiBi slopes (next-higher power of two + interleave —
+    PhoGPT's 24 heads hit the non-power-of-two branch), optional
+    ``clip_qkv`` clamping, and an exact-GELU 4x MLP."""
+    attn = hf_cfg.attn_config
+    if not getattr(attn, "alibi", True):
+        raise ValueError(
+            "non-ALiBi MPT configs are not supported (transformers' native "
+            "MptModel is ALiBi-only as well)"
+        )
+    if getattr(attn, "qk_ln", False):
+        raise ValueError(
+            "qk_ln MPT variants require trust_remote_code in transformers "
+            "too (native MptAttention has no q/k LayerNorm) — unsupported"
+        )
+    scale = getattr(attn, "softmax_scale", None)
+    return ModelConfig(
+        arch="causal",
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.d_model,
+        n_heads=hf_cfg.n_heads,
+        n_layers=hf_cfg.n_layers,
+        d_ff=int(hf_cfg.expansion_ratio * hf_cfg.d_model),
+        max_seq_len=int(hf_cfg.max_seq_len),
+        positional="alibi",
+        alibi_mode="mpt",
+        alibi_bias_max=float(getattr(attn, "alibi_bias_max", 8)),
+        clip_qkv=(
+            float(attn.clip_qkv)
+            if getattr(attn, "clip_qkv", None) else None
+        ),
+        attention_scale=float(scale) if scale is not None else None,
+        tie_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", True)),
+        attention_bias=not bool(getattr(hf_cfg, "no_bias", True)),
+        norm_eps=float(getattr(hf_cfg, "layer_norm_epsilon", 1e-5)),
+        activation="gelu",  # MptMLP uses nn.GELU(approximate="none")
+    )
+
+
+def convert_mpt(state_dict: Mapping, cfg: ModelConfig) -> dict:
+    """MPT state dict -> this framework's causal-LM pytree.
+
+    The fused Wqkv rows are FEATURE-major (q = rows [0, d), k = [d, 2d),
+    v = [2d, 3d) — HF ``mixed_qkv.chunk(3, dim=2)``), unlike BLOOM's
+    head-interleaved packing.  MPT LayerNorms carry no bias on the Hub
+    (``norm_1.bias = None`` in modeling_mpt.py); zeros are imported so the
+    pytree stays a mean-subtracting LayerNorm (the param-shape dispatch in
+    layers.layernorm reads a missing bias as RMSNorm)."""
+    d = cfg.d_model
+
+    def pick(name):
+        if name not in state_dict:
+            raise KeyError(f"missing weight {name!r} in state dict")
+        return _t(state_dict[name])
+
+    def lin(name):
+        w = {"w": pick(name + ".weight").T.copy()}
+        if name + ".bias" in state_dict:
+            w["b"] = pick(name + ".bias")
+        return w
+
+    def ln(name):
+        p = {"scale": pick(name + ".weight")}
+        p["bias"] = (
+            pick(name + ".bias") if name + ".bias" in state_dict
+            else np.zeros((d,), np.float32)
+        )
+        return p
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        pre = f"transformer.blocks.{i}."
+        wqkv = pick(pre + "attn.Wqkv.weight")  # (3d, d) rows = out features
+        attn = {
+            name: {"w": wqkv[j * d:(j + 1) * d].T.copy()}
+            for j, name in enumerate(("wq", "wk", "wv"))
+        }
+        if pre + "attn.Wqkv.bias" in state_dict:
+            bqkv = pick(pre + "attn.Wqkv.bias")
+            for j, name in enumerate(("wq", "wk", "wv")):
+                attn[name]["b"] = bqkv[j * d:(j + 1) * d].copy()
+        attn["wo"] = lin(pre + "attn.out_proj")
+        blocks.append(
+            {
+                "ln1": ln(pre + "norm_1"),
+                "attn": attn,
+                "ln2": ln(pre + "norm_2"),
+                "mlp": {
+                    "wi": lin(pre + "ffn.up_proj"),
+                    "wo": lin(pre + "ffn.down_proj"),
+                },
+            }
+        )
+
+    params = {
+        "tok_embed": pick("transformer.wte.weight"),
+        "blocks": blocks,
+        "ln_f": ln("transformer.norm_f"),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"w": pick("lm_head.weight").T.copy()}
+    return params
+
+
+def load_mpt(model_dir: str):
+    """Local transformers MPT directory -> (params, ModelConfig)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype="float32", low_cpu_mem_usage=True
+    )
+    cfg = mpt_config(hf_cfg)
+    params = convert_mpt(model.state_dict(), cfg)
+    del model
+    return params, cfg
+
+
+def to_mpt_state_dict(params, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`convert_mpt` (numpy HF state dict).
+
+    MPT LayerNorms on the Hub have no bias, so a bias learned by full
+    fine-tuning cannot be represented — raise rather than silently drop
+    it (LoRA training keeps the zeros imported by convert_mpt)."""
+    d = cfg.d_model
+    out: dict = {
+        "transformer.wte.weight": np.asarray(params["tok_embed"], np.float32),
+    }
+
+    def put_ln(name, p):
+        out[name + ".weight"] = np.asarray(p["scale"], np.float32)
+        b = np.asarray(p.get("bias", 0.0), np.float32)
+        if np.abs(b).max(initial=0.0) > 1e-6:
+            raise ValueError(
+                f"{name}: nonzero LayerNorm bias cannot be exported to the "
+                "MPT format (HF MptModel pins norm biases to None)"
+            )
+
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"transformer.blocks.{i}."
+        put_ln(pre + "norm_1", blk["ln1"])
+        put_ln(pre + "norm_2", blk["ln2"])
+        wqkv = np.concatenate(
+            [
+                np.asarray(blk["attn"][n]["w"], np.float32).T
+                for n in ("wq", "wk", "wv")
+            ],
+            axis=0,
+        )
+        out[pre + "attn.Wqkv.weight"] = wqkv
+        if "b" in blk["attn"]["wq"]:
+            out[pre + "attn.Wqkv.bias"] = np.concatenate(
+                [
+                    np.asarray(blk["attn"][n]["b"], np.float32)
+                    for n in ("wq", "wk", "wv")
+                ]
+            )
+        for ours, theirs in (
+            ("wo", "attn.out_proj"),
+        ):
+            out[pre + theirs + ".weight"] = np.asarray(
+                blk["attn"][ours]["w"], np.float32
+            ).T
+            if "b" in blk["attn"][ours]:
+                out[pre + theirs + ".bias"] = np.asarray(
+                    blk["attn"][ours]["b"], np.float32
+                )
+        for ours, theirs in (("wi", "ffn.up_proj"), ("wo", "ffn.down_proj")):
+            out[pre + f"{theirs}.weight"] = np.asarray(
+                blk["mlp"][ours]["w"], np.float32
+            ).T
+            if "b" in blk["mlp"][ours]:
+                out[pre + f"{theirs}.bias"] = np.asarray(
+                    blk["mlp"][ours]["b"], np.float32
+                )
+    put_ln("transformer.norm_f", params["ln_f"])
+    out["lm_head.weight"] = (
+        out["transformer.wte.weight"] if cfg.tie_embeddings
+        else np.asarray(params["lm_head"]["w"], np.float32).T
+    )
+    return out
+
+
+def export_mpt(params, cfg: ModelConfig, out_dir: str) -> str:
+    """Write a transformers-loadable MPT model directory."""
+    import torch
+    from transformers import MptConfig, MptForCausalLM
+
+    hf_cfg = MptConfig(
+        vocab_size=cfg.vocab_size,
+        d_model=cfg.d_model,
+        n_heads=cfg.n_heads,
+        n_layers=cfg.n_layers,
+        expansion_ratio=cfg.d_ff // cfg.d_model,
+        max_seq_len=cfg.max_seq_len,
+        layer_norm_epsilon=cfg.norm_eps,
+        no_bias=not bool(cfg.attention_bias),
+        tie_word_embeddings=cfg.tie_embeddings,
+        attn_config={
+            "alibi": True,
+            "alibi_bias_max": cfg.alibi_bias_max,
+            "clip_qkv": cfg.clip_qkv,
+            "softmax_scale": cfg.attention_scale,
+        },
+    )
+    model = MptForCausalLM(hf_cfg)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in to_mpt_state_dict(params, cfg).items()
+    }
+    _, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"unexpected keys in export: {unexpected}")
+    model.save_pretrained(out_dir, safe_serialization=False)
+    return out_dir
+
+
 def export_causal_auto(params, cfg: ModelConfig, out_dir: str) -> str:
     """Export this framework's causal pytree to the matching HF format,
     dispatched on the config's architecture fingerprints (the inverse of
     :func:`load_causal_auto`):
 
-    - RMSNorm / gated MLP            -> Llama
-    - ALiBi positions                -> BLOOM
+    - RMSNorm / gated MLP            -> Llama (qkv biases -> Qwen2,
+                                       scale_embedding -> Gemma)
+    - ALiBi positions                -> BLOOM (alibi_mode="mpt" -> MPT)
     - learned positions, unscaled    -> GPT-Neo (attention_scale == 1.0)
     - learned positions, 1/sqrt(d)   -> GPT-2
     - otherwise (RoPE)               -> GPT-NeoX
@@ -977,8 +1288,12 @@ def export_causal_auto(params, cfg: ModelConfig, out_dir: str) -> str:
     if cfg.norm == "rmsnorm" or cfg.mlp_gated:
         if cfg.attention_bias == "qkv":
             return export_qwen2(params, cfg, out_dir)
+        if cfg.scale_embedding:
+            return export_gemma(params, cfg, out_dir)
         return export_llama(params, cfg, out_dir)
     if cfg.positional == "alibi":
+        if cfg.alibi_mode == "mpt":
+            return export_mpt(params, cfg, out_dir)
         return export_bloom(params, cfg, out_dir)
     if cfg.positional == "learned":
         if cfg.attention_scale == 1.0:
@@ -1002,10 +1317,14 @@ def load_causal_auto(model_dir: str):
         return load_gpt2(model_dir)
     if model_type in ("llama", "mistral"):
         return load_llama(model_dir)
+    if model_type == "gemma":
+        return load_gemma(model_dir)
     if model_type == "qwen2":
         return load_qwen2(model_dir)
     if model_type == "bloom":
         return load_bloom(model_dir)
+    if model_type == "mpt":
+        return load_mpt(model_dir)
     return load_gpt_neox(model_dir)
 
 

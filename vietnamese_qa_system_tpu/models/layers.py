@@ -189,16 +189,30 @@ def apply_rope(x, cos, sin, positions):
     return out
 
 
-def alibi_slopes(n_heads: int):
-    """Per-head ALiBi slopes (BLOOM family).
+def alibi_slopes(n_heads: int, mode: str = "bloom", bias_max: float = 8.0):
+    """Per-head ALiBi slopes.
 
-    The published geometric sequence: for a power-of-two head count,
-    slope_h = 2^(-8h/n); otherwise the closest power of two's sequence is
-    extended with the odd terms of the doubled-head sequence (the HF
-    ``build_alibi_tensor`` recipe, so imported BLOOM weights reproduce
-    transformers logits exactly).
+    ``mode="bloom"``: the published geometric sequence — for a power-of-two
+    head count, slope_h = 2^(-8h/n); otherwise the closest LOWER power of
+    two's sequence is extended with the odd terms of the doubled-head
+    sequence (the HF ``build_alibi_tensor`` recipe, so imported BLOOM
+    weights reproduce transformers logits exactly).
+
+    ``mode="mpt"``: the MosaicML MPT recipe (HF ``build_mpt_alibi_tensor``
+    — the MPT/PhoGPT family): slopes for the next HIGHER power of two
+    n2 = 2^ceil(log2(n)) as 2^(-bias_max*h/n2), then for non-power-of-two
+    head counts the odd-index terms are moved ahead of the even-index
+    terms and the list truncated to n heads.  Identical to "bloom" for
+    power-of-two head counts at bias_max=8.
     """
     import math
+
+    if mode == "mpt":
+        n2 = 2 ** math.ceil(math.log2(n_heads))
+        slopes = [2.0 ** (-bias_max * i / n2) for i in range(1, n2 + 1)]
+        if n2 != n_heads:
+            slopes = (slopes[1::2] + slopes[0::2])[:n_heads]
+        return jnp.asarray(slopes, jnp.float32)
 
     closest = 2 ** math.floor(math.log2(n_heads))
     base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
@@ -211,7 +225,8 @@ def alibi_slopes(n_heads: int):
     return jnp.asarray(slopes, jnp.float32)
 
 
-def alibi_bias(n_heads: int, key_positions):
+def alibi_bias(n_heads: int, key_positions, mode: str = "bloom",
+               bias_max: float = 8.0):
     """(1, H, 1, K) additive attention-score bias: slope_h * key_position.
 
     ALiBi's relative form ``-slope * (q_pos - k_pos)`` differs from this
@@ -220,7 +235,7 @@ def alibi_bias(n_heads: int, key_positions):
     instead of O(QK), independent of padding offsets (a per-row shift of
     both q and k positions is also a row constant).
     """
-    slopes = alibi_slopes(n_heads)
+    slopes = alibi_slopes(n_heads, mode, bias_max)
     k = jnp.asarray(key_positions, jnp.float32)
     return slopes[None, :, None, None] * k[None, None, None, :]
 
@@ -315,6 +330,7 @@ def attention(
     scale=None,
     n_kv_heads=None,
     static_kv=None,
+    clip=None,
 ):
     """Multi-head attention.
 
@@ -334,18 +350,25 @@ def attention(
       The KV cache stores the UNREPEATED heads (memory win is the point).
     - ``static_kv``: precomputed head-split K/V dict (cross-attention; see
       :func:`cross_attention_kv`) — skips the wk/wv projections entirely.
+    - ``clip``: clamp q/k/v projection outputs to [-clip, clip] (MPT
+      attn_config.clip_qkv; clamping the split projections equals HF's
+      clamp of the fused Wqkv output).
     """
+
+    def _cl(y):
+        return y if clip is None else jnp.clip(y, -clip, clip)
+
     kv_in = x if kv_x is None else kv_x
     kv_h = n_heads if n_kv_heads is None else n_kv_heads
-    q = _split_heads(dense(p["wq"], x), n_heads)
+    q = _split_heads(_cl(dense(p["wq"], x)), n_heads)
     if static_kv is not None:
         # precomputed cross-attention K/V (cross_attention_kv): the encoder
         # projections are sequence-invariant, so decode loops compute them
         # once instead of once per generated token
         k, v = static_kv["k"], static_kv["v"]
     else:
-        k = _split_heads(dense(p["wk"], kv_in), kv_h)
-        v = _split_heads(dense(p["wv"], kv_in), kv_h)
+        k = _split_heads(_cl(dense(p["wk"], kv_in)), kv_h)
+        v = _split_heads(_cl(dense(p["wv"], kv_in)), kv_h)
 
     if rope is not None:
         cos, sin = rope
@@ -485,8 +508,17 @@ def init_mlp(key, d_model: int, d_ff: int, *, gated: bool = False,
 
 def mlp(p, x, activation: str = "gelu"):
     if "wg" in p:
-        # SwiGLU (llama family): silu(x @ Wg) * (x @ Wi) @ Wo
-        return dense(p["wo"], jax.nn.silu(dense(p["wg"], x)) * dense(p["wi"], x))
+        # gated MLP: act(x @ Wg) * (x @ Wi) @ Wo.  The gate activation is
+        # silu (SwiGLU, llama family) unless the config explicitly asks
+        # for the tanh-GELU gate ("gelu_new" — GeGLU, the Gemma family's
+        # hidden_act="gelu_pytorch_tanh"); no gated family uses exact
+        # gelu, so the default "gelu" keeps the llama meaning (silu).
+        g = dense(p["wg"], x)
+        a = (
+            jax.nn.gelu(g, approximate=True) if activation == "gelu_new"
+            else jax.nn.silu(g)
+        )
+        return dense(p["wo"], a * dense(p["wi"], x))
     # "gelu" = exact (erf), HF's default; "gelu_new" = tanh approximation
     # (GPT-Neo / GPT-2 families)
     h = jax.nn.gelu(dense(p["wi"], x), approximate=(activation == "gelu_new"))
@@ -542,6 +574,7 @@ def block(
     n_kv_heads=None,
     activation_dtype=None,
     cross_kv=None,
+    clip=None,
 ):
     """``activation_dtype`` (e.g. bf16) keeps the residual stream and norm
     outputs in that dtype — the mixed-precision activation policy that
@@ -558,7 +591,7 @@ def block(
         h, new_cache = attention(
             p["attn"], x, n_heads=n_heads, mask=mask, rope=rope,
             positions=positions, cache=cache, cache_index=cache_index,
-            flash=flash, bias=bias, scale=scale,
+            flash=flash, bias=bias, scale=scale, clip=clip,
         )
         x = layernorm(p["ln1"], x + cast(h), eps, out_dtype=adt)
         x = layernorm(
@@ -580,6 +613,7 @@ def block(
         bias=bias,
         scale=scale,
         n_kv_heads=n_kv_heads,
+        clip=clip,
     )
     if parallel_residual:
         # GPT-NeoX style: x + attn(ln1(x)) + mlp(ln2(x))
