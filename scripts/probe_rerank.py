@@ -23,11 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# K'=32 selection registers overflow the default 16M scoped-vmem cap
-# (measured 18.4-19.6M on v5e); raise it — v5e has 128M physical VMEM.
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_tpu_scoped_vmem_limit_kib=40960"
-)
+# NOTE: the axon client rejects --xla_tpu_scoped_vmem_limit_kib in
+# XLA_FLAGS ("Unknown flag", F-check at startup), so the scoped-vmem cap
+# cannot be raised here.  K'>10 selection registers overflow the default
+# 16M cap at tile 4096; the rerank arms therefore scan at tile 2048 (and
+# fall back to 1024 if Mosaic still rejects).
 
 import numpy as np
 import jax

@@ -32,7 +32,7 @@ def _recall(ids, ref_ids):
 
 
 @pytest.mark.parametrize("n_shards", [1, 4])
-@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global", "int8_res"])
 def test_store_topk_matches_bruteforce(rng, n_shards, dtype):
     mesh = create_mesh({SHARD_AXIS: n_shards}, devices=jax.devices()[:n_shards])
     store = VectorStore(2048, 128, mesh=mesh, dtype=dtype, tile_n=256)
@@ -101,7 +101,7 @@ def test_store_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
 
 
-@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global", "int8_res"])
 def test_store_save_compact_and_capacity_override(rng, tmp_path, dtype):
     """save() writes only used rows (a tiny corpus in a huge-capacity
     store must not checkpoint the whole slab), and load(capacity=0)
@@ -135,7 +135,7 @@ def test_store_save_compact_and_capacity_override(rng, tmp_path, dtype):
         assert other.size == 107
 
 
-@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global", "int8_res"])
 def test_store_load_cross_mesh_size(rng, tmp_path, dtype):
     """Loading onto a different mesh size must dequantize before re-adding:
     raw int8 codes re-added as floats get re-quantized per-row, silently
@@ -356,7 +356,7 @@ def test_dual_agreement_handles_empty_rows():
     assert dual_agreement([[]], [hit]) == [None]
 
 
-@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global"])
+@pytest.mark.parametrize("dtype", ["bf16", "int8", "int8_global", "int8_res"])
 def test_store_load_empty_across_mesh_sizes(rng, tmp_path, dtype):
     """An empty saved store must load onto a different mesh size without
     crashing (int8_global has no calibrated scale yet — the reshard

@@ -1123,7 +1123,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="preset (tiny|minilm|mpnet) or local HF BERT dir")
     pi.add_argument("--tokenizer", default="byte")
     pi.add_argument("--capacity", type=int, default=1 << 20)
-    pi.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
+    pi.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "int8", "int8_res"],
+                    help="index compression: int8 halves memory (recall "
+                    "~0.98); int8_res keeps bf16-equal memory but scans "
+                    "half the bytes, two-stage re-rank restores recall")
     pi.add_argument("--shards", type=int, default=1)
     pi.add_argument("--chunk-size", type=int, default=512)
     pi.add_argument("--batch-size", type=int, default=256)

@@ -49,6 +49,7 @@ class Retriever:
         lexical=None,
         hybrid_weight: float = 0.5,
         mode: str = "fast",
+        rerank: int | None = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -63,6 +64,9 @@ class Retriever:
         # turbo trades the exactness guarantee for ~recall 0.999 at higher
         # throughput — a serving-level knob
         self.mode = mode
+        # two-stage candidate count (store.topk rerank=K'); None = the
+        # store's dtype default (auto 4*k on int8_res, off otherwise)
+        self.rerank = rerank
 
     def embed_queries(self, texts: Sequence[str]) -> np.ndarray:
         bs = self.query_batch
@@ -107,7 +111,8 @@ class Retriever:
             n = len(block)
             if n < bs:
                 block = np.pad(block, ((0, bs - n), (0, 0)))
-            scores, ids = self.store.topk(block, k_eff, mode=mode)
+            rr = None if self.rerank is None else max(self.rerank, k_eff)
+            scores, ids = self.store.topk(block, k_eff, mode=mode, rerank=rr)
             scores = np.asarray(scores[:n])
             ids = np.asarray(ids[:n])
             for r in range(n):
@@ -150,7 +155,8 @@ class Retriever:
             n = len(block)
             if n < bs:
                 block = np.pad(block, ((0, bs - n), (0, 0)))
-            s, ids = self.store.topk(block, m, mode=self.mode)
+            rr = None if self.rerank is None else max(self.rerank, m)
+            s, ids = self.store.topk(block, m, mode=self.mode, rerank=rr)
             dense_s[i : i + n] = np.asarray(s[:n])
             dense_i[i : i + n] = np.asarray(ids[:n])
         for r, query in enumerate(queries):

@@ -7,7 +7,10 @@ inference_pipeline/db_utils/heavy_ranker.py:78-101).  TPU-first design:
 
 - Vectors live on device as a ``(S, cap_per_shard, D)`` array sharded over
   the ``shard`` mesh axis (one slab per device).  bf16 by default; int8 with
-  per-vector scales for 2x index compression (BASELINE config 3).
+  per-vector scales for 2x index compression (BASELINE config 3);
+  ``int8_res`` stores primary+residual int8 codes (bf16-equal index
+  memory) so the hot scan reads HALF the bytes of bf16 and a candidate
+  re-rank restores ~15.7-bit precision (two-stage retrieval).
 - Documents are assigned round-robin: global id ``g`` lives on shard
   ``g % S`` at slot ``g // S`` — shards stay balanced during streaming
   ingest, and writes of any batch are a single rectangular
@@ -32,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import SHARD_AXIS, create_mesh
-from ..ops.quant import quantize_int8_reference
+from ..ops.quant import quantize_int8_reference, quantize_int8_residual
 from ..ops.topk import matmul_topk
 
 LANES = 128
@@ -59,9 +62,10 @@ class VectorStore:
         dtype: str = "bf16",
         tile_n: int | None = None,
     ):
-        if dtype not in ("bf16", "int8", "int8_global"):
+        if dtype not in ("bf16", "int8", "int8_global", "int8_res"):
             raise ValueError(
-                f"dtype must be bf16, int8 or int8_global, got {dtype!r}"
+                "dtype must be bf16, int8, int8_global or int8_res, "
+                f"got {dtype!r}"
             )
         if tile_n is None:
             # int8 scans are selection-bound: 4096-row tiles halve the
@@ -104,7 +108,25 @@ class VectorStore:
                 jnp.zeros((self.n_shards, self.cap_per_shard), jnp.float32),
                 self._scale_sharding,
             )
-            if dtype == "int8"
+            if dtype in ("int8", "int8_res")
+            else None
+        )
+        # int8_res: residual codes+scales live in separate slabs so the
+        # first-pass scan kernel streams ONLY the primary slab
+        self.res_vectors = (
+            jax.device_put(
+                jnp.zeros((self.n_shards, self.cap_per_shard, dim), jnp.int8),
+                self._vec_sharding,
+            )
+            if dtype == "int8_res"
+            else None
+        )
+        self.res_scales = (
+            jax.device_put(
+                jnp.zeros((self.n_shards, self.cap_per_shard), jnp.float32),
+                self._scale_sharding,
+            )
+            if dtype == "int8_res"
             else None
         )
         self._query_cache: dict = {}
@@ -152,6 +174,21 @@ class VectorStore:
             sblock = qs.reshape(s, rows)
             self.vectors = _write_block(self.vectors, qblock, row_base)
             self.scales = _write_scales(self.scales, sblock, row_base)
+        elif self.dtype == "int8_res":
+            flat = block.reshape(s * rows, self.dim)
+            q1, s1, q2, s2 = quantize_int8_residual(flat)
+            self.vectors = _write_block(
+                self.vectors, q1.reshape(s, rows, self.dim), row_base
+            )
+            self.scales = _write_scales(
+                self.scales, s1.reshape(s, rows), row_base
+            )
+            self.res_vectors = _write_block(
+                self.res_vectors, q2.reshape(s, rows, self.dim), row_base
+            )
+            self.res_scales = _write_scales(
+                self.res_scales, s2.reshape(s, rows), row_base
+            )
         elif self.dtype == "int8_global":
             if self.global_scale is None:
                 absmax = float(np.abs(padded).max())
@@ -172,7 +209,8 @@ class VectorStore:
 
     # ---------------------------------------------------------------- query
 
-    def topk(self, queries, k: int = 10, *, mode: str = "fast"):
+    def topk(self, queries, k: int = 10, *, mode: str = "fast",
+             rerank: int | None = None):
         """(B, D) queries → (scores (B, k), global ids (B, k)).
 
         Requires ``size >= k``.  Cross-shard score ties resolve by shard
@@ -180,26 +218,65 @@ class VectorStore:
         brute-force oracle.  ``mode="turbo"`` selects the lighter kernel
         selection (recall ~0.999 — see ops/topk.py) for
         throughput-critical serving.
+
+        ``rerank=K'`` enables two-stage retrieval: the scan kernel keeps
+        ``K' >= k`` candidates per shard, which are re-scored EXACTLY
+        against the stored representation (f32 gather + einsum over just
+        ``B*K'`` rows) before the final top-k.  The re-score removes the
+        fast/turbo bucket-selection losses AND the kernel's on-the-fly
+        query-quantization error for any dtype; for ``int8_res`` it also
+        applies the stored residual correction — the scan streams only
+        the primary int8 slab (HALF the bytes of bf16) while the re-rank
+        restores ~15.7-bit precision.  ``rerank=None`` defaults to
+        ``4*k`` on ``int8_res`` stores and off otherwise; capped at 128
+        (kernel lane limit).
         """
         if self.size < k:
             raise ValueError(f"store has {self.size} < k={k} vectors")
+        if rerank is None and self.dtype == "int8_res":
+            rerank = 4 * k
+        if rerank is not None:
+            if rerank < k:
+                raise ValueError(f"rerank={rerank} must be >= k={k}")
+            # fast/turbo selection registers live in one vector lane;
+            # exact mode has no lane cap so large-k re-ranks still work
+            if mode != "exact":
+                rerank = max(min(rerank, LANES), k)
+            if rerank > LANES and mode != "exact":
+                raise ValueError(
+                    f"k={k} > {LANES} candidates requires mode='exact' "
+                    "for the re-rank scan"
+                )
         b = queries.shape[0]
-        key = (b, k, self.global_scale, mode)
+        key = (b, k, self.global_scale, mode, rerank)
         if key not in self._query_cache:
-            self._query_cache[key] = self._build_query_fn(k, mode)
+            self._query_cache[key] = self._build_query_fn(k, mode, rerank)
         q = jnp.asarray(queries, jnp.float32)
+        if self.dtype == "int8_res":
+            return self._query_cache[key](
+                q, self.vectors, self.scales, self.res_vectors,
+                self.res_scales, jnp.int32(self.size),
+            )
         return self._query_cache[key](q, self.vectors, self.scales,
                                       jnp.int32(self.size))
 
-    def _build_query_fn(self, k: int, mode: str = "fast"):
+    def _build_query_fn(self, k: int, mode: str = "fast",
+                        rerank: int | None = None):
         s_axis = SHARD_AXIS
         n_shards = self.n_shards
         tile_n = self.tile_n
-        is_int8 = self.dtype == "int8"
+        dtype = self.dtype
+        is_int8 = dtype in ("int8", "int8_res")
 
-        g_scale = self.global_scale if self.dtype == "int8_global" else None
+        g_scale = self.global_scale if dtype == "int8_global" else None
+        kp = k if rerank is None else rerank
+        # K' > k selection registers overflow the default 16M scoped-vmem
+        # cap at 4096-row tiles on v5e (and the axon client rejects the
+        # --xla_tpu_scoped_vmem_limit_kib override) — scan narrower tiles
+        # when re-ranking
+        q_tile = tile_n if rerank is None else min(tile_n, 2048)
 
-        def local(q, vecs, scales, size):
+        def local(q, vecs, scales, res_vecs, res_scales, size):
             shard = jax.lax.axis_index(s_axis)
             valid = (size - shard + n_shards - 1) // n_shards
             v = vecs[0]  # (cap, D) local slab
@@ -210,9 +287,30 @@ class VectorStore:
             else:
                 sc = None
             scores, slots = matmul_topk(
-                q, v, k, corpus_scales=sc, valid_n=valid, tile_n=tile_n,
+                q, v, kp, corpus_scales=sc, valid_n=valid, tile_n=q_tile,
                 mode=mode,
             )
+            if rerank is not None:
+                # exact re-score of the K' candidates; all gathers are
+                # SHARD-LOCAL (slots index the local slab), so the merge
+                # collective below stays the only cross-shard traffic
+                ok = slots >= 0
+                safe = jnp.maximum(slots, 0)
+                qf = q.astype(jnp.float32)
+                rows = jnp.take(v, safe, axis=0).astype(jnp.float32)
+                rs = jnp.einsum("bd,bkd->bk", qf, rows)
+                if g_scale is not None:
+                    rs = rs * jnp.float32(g_scale)
+                elif is_int8:
+                    rs = rs * jnp.take(scales[0], safe)
+                if dtype == "int8_res":
+                    rr = jnp.take(res_vecs[0], safe, axis=0)
+                    rs = rs + jnp.einsum(
+                        "bd,bkd->bk", qf, rr.astype(jnp.float32)
+                    ) * jnp.take(res_scales[0], safe)
+                rs = jnp.where(ok, rs, -jnp.inf)
+                scores, pos = jax.lax.top_k(rs, k)
+                slots = jnp.take_along_axis(slots, pos, axis=1)
             gids = slots * n_shards + shard
             gids = jnp.where(slots >= 0, gids, -1)
             all_s = jax.lax.all_gather(scores, s_axis)  # (S, B, k)
@@ -224,9 +322,23 @@ class VectorStore:
             ids = jnp.take_along_axis(all_g, pos, axis=1)
             return vals, ids
 
-        if is_int8:
+        if dtype == "int8_res":
             mapped = jax.shard_map(
                 local,
+                mesh=self.mesh,
+                in_specs=(P(), P(s_axis, None, None), P(s_axis, None),
+                          P(s_axis, None, None), P(s_axis, None), P()),
+                out_specs=(P(), P()),
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )
+            return jax.jit(mapped)
+
+        if is_int8:
+            def fn8(q, vecs, scales, size):
+                return local(q, vecs, scales, None, None, size)
+
+            mapped = jax.shard_map(
+                fn8,
                 mesh=self.mesh,
                 in_specs=(P(), P(s_axis, None, None), P(s_axis, None), P()),
                 out_specs=(P(), P()),
@@ -235,7 +347,7 @@ class VectorStore:
             return jax.jit(mapped)
 
         def fn(q, vecs, size):
-            return local(q, vecs, None, size)
+            return local(q, vecs, None, None, None, size)
 
         mapped = jax.shard_map(
             fn,
@@ -259,6 +371,12 @@ class VectorStore:
         vecs = np.asarray(self.vectors[shard, slot], np.float32)
         if self.dtype == "int8":
             vecs *= np.asarray(self.scales[shard, slot], np.float32)[:, None]
+        elif self.dtype == "int8_res":
+            vecs *= np.asarray(self.scales[shard, slot], np.float32)[:, None]
+            vecs += (
+                np.asarray(self.res_vectors[shard, slot], np.float32)
+                * np.asarray(self.res_scales[shard, slot], np.float32)[:, None]
+            )
         elif self.dtype == "int8_global":
             vecs *= self.global_scale
         return vecs
@@ -292,6 +410,11 @@ class VectorStore:
         if self.scales is not None:
             np.save(os.path.join(path, "scales.npy"),
                     np.asarray(self.scales[:, :used]))
+        if self.dtype == "int8_res":
+            np.save(os.path.join(path, "res_vectors.npy"),
+                    np.asarray(self.res_vectors[:, :used].astype(jnp.float32)))
+            np.save(os.path.join(path, "res_scales.npy"),
+                    np.asarray(self.res_scales[:, :used]))
         np.save(os.path.join(path, "tail.npy"), self._tail)
 
     @classmethod
@@ -338,6 +461,13 @@ class VectorStore:
             if meta["dtype"] == "int8":
                 scales = np.load(os.path.join(path, "scales.npy"))[:, :used]
                 flat = flat * scales[:, :, None]
+            elif meta["dtype"] == "int8_res":
+                scales = np.load(os.path.join(path, "scales.npy"))[:, :used]
+                rvecs = np.load(
+                    os.path.join(path, "res_vectors.npy"))[:, :used]
+                rscales = np.load(
+                    os.path.join(path, "res_scales.npy"))[:, :used]
+                flat = flat * scales[:, :, None] + rvecs * rscales[:, :, None]
             elif meta["dtype"] == "int8_global":
                 # restoring the calibrated scale first makes the re-add
                 # re-quantize the dequantized codes bit-identically
@@ -353,10 +483,23 @@ class VectorStore:
         store.vectors = jax.device_put(
             jnp.asarray(slab).astype(vec_dt), store._vec_sharding
         )
-        if meta["dtype"] == "int8":
+        if meta["dtype"] in ("int8", "int8_res"):
             sc = np.load(os.path.join(path, "scales.npy"))[:, :used]
             store.scales = jax.device_put(
                 jnp.asarray(np.pad(sc, ((0, 0), (0, pad)), )),
+                store._scale_sharding,
+            )
+        if meta["dtype"] == "int8_res":
+            rv = np.load(os.path.join(path, "res_vectors.npy"))[:, :used]
+            store.res_vectors = jax.device_put(
+                jnp.asarray(np.pad(rv, ((0, 0), (0, pad), (0, 0)))).astype(
+                    jnp.int8
+                ),
+                store._vec_sharding,
+            )
+            rs = np.load(os.path.join(path, "res_scales.npy"))[:, :used]
+            store.res_scales = jax.device_put(
+                jnp.asarray(np.pad(rs, ((0, 0), (0, pad)))),
                 store._scale_sharding,
             )
         store.size = meta["size"]

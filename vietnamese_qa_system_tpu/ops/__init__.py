@@ -3,6 +3,7 @@ from .quant import (
     quantize_int8,
     dequantize_int8,
     quantize_int8_reference,
+    quantize_int8_residual,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "quantize_int8",
     "dequantize_int8",
     "quantize_int8_reference",
+    "quantize_int8_residual",
 ]

@@ -94,6 +94,26 @@ def quantize_int8_reference(x):
     return q, scale.reshape(-1)
 
 
+def quantize_int8_residual(x):
+    """Two-level residual int8: ``x ≈ q1*s1 + q2*s2`` (per-row scales).
+
+    Same code bytes per element as bf16 (2), but split into two int8
+    halves so a first-pass scan can read ONLY the primary half (half the
+    HBM traffic of bf16) and a small re-rank restores full precision:
+    the residual level quantizes the primary's rounding error, giving
+    ~15.7 effective bits — finer than bf16's 8-bit mantissa.  Backs the
+    ``int8_res`` :class:`~..engine.store.VectorStore` dtype (two-stage
+    retrieval at bf16 index memory; BASELINE config 3 at recall parity).
+
+    Returns ``(q1 (N, D) int8, s1 (N,) f32, q2 (N, D) int8, s2 (N,) f32)``.
+    """
+    x = x.astype(jnp.float32)
+    q1, s1 = quantize_int8_reference(x)
+    r = x - q1.astype(jnp.float32) * s1[:, None]
+    q2, s2 = quantize_int8_reference(r)
+    return q1, s1, q2, s2
+
+
 def quantize_int8_global(x):
     """Single-scale symmetric quantization: ``x ≈ q * scale`` with one
     scalar scale for the whole matrix.
