@@ -109,6 +109,45 @@ def test_rerank_validation():
     store.add(np.random.default_rng(0).standard_normal((64, 32)).astype(np.float32))
     with pytest.raises(ValueError, match="rerank"):
         store.topk(np.zeros((4, 32), np.float32), 10, rerank=5)
+    # an EXPLICIT over-lane-cap rerank raises instead of silently
+    # clamping to 128 candidates (round-3 advisor finding)
+    with pytest.raises(ValueError, match="lane cap"):
+        store.topk(np.zeros((4, 32), np.float32), 10, rerank=512)
+    # ... but exact mode has no lane cap, and the int8_res auto-default
+    # is clamped quietly (no explicit ask to betray)
+    store.topk(np.zeros((4, 32), np.float32), 10, mode="exact", rerank=512)
+
+
+def test_exact_rerank_small_store_no_padding_resurrection(rng):
+    """Exact-mode matmul_topk pads short shards with real indices >= valid
+    at -inf; the rerank re-score must NOT resurrect those zero rows as
+    score-0.0 hits (round-3 advisor high finding: size=24, 4 shards, k=8
+    returned out-of-range ids [24..52] and get_vectors raised)."""
+    mesh = create_mesh({SHARD_AXIS: 4}, devices=jax.devices()[:4])
+    vecs = rng.standard_normal((24, 32)).astype(np.float32)
+    # make every true score NEGATIVE so a fabricated 0.0 would win
+    q = -np.abs(rng.standard_normal((4, 32))).astype(np.float32)
+    vecs = np.abs(vecs)
+    ref = _oracle_ids(q, vecs, 8)
+    store = VectorStore(256, 32, mesh=mesh, dtype="int8_res", tile_n=128)
+    store.add(vecs)
+    scores, ids = store.topk(q, 8, mode="exact")  # auto rerank = 4*k
+    ids = np.asarray(ids)
+    assert ids.min() >= 0 and ids.max() < 24, ids
+    assert _recall(ids, ref) == 1.0
+    store.get_vectors(ids.ravel().tolist())  # must not raise
+
+
+def test_int8_res_residual_saved_as_int8(rng, tmp_path):
+    """res_vectors.npy stays int8 on disk (4x smaller than the old f32
+    convention); load() must round-trip it regardless."""
+    mesh = create_mesh({SHARD_AXIS: 1}, devices=jax.devices()[:1])
+    store = VectorStore(256, 32, mesh=mesh, dtype="int8_res", tile_n=128)
+    store.add(rng.standard_normal((64, 32)).astype(np.float32))
+    path = os.path.join(tmp_path, "idx8")
+    store.save(path)
+    on_disk = np.load(os.path.join(path, "res_vectors.npy"))
+    assert on_disk.dtype == np.int8, on_disk.dtype
 
 
 def test_int8_res_save_load_roundtrip(rng, tmp_path):

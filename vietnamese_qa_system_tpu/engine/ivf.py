@@ -198,7 +198,12 @@ class IVFIndex:
             raise ValueError("cannot build an IVF index over an empty store")
         idx = cls()
         idx.mesh = store.mesh
-        idx.dtype = store.dtype
+        # int8_res degrades to plain int8: buckets copy the PRIMARY codes
+        # + scales verbatim and the residual level is dropped (IVF has no
+        # residual storage and no rerank stage to apply it in).  Without
+        # this the codes were scored scale-less (recall 0.71 measured on
+        # the round-4 verify drive).
+        idx.dtype = "int8" if store.dtype == "int8_res" else store.dtype
         idx.dim = store.dim
         idx.size = store.size
         idx.n_shards = store.n_shards
@@ -213,7 +218,8 @@ class IVFIndex:
 
         flat = store.vectors.reshape(s * capps, d)
         scales_flat = (
-            store.scales.reshape(s * capps) if store.dtype == "int8" else None
+            store.scales.reshape(s * capps)
+            if store.dtype in ("int8", "int8_res") else None
         )
 
         # -- sample for k-means (device gather; only indices come from host)
@@ -314,7 +320,7 @@ class IVFIndex:
         idx.spill_gids = jax.device_put(
             jnp.asarray(spill_gids, jnp.int32), row_sh
         )
-        if store.dtype == "int8":
+        if store.dtype in ("int8", "int8_res"):
             idx.bucket_scales = jax.device_put(
                 jnp.take(scales_flat, gi, axis=0).reshape(s, n_clusters, cap),
                 plane_sh,
@@ -345,13 +351,25 @@ class IVFIndex:
     # ------------------------------------------------------------- query
 
     def topk(self, queries, k: int = 10, *, mode: str = "fast",
-             nprobe: Optional[int] = None):
+             nprobe: Optional[int] = None, rerank: Optional[int] = None):
         """(B, D) queries → (scores (B, k), global ids (B, k)).
 
         ``nprobe`` overrides the build-time default.  ``mode`` is accepted
         for VectorStore interface compatibility; ``mode="exact"`` probes
         every cluster (recall 1.0 — the IVF equivalent of the flat scan).
+        ``rerank`` is accepted (as None) for VectorStore interface
+        compatibility — Retriever passes it unconditionally — but a set
+        value is rejected: IVF buckets hold a single (possibly int8)
+        representation, so there is no higher-precision copy to re-score
+        candidates against.  Raise recall with ``nprobe`` instead.
         """
+        if rerank is not None:
+            raise ValueError(
+                "IVFIndex does not support rerank: buckets store one "
+                "representation, so a re-score has no higher-precision "
+                "source. Raise nprobe (or use a flat int8_res "
+                "VectorStore) instead."
+            )
         if self.size < k:
             raise ValueError(f"index has {self.size} < k={k} vectors")
         p = self.n_clusters if mode == "exact" else (

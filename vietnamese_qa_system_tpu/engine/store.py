@@ -233,20 +233,29 @@ class VectorStore:
         """
         if self.size < k:
             raise ValueError(f"store has {self.size} < k={k} vectors")
+        explicit = rerank is not None
         if rerank is None and self.dtype == "int8_res":
             rerank = 4 * k
         if rerank is not None:
             if rerank < k:
                 raise ValueError(f"rerank={rerank} must be >= k={k}")
             # fast/turbo selection registers live in one vector lane;
-            # exact mode has no lane cap so large-k re-ranks still work
+            # exact mode has no lane cap so large-k re-ranks still work.
+            # An EXPLICIT over-cap request raises (a silent clamp would
+            # hand back fewer candidates than asked for); only the
+            # int8_res auto-default 4*k is clamped quietly.
             if mode != "exact":
+                if explicit and rerank > LANES:
+                    raise ValueError(
+                        f"rerank={rerank} exceeds the kernel lane cap "
+                        f"{LANES}; use mode='exact' or rerank <= {LANES}"
+                    )
                 rerank = max(min(rerank, LANES), k)
-            if rerank > LANES and mode != "exact":
-                raise ValueError(
-                    f"k={k} > {LANES} candidates requires mode='exact' "
-                    "for the re-rank scan"
-                )
+                if rerank > LANES:  # k itself exceeds the lane cap
+                    raise ValueError(
+                        f"k={k} > {LANES} candidates requires mode='exact' "
+                        "for the re-rank scan"
+                    )
         b = queries.shape[0]
         key = (b, k, self.global_scale, mode, rerank)
         if key not in self._query_cache:
@@ -293,8 +302,11 @@ class VectorStore:
             if rerank is not None:
                 # exact re-score of the K' candidates; all gathers are
                 # SHARD-LOCAL (slots index the local slab), so the merge
-                # collective below stays the only cross-shard traffic
-                ok = slots >= 0
+                # collective below stays the only cross-shard traffic.
+                # Exact-mode matmul_topk pads short shards with real
+                # indices >= valid at score -inf; re-scoring those zero
+                # rows would fabricate score 0.0, so mask on valid too.
+                ok = (slots >= 0) & (slots < valid)
                 safe = jnp.maximum(slots, 0)
                 qf = q.astype(jnp.float32)
                 rows = jnp.take(v, safe, axis=0).astype(jnp.float32)
@@ -309,6 +321,7 @@ class VectorStore:
                         "bd,bkd->bk", qf, rr.astype(jnp.float32)
                     ) * jnp.take(res_scales[0], safe)
                 rs = jnp.where(ok, rs, -jnp.inf)
+                slots = jnp.where(ok, slots, -1)  # gid -1 downstream
                 scores, pos = jax.lax.top_k(rs, k)
                 slots = jnp.take_along_axis(slots, pos, axis=1)
             gids = slots * n_shards + shard
@@ -411,8 +424,11 @@ class VectorStore:
             np.save(os.path.join(path, "scales.npy"),
                     np.asarray(self.scales[:, :used]))
         if self.dtype == "int8_res":
+            # residual codes stay int8 on disk (4x smaller than the old
+            # f32 convention; load() casts to int8 either way so old f32
+            # files still round-trip)
             np.save(os.path.join(path, "res_vectors.npy"),
-                    np.asarray(self.res_vectors[:, :used].astype(jnp.float32)))
+                    np.asarray(self.res_vectors[:, :used]))
             np.save(os.path.join(path, "res_scales.npy"),
                     np.asarray(self.res_scales[:, :used]))
         np.save(os.path.join(path, "tail.npy"), self._tail)
