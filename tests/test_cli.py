@@ -303,3 +303,53 @@ def test_cli_serve_ivf_crossover_warning(dataset, tmp_path, monkeypatch,
     out = capsys.readouterr().out
     # tiny corpus: 256 offline query batch >> crossover — advisory fires
     assert "crossover" in out
+
+
+def test_cli_serve_index_autoselect(dataset, tmp_path, monkeypatch,
+                                    capsys):
+    """--ivf-index enables batch-aware dispatch: bulk batch (offline REPL
+    pads to 256) on a tiny corpus lands past the crossover -> flat is
+    chosen automatically; --index-select ivf forces the probe path and
+    still serves hits (VERDICT r3 task 7)."""
+    _, docs = dataset
+    assert main([
+        "ingest", "--inputs", str(docs),
+        "--index", str(tmp_path / "index"), "--db", str(tmp_path / "d.db"),
+        "--capacity", "512", "--batch-size", "8", "--max-len", "48",
+    ]) == 0
+    assert main([
+        "build-ivf", "--index", str(tmp_path / "index"),
+        "--out", str(tmp_path / "ivf"), "--clusters", "4", "--nprobe", "4",
+    ]) == 0
+    capsys.readouterr()
+
+    answers = iter(["bài viết 3", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    assert main([
+        "serve", "--index", str(tmp_path / "index"),
+        "--ivf-index", str(tmp_path / "ivf"),
+        "--db", str(tmp_path / "d.db"), "--k", "2", "--max-len", "48",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "index-select: flat" in out and "score=" in out
+
+    answers = iter(["bài viết 3", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    assert main([
+        "serve", "--index", str(tmp_path / "index"),
+        "--ivf-index", str(tmp_path / "ivf"), "--index-select", "ivf",
+        "--db", str(tmp_path / "d.db"), "--k", "2", "--max-len", "48",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "index-select: ivf" in out and "forced" in out
+    assert "score=" in out and "bài viết" in out
+
+    # misuse: --index must be the flat store when --ivf-index is given
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([
+            "serve", "--index", str(tmp_path / "ivf"),
+            "--ivf-index", str(tmp_path / "ivf"),
+            "--db", str(tmp_path / "d.db"),
+        ])

@@ -55,6 +55,23 @@ def test_recall_vs_oracle(corpus, dtype):
     assert _recall(ids, oracle) >= floor
 
 
+def test_select_serving_index(corpus):
+    """Batch-aware IVF/flat dispatch: interactive batch picks the IVF
+    probe, bulk batch past the crossover picks the flat scan."""
+    from vietnamese_qa_system_tpu.engine import select_serving_index
+    from vietnamese_qa_system_tpu.engine.ivf import ivf_crossover_batch
+
+    store, ivf = _build(corpus, "bf16")
+    cross = ivf_crossover_batch(ivf)
+    assert cross >= 1
+    chosen, c = select_serving_index(store, ivf, 1)
+    assert (chosen is ivf) == (1 <= cross) and c == cross
+    chosen, _ = select_serving_index(store, ivf, cross + 1)
+    assert chosen is store
+    # kappa=1 (pure row-read parity) widens the IVF window
+    assert ivf_crossover_batch(ivf, kappa=1) >= cross
+
+
 def test_build_from_int8_res_carries_scales(corpus):
     """An IVF built over an int8_res store degrades to plain int8: the
     primary codes AND their row scales must ride into the buckets (the

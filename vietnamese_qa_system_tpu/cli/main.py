@@ -628,31 +628,51 @@ def cmd_serve(args) -> int:
     # IVFIndex transparently.
     store = load_index(args.index, capacity=args.capacity)
     docstore = DocStore(args.db)
-    # IVF-vs-flat crossover advisory (measured, scripts/probe_ivf.py +
-    # docs/BENCHMARKS.md "IVF vs flat"): IVF reads ~nprobe*cap rows PER
-    # QUERY while the flat scan reads the corpus once PER BATCH; the
-    # probed-bucket kernel is additionally ~KAPPA x less byte-efficient
-    # than the flat streaming scan (slab-gather DMA + M=1 matvecs vs a
-    # full-rate sequential sweep — measured crossover B~25 at 1M rows,
-    # nprobe 8, cap 512), so IVF wins while
-    # batch < rows_per_shard / (nprobe * cap * KAPPA).
-    from ..engine.ivf import IVFIndex
+    from ..engine.ivf import IVFIndex, ivf_crossover_batch, select_serving_index
 
-    KAPPA = 10
-    if isinstance(store, IVFIndex):
-        rows_per_shard = store.size // max(store.n_shards, 1)
-        crossover = max(
-            1, rows_per_shard // (store.nprobe * store.cap * KAPPA)
+    # serving dispatches full query_batch-sized blocks per top-k call
+    qb_est = args.max_batch if args.port is not None else 256
+    if args.ivf_index is not None:
+        # batch-aware index selection (measured crossover ~B=25 at 1M
+        # rows / nprobe 8 / cap 512 — docs/BENCHMARKS.md "IVF vs flat"):
+        # IVF probing is 7.9x faster at interactive batch but reads
+        # ~nprobe*cap rows PER QUERY, so bulk batches flip to the flat
+        # scan's amortized corpus sweep
+        ivf = load_index(args.ivf_index)
+        if not isinstance(ivf, IVFIndex):
+            raise SystemExit(f"--ivf-index {args.ivf_index} is not an "
+                             "IVF directory (cli build-ivf output)")
+        if isinstance(store, IVFIndex):
+            raise SystemExit("--index must be the FLAT store when "
+                             "--ivf-index is given")
+        if args.index_select == "flat":
+            chosen, cross = store, None
+        elif args.index_select == "ivf":
+            chosen, cross = ivf, None
+        else:
+            chosen, cross = select_serving_index(store, ivf, qb_est)
+        kind = "ivf" if isinstance(chosen, IVFIndex) else "flat"
+        dist_print(
+            f"index-select: {kind} (query batch {qb_est}"
+            + (f", crossover ~{cross}" if cross is not None else ", forced")
+            + ")"
         )
-        qb = args.max_batch if args.port is not None else 256
-        if qb > crossover:
+        store = chosen
+    elif isinstance(store, IVFIndex):
+        # IVF-only serving: warn past the crossover (no flat slab to
+        # fall back to — pass the flat dir via --index + --ivf-index
+        # for automatic selection)
+        crossover = ivf_crossover_batch(store)
+        if qb_est > crossover:
+            rows_per_shard = store.size // max(store.n_shards, 1)
             dist_print(
-                f"WARNING: IVF index with query batch {qb} > crossover "
-                f"~{crossover} (= {rows_per_shard} rows / (nprobe "
-                f"{store.nprobe} * cap {store.cap} * {KAPPA})); probed-"
-                "bucket reads will exceed the flat scan's amortized "
-                "cost. Lower --max-batch, rebuild with a smaller "
-                "build-ivf --nprobe, or serve the flat index."
+                f"WARNING: IVF index with query batch {qb_est} > "
+                f"crossover ~{crossover} (= {rows_per_shard} rows / "
+                f"(nprobe {store.nprobe} * cap {store.cap} * 10)); "
+                "probed-bucket reads will exceed the flat scan's "
+                "amortized cost. Lower --max-batch, rebuild with a "
+                "smaller build-ivf --nprobe, or pass the flat dir as "
+                "--index with --ivf-index for automatic selection."
             )
     lexical = None
     bm25_path = os.path.join(args.index, "bm25.json")
@@ -1154,6 +1174,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser("serve", help="interactive retrieval REPL")
     ps.add_argument("--index", required=True)
+    ps.add_argument("--ivf-index", default=None,
+                    help="optional IVF directory (cli build-ivf) over the "
+                    "same corpus as --index (the flat store); serve then "
+                    "auto-selects per batch: IVF at interactive batch, "
+                    "flat past the measured crossover")
+    ps.add_argument("--index-select", default="auto",
+                    choices=["auto", "flat", "ivf"],
+                    help="override the automatic IVF/flat choice when "
+                    "--ivf-index is given")
     ps.add_argument("--db", required=True)
     ps.add_argument("--capacity", type=int, default=0,
                     help="index slab capacity at serve time: 0 = shrink "

@@ -1,5 +1,6 @@
 from .store import VectorStore
-from .ivf import IVFIndex, load_index
+from .ivf import (IVFIndex, ivf_crossover_batch, load_index,
+                  select_serving_index)
 from .docstore import DocStore
 from .chunking import chunk_text
 from .ingest import IngestPipeline
@@ -17,6 +18,8 @@ __all__ = [
     "VectorStore",
     "IVFIndex",
     "load_index",
+    "ivf_crossover_batch",
+    "select_serving_index",
     "BM25Index",
     "fuse_scores",
     "DocStore",

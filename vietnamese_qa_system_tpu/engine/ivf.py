@@ -711,3 +711,34 @@ def load_index(path: str, *, mesh: Optional[Mesh] = None,
     if meta.get("type") == "ivf":
         return IVFIndex.load(path, mesh=mesh)
     return VectorStore.load(path, mesh=mesh, capacity=capacity)
+
+
+# measured byte-efficiency gap between the probed-bucket kernel's
+# slab-gather DMA + M=1 matvecs and the flat scan's full-rate sequential
+# sweep (scripts/probe_ivf.py, docs/BENCHMARKS.md "IVF vs flat":
+# crossover ~B=25 at 1M rows, nprobe 8, cap 512)
+IVF_KAPPA = 10
+
+
+def ivf_crossover_batch(ivf: "IVFIndex", *, kappa: int = IVF_KAPPA) -> int:
+    """Largest query batch at which probing the IVF index beats the flat
+    scan.  IVF reads ~nprobe*cap rows per QUERY (kappa x less byte-
+    efficient than the flat sweep) while the flat scan reads the corpus
+    once per BATCH, so IVF wins while
+    batch <= rows_per_shard / (nprobe * cap * kappa)."""
+    rows_per_shard = ivf.size // max(ivf.n_shards, 1)
+    return max(1, rows_per_shard // (ivf.nprobe * ivf.cap * kappa))
+
+
+def select_serving_index(flat, ivf: "IVFIndex", query_batch: int,
+                         *, kappa: int = IVF_KAPPA):
+    """Pick the index a serving loop should dispatch to at a configured
+    query batch: the IVF probe at interactive batch (7.9x lower latency
+    at its best measured point), the flat scan past the crossover where
+    per-query probe reads exceed the amortized corpus sweep.  Returns
+    ``(index, crossover_batch)``.  Capability context: the reference has
+    one faiss path with no batch-aware dispatch (heavy_ranker.py:91-101);
+    this encodes the measured TPU crossover so the user doesn't have to
+    know it."""
+    cross = ivf_crossover_batch(ivf, kappa=kappa)
+    return (ivf if query_batch <= cross else flat), cross
