@@ -227,14 +227,24 @@ class VectorStore:
         query-quantization error for any dtype; for ``int8_res`` it also
         applies the stored residual correction — the scan streams only
         the primary int8 slab (HALF the bytes of bf16) while the re-rank
-        restores ~15.7-bit precision.  ``rerank=None`` defaults to
-        ``4*k`` on ``int8_res`` stores and off otherwise; capped at 128
-        (kernel lane limit).
+        restores ~15.7-bit precision.  ``rerank=None`` defaults to ``4*k``
+        on ``int8_res`` stores and off otherwise; ``rerank=0`` disables
+        explicitly.  The auto-default is clamped to 128 (kernel lane
+        limit); an explicit over-cap value raises.
         """
         if self.size < k:
             raise ValueError(f"store has {self.size} < k={k} vectors")
         explicit = rerank is not None
-        if rerank is None and self.dtype == "int8_res":
+        if rerank == 0:  # explicit off: single-pass scan scores only
+            rerank = None
+        elif rerank is None and self.dtype == "int8_res":
+            # int8_res is the recommended serving dtype: the residual
+            # re-score lifts clustered near-tie recall 0.947 -> 1.000
+            # (tests/test_recall_clustered.py) at int8 scan cost.  Plain
+            # int8/int8_global do NOT auto-rerank — measured a wash there
+            # (code rounding, which a re-score can't remove, dominates
+            # the query-quantization error; docs/BENCHMARKS.md "Recall
+            # by corpus type").
             rerank = 4 * k
         if rerank is not None:
             if rerank < k:

@@ -245,14 +245,30 @@ class CheckpointManager:
 
     def save(self, step: int, state, metadata: Optional[dict] = None) -> str:
         path = os.path.join(self.directory, f"step_{step}")
-        if os.path.isdir(path) and not os.path.exists(
-            os.path.join(path, "meta.json")
-        ):
-            # leftover of a crashed save of this same step: clear it so
-            # stale partial files can't mix with the fresh write
-            import shutil
 
-            shutil.rmtree(path, ignore_errors=True)
+        def _sync(tag: str) -> None:
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(tag)
+
+        if jax.process_index() == 0:
+            # leftover of a crashed save of this same step: clear it so
+            # stale partial files can't mix with the fresh write.  ONE
+            # cleaner only — a non-zero rank running this check races
+            # rank 0's in-progress write of the same step (it sees a dir
+            # without the commit marker and rmtree's live shard files;
+            # found by the real 2-process test, tests/test_multiprocess.py)
+            if os.path.isdir(path) and not os.path.exists(
+                os.path.join(path, "meta.json")
+            ):
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+        # every host waits for the cleanup before writing its shards,
+        # then ensures the dir exists (non-shared-FS hosts make their own)
+        _sync(f"ckpt_clean_{step}")
         os.makedirs(path, exist_ok=True)
         if self.sharded:
             if self.host_of is None:
@@ -270,12 +286,9 @@ class CheckpointManager:
             # np.savez of the same path from N hosts interleaves into a
             # corrupt zip
             save_pytree(os.path.join(path, "state.npz"), state)
-        if jax.process_count() > 1:
-            # every host's shard files must be on disk before the commit
-            # marker appears
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"ckpt_save_{step}")
+        # every host's shard files must be on disk before the commit
+        # marker appears
+        _sync(f"ckpt_save_{step}")
         if jax.process_index() == 0:
             # COMMIT MARKER — written last; _step_dirs ignores dirs
             # without it, so a crash anywhere above leaves the previous
@@ -285,7 +298,13 @@ class CheckpointManager:
                 meta.update(metadata)
             with open(os.path.join(path, "meta.json"), "w") as f:
                 json.dump(meta, f)
-        self._gc()
+            # rank-0-only sweep: a non-zero rank's _gc can run between
+            # the barrier and rank 0's commit marker and sweep this very
+            # step as a "crashed partial"
+            self._gc()
+        # no rank may return (and e.g. immediately restore) before the
+        # commit marker exists
+        _sync(f"ckpt_commit_{step}")
         return path
 
     def restore(self, state_like, step: Optional[int] = None):
