@@ -38,7 +38,11 @@ def timeit(fn):
 
 
 def device_memory_stats(device: jax.Device | None = None) -> dict[str, Any]:
-    """Best-effort device memory stats (bytes). Empty dict if unsupported."""
+    """Best-effort device memory stats (bytes).
+
+    ``supported=False`` (all-zero counters) when the backend exposes no
+    stats — the CPU backend does not, so a virtual-mesh dry run would
+    otherwise report a vacuous ``device_mem_peak=0.0MB``."""
     device = device or jax.devices()[0]
     try:
         stats = device.memory_stats() or {}
@@ -48,6 +52,7 @@ def device_memory_stats(device: jax.Device | None = None) -> dict[str, Any]:
         "bytes_in_use": stats.get("bytes_in_use", 0),
         "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
         "bytes_limit": stats.get("bytes_limit", 0),
+        "supported": "bytes_in_use" in stats,
     }
 
 
@@ -72,6 +77,7 @@ class MemoryTracker:
         self.cpu_used = bytes_to_mb(cpu_now - self._cpu_begin)
         self.cpu_peaked = bytes_to_mb(cpu_peak - self._cpu_begin)
         stats = device_memory_stats()
+        self.device_supported = stats["supported"]
         self.used = bytes_to_mb(stats["bytes_in_use"] - self._dev_begin)
         self.peaked = bytes_to_mb(
             max(0, stats["peak_bytes_in_use"] - self._dev_begin)

@@ -432,11 +432,22 @@ class Trainer:
         """(global_b, ...) numpy → (accum, micro_b, ...) device arrays."""
         a = self.cfg.grad_accum
 
+        n_data = self.mesh.shape.get("data", 1) if self.mesh else 1
+
         def shape(x):
             x = np.asarray(x)
             gb = x.shape[0]
             if gb % a:
                 raise ValueError(f"global batch {gb} not divisible by accum {a}")
+            if (gb // a) % n_data:
+                # fail here with the actual knobs, not in the pjit
+                # sharding checker's divisibility error
+                raise ValueError(
+                    f"micro-batch {gb // a} (global batch {gb} / "
+                    f"grad_accum {a}) must be divisible by the data mesh "
+                    f"axis ({n_data} devices) — raise --batch-size or "
+                    f"shrink the data axis"
+                )
             return x.reshape(a, gb // a, *x.shape[1:])
 
         return {k: jnp.asarray(shape(v)) for k, v in batch.items()}
@@ -539,9 +550,14 @@ class Trainer:
                 )
             if epoch_steps == 0 and n_batches > 0 and step == self.start_step:
                 continue  # epoch consumed entirely by fast-forward counting
+            dev_peak = (
+                f"{mem.peaked}MB"
+                if getattr(mem, "device_supported", True)
+                else "n/a (backend reports no memory stats)"
+            )
             dist_print(
                 f"epoch {epoch}: steps={epoch_steps} "
-                f"device_mem_peak={mem.peaked}MB cpu_peak={mem.cpu_peaked}MB"
+                f"device_mem_peak={dev_peak} cpu_peak={mem.cpu_peaked}MB"
             )
             if eval_fn is not None:
                 eval_metrics = eval_fn(self.state, epoch)
