@@ -23,7 +23,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="gpt125m",
                     choices=["gpt125m", "gptneo125m", "pythia410m",
-                             "llama1b", "tiny"])
+                             "llama1b", "phogpt4b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=10)
@@ -61,6 +61,7 @@ def main() -> None:
         "gptneo125m": mcfg.gpt_neo_125m,
         "pythia410m": mcfg.pythia_410m_class,
         "llama1b": mcfg.llama_1b_class,
+        "phogpt4b": mcfg.phogpt_4b_class,
         "tiny": mcfg.tiny_test,
     }[args.preset]()
     if args.scan_layers or args.remat_policy:
@@ -75,9 +76,20 @@ def main() -> None:
 
     B, T = args.batch, args.seq
     key = jax.random.key(0)
-    params = causal_lm.init_causal_lm(key, cfg)
     dtype = jnp.bfloat16 if args.quantize_base else jnp.float32
-    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    if dtype == jnp.bfloat16:
+        # init + cast in ONE jit so each f32 leaf dies right after its
+        # bf16 cast (eager init of a 4B model materializes the full f32
+        # tree — ~15 GB — before the cast can free anything; inside one
+        # program XLA's liveness keeps peak ~= bf16 total + one f32 leaf)
+        params = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16),
+                causal_lm.init_causal_lm(k, cfg),
+            )
+        )(key)
+    else:
+        params = causal_lm.init_causal_lm(key, cfg)
     if args.quantize_base:
         from vietnamese_qa_system_tpu.models.quantize import quantize_dense_tree
 
