@@ -38,7 +38,11 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="gpt125m", choices=["tiny", "gpt125m"])
+    ap.add_argument("--size", default="gpt125m",
+                    choices=["tiny", "gpt125m", "llama1b", "phogpt4b"])
+    ap.add_argument("--quantize", default=None, choices=["int8", "nf4"],
+                    help="quantize the dense base weights for serving "
+                    "(nf4 ~2.3 GB for phogpt4b — the v5e-fits config)")
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk-steps", type=int, default=16)
@@ -68,13 +72,23 @@ def main() -> None:
     from vietnamese_qa_system_tpu.models.causal_lm import init_causal_lm
     from vietnamese_qa_system_tpu.models.generate import generate
 
-    cfg = (mcfg.tiny_test("causal") if args.size == "tiny"
-           else mcfg.gpt_125m_class())
-    params = init_causal_lm(jax.random.key(7), cfg)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params,
-    )
+    cfg = {
+        "tiny": lambda: mcfg.tiny_test("causal"),
+        "gpt125m": mcfg.gpt_125m_class,
+        "llama1b": mcfg.llama_1b_class,
+        "phogpt4b": mcfg.phogpt_4b_class,
+    }[args.size]()
+    # init + cast in ONE jit so a 4B model never materializes its f32
+    # tree (~15 GB) — see probe_train.py
+    params = jax.jit(
+        lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), init_causal_lm(k, cfg)
+        )
+    )(jax.random.key(7))
+    if args.quantize:
+        from vietnamese_qa_system_tpu.models.quantize import quantize_dense_tree
+
+        params = quantize_dense_tree(params, mode=args.quantize)
     rng = np.random.default_rng(args.seed)
     R, S = args.requests, args.slots
     prompts = [
