@@ -94,6 +94,7 @@ def main() -> None:
     cfg = dataclasses.replace(cfg, scan_layers=True, remat_policy="full")
 
     B, T = args.batch, args.seq
+    variants_requested = args.variants.split(",")
     key = jax.random.key(0)
     # one-jit bf16 init so a 4B model never materializes its f32 tree
     params_bf16 = jax.jit(
@@ -103,6 +104,10 @@ def main() -> None:
         )
     )(key)
     params_q = quantize_dense_tree(params_bf16, mode=args.quantize_base)
+    if "bf16_base" not in variants_requested:
+        # free the bf16 dense weights (~2N bytes of HBM) — non-quantized
+        # leaves (embeddings/norms) stay alive via params_q's shared refs
+        params_bf16 = None
 
     lora_cfg = LoraConfig(r=args.lora_r, alpha=2 * args.lora_r)
     adapter = init_lora(jax.random.key(2), params_q, lora_cfg)
@@ -112,9 +117,15 @@ def main() -> None:
         jax.random.key(1), (args.steps, B, T), 0, cfg.vocab_size, jnp.int32
     )
 
-    def build_run(base_example):
+    def build_run(base_example, dequant_once=False):
         def loss_fn(base, tr, batch):
             p = merge_lora(jax.lax.stop_gradient(base), tr, lora_cfg)
+            if dequant_once:
+                from vietnamese_qa_system_tpu.models.quantize import (
+                    dequantize_tree,
+                )
+
+                p = dequantize_tree(p, dtype=jnp.bfloat16)
             loss, n = causal_lm.loss_fn(p, cfg, batch)
             return loss
 
@@ -159,13 +170,17 @@ def main() -> None:
         "no_head": (lambda: patched(ops_xent, "masked_mean_xent", fake_xent),
                     params_q),
         "bf16_base": (contextlib.nullcontext, params_bf16),
+        # not an ablation: the shipped qlora_dequant="once" optimization
+        # (trainer.py) — dequantize the merged base ONCE before the
+        # forward instead of at every matmul (x2 under remat)
+        "dequant_once": (contextlib.nullcontext, params_q),
     }
 
     results = {}
-    for name in args.variants.split(","):
+    for name in variants_requested:
         ctx, base = VARIANTS[name]
         with ctx():
-            run = build_run(base)
+            run = build_run(base, dequant_once=(name == "dequant_once"))
             opt = tx.init(adapter)
             t0 = time.perf_counter()
             tr, opt, last = run(base, adapter, opt, ids)
@@ -191,7 +206,8 @@ def main() -> None:
             comp = {"no_attn": "attention (kernel fwd+remat+bwd)",
                     "no_mlp": "mlp matmuls",
                     "no_head": "head matmul + xent",
-                    "bf16_base": "nf4 dequant (lower bound)"}[name]
+                    "bf16_base": "nf4 dequant (lower bound)",
+                    "dequant_once": "qlora_dequant=once speedup"}[name]
             print(f"{comp:36s} {full - t:8.1f} ms  "
                   f"({(full - t) / full * 100:5.1f}%)", flush=True)
     rec = {"preset": args.preset, "batch": B, "seq": T,

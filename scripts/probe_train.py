@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--lora-r", type=int, default=0,
                     help="train a LoRA adapter of this rank (0 = full FT)")
     ap.add_argument("--quantize-base", choices=["int8", "nf4", "nf4-dq"], default=None)
+    ap.add_argument("--dequant", choices=["fused", "once"], default="fused",
+                    help="QLoRA dequant placement (TrainConfig.qlora_dequant)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — the env var "
                          "is overridden by sitecustomize, see CLAUDE.md")
@@ -120,6 +122,12 @@ def main() -> None:
             from vietnamese_qa_system_tpu.models.lora import merge_lora
 
             p = merge_lora(jax.lax.stop_gradient(base), tr, lora_cfg)
+            if args.dequant == "once" and args.quantize_base:
+                from vietnamese_qa_system_tpu.models.quantize import (
+                    dequantize_tree,
+                )
+
+                p = dequantize_tree(p, dtype=jnp.bfloat16)
         else:
             p = tr
         loss, n = causal_lm.loss_fn(p, cfg, batch)

@@ -91,6 +91,48 @@ def test_qlora_converges_close_to_bf16_base(tmp_path, mode):
     assert loss_q < loss_0 - 0.3, (loss_q, loss_0)
 
 
+def test_qlora_dequant_once_matches_fused(tmp_path):
+    """qlora_dequant="once" (dequantize the merged base before the
+    forward, trainer.py) must train to the same place as the default
+    fused per-matmul dequant: same math, different schedule — the only
+    numeric difference is the bf16 cast of the folded LoRA delta vs the
+    lazy f32 (x@A)@B application."""
+    from tests.test_trainer import _toy_batches
+
+    model = tiny_test("causal")
+    base = dict(
+        model=model,
+        lora=LoraConfig(r=8),
+        lr=5e-3,
+        epochs=4,
+        log_dir=str(tmp_path),
+        mesh_axes={"data": 1},
+        quantize_base="nf4",
+    )
+    batches = _toy_batches(model.vocab_size)
+
+    t_fused = Trainer(TrainConfig(**base), total_steps=24)
+    t_fused.fit(batches)
+    t_once = Trainer(TrainConfig(**base, qlora_dequant="once"), total_steps=24)
+    t_once.fit(batches)
+
+    loss_fused = perplexity_eval(
+        t_fused.merged_params(), model, batches()
+    )["eval_loss"]
+    loss_once = perplexity_eval(
+        t_once.merged_params(), model, batches()
+    )["eval_loss"]
+    assert abs(loss_once - loss_fused) <= 0.1, (loss_once, loss_fused)
+    # adapters follow the same trajectory leaf-by-leaf
+    for a, b in zip(
+        jax.tree.leaves(t_fused.state["adapter"]),
+        jax.tree.leaves(t_once.state["adapter"]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / denom <= 0.25
+
+
 def test_quantize_base_requires_lora(tmp_path):
     with pytest.raises(ValueError, match="quantize_base requires LoRA"):
         Trainer(
@@ -176,6 +218,22 @@ def test_nf4_searchsorted_codes_match_argmin(rng):
         np.abs(normed[..., None] - np.asarray(NF4_LEVELS)), axis=-1
     )
     np.testing.assert_array_equal(codes, ref)
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4", "nf4-dq"])
+def test_dequantize_stacked_leaf_matches_per_layer(rng, mode):
+    """The flat-reshape stacked dequant must reconstruct each layer
+    identically to the 2-D per-layer path (pack-pairs and scale blocks
+    align with layer boundaries; tolerance only for XLA fusion-order
+    float noise, measured ~1e-8)."""
+    w = rng.standard_normal((3, 64, 32)).astype(np.float32) * 0.05
+    q3 = quantize_weight(jnp.asarray(w), mode, block=32)
+    w3 = np.asarray(dequantize_weight(q3, jnp.float32))
+    assert w3.shape == w.shape
+    for layer in range(3):
+        q2 = quantize_weight(jnp.asarray(w[layer]), mode, block=32)
+        w2 = np.asarray(dequantize_weight(q2, jnp.float32))
+        np.testing.assert_allclose(w3[layer], w2, atol=1e-7)
 
 
 def test_quantize_stacked_leaf_matches_per_layer(rng):

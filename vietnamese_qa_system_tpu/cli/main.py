@@ -54,6 +54,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="quantize the frozen base for LoRA training "
                    "(capability of the reference's --use_8bit/--use_4bit "
                    "BitsAndBytesConfig flags)")
+    g.add_argument("--qlora-dequant", choices=["fused", "once"],
+                   default="fused",
+                   help="dequant placement: at each matmul (fused) or "
+                   "once per microbatch before the forward (once — "
+                   "faster when HBM headroom allows a live bf16 copy; "
+                   "see TrainConfig.qlora_dequant)")
 
     g = p.add_argument_group("optimization (reference bnb/training groups)")
     g.add_argument("--optimizer", default="adamw",
@@ -246,6 +252,7 @@ def cmd_train(args) -> int:
         async_checkpoint=args.async_checkpoint,
         resume=args.resume,
         quantize_base=args.quantize_base,
+        qlora_dequant=args.qlora_dequant,
         seed=args.seed,
         log_every=args.log_every,
         log_dir=args.log_dir,

@@ -153,11 +153,18 @@ def _leaf_scales(leaf: dict):
 
 def dequantize_weight(leaf: dict, dtype=jnp.bfloat16):
     """Reconstruct the (d_in, d_out) weight from a quantized leaf
-    ((L, d_in, d_out) for stacked leaves)."""
+    ((L, d_in, d_out) for stacked leaves).
+
+    Stacked leaves dequantize sequentially via lax.map — one layer's
+    transients at a time, mirroring quantize_weight's 3-D path: a single
+    whole-leaf gather over a billion-param stacked leaf crashed the TPU
+    worker (qlora_dequant="once" on llama1b, round 4), while the
+    per-layer (d_in, d_out) gather is exactly the shape the fused
+    in-scan dequant runs every step."""
     q = leaf["w_q"]
     if q.ndim == 3:
         sub = {k: leaf[k] for k in _QUANT_KEYS if k in leaf}
-        return jax.vmap(lambda l: dequantize_weight(l, dtype))(sub)
+        return jax.lax.map(lambda l: dequantize_weight(l, dtype), sub)
     s = _leaf_scales(leaf)
     nb, d_out = s.shape
     if q.dtype == jnp.uint8:  # packed nf4

@@ -83,6 +83,19 @@ class TrainConfig:
     # trains over the quantized base (capability of the reference's
     # BitsAndBytesConfig QLoRA path, trainer.py:470-487,590-605)
     quantize_base: Optional[str] = None
+    # where the quantized base is dequantized in the QLoRA step:
+    #   "fused" — at each matmul's point of use (recomputed in the bwd
+    #             under per-layer remat; minimum live memory)
+    #   "once"  — the whole base is dequantized to bf16 (LoRA delta
+    #             folded in) before the forward, so the VPU gather chain
+    #             runs ONCE per microbatch instead of twice per matmul.
+    #             Costs one live bf16 copy of the weights (~2N bytes) and
+    #             trades gathers for HBM streaming (probe_mfu_decomp
+    #             attributed >=15% of the llama1b flagship step to fused
+    #             dequant; measured numbers in docs/BENCHMARKS.md).  Pair
+    #             with scan_layers remat (the outer-loss remat would
+    #             recompute the dequant and cancel the win).
+    qlora_dequant: str = "fused"
     seed: int = 42
     log_every: int = 10
     log_dir: str = "runs/logs"
@@ -161,6 +174,14 @@ def make_train_step(
     def loss_for(trainable, frozen_base, mb):
         if use_lora:
             params = merge_lora(jax.lax.stop_gradient(frozen_base), trainable, lcfg)
+            if cfg.qlora_dequant == "once" and cfg.quantize_base:
+                # dequantize the whole base (LoRA delta folded in) before
+                # the forward: the gather chain runs once per microbatch
+                # and the scan-over-layers remat re-READS bf16 weights
+                # instead of re-dequantizing (see TrainConfig.qlora_dequant)
+                from ..models.quantize import dequantize_tree
+
+                params = dequantize_tree(params, dtype=jnp.bfloat16)
         else:
             params = trainable
         loss, n = loss_of(params, batch=mb)
@@ -277,6 +298,11 @@ class Trainer:
                 from ..models.t5 import stack_t5
 
                 params = stack_t5(params)
+        if cfg.qlora_dequant not in ("fused", "once"):
+            raise ValueError(
+                f"qlora_dequant must be 'fused' or 'once', got "
+                f"{cfg.qlora_dequant!r}"
+            )
         if cfg.quantize_base is not None:
             if cfg.lora is None:
                 raise ValueError(
