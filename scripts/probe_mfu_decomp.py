@@ -125,7 +125,7 @@ def main() -> None:
                     dequantize_tree,
                 )
 
-                p = dequantize_tree(p, dtype=jnp.bfloat16)
+                p = dequantize_tree(p, dtype=jnp.bfloat16, fold_lora=False)
             loss, n = causal_lm.loss_fn(p, cfg, batch)
             return loss
 

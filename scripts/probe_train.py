@@ -39,7 +39,7 @@ def main() -> None:
     ap.add_argument("--lora-r", type=int, default=0,
                     help="train a LoRA adapter of this rank (0 = full FT)")
     ap.add_argument("--quantize-base", choices=["int8", "nf4", "nf4-dq"], default=None)
-    ap.add_argument("--dequant", choices=["fused", "once"], default="fused",
+    ap.add_argument("--dequant", choices=["fused", "once", "once_folded"], default="fused",
                     help="QLoRA dequant placement (TrainConfig.qlora_dequant)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — the env var "
@@ -127,7 +127,7 @@ def main() -> None:
                     dequantize_tree,
                 )
 
-                p = dequantize_tree(p, dtype=jnp.bfloat16)
+                p = dequantize_tree(p, dtype=jnp.bfloat16, fold_lora=False)
         else:
             p = tr
         loss, n = causal_lm.loss_fn(p, cfg, batch)

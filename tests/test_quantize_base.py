@@ -91,12 +91,12 @@ def test_qlora_converges_close_to_bf16_base(tmp_path, mode):
     assert loss_q < loss_0 - 0.3, (loss_q, loss_0)
 
 
-def test_qlora_dequant_once_matches_fused(tmp_path):
-    """qlora_dequant="once" (dequantize the merged base before the
-    forward, trainer.py) must train to the same place as the default
+@pytest.mark.parametrize("dequant", ["once", "once_folded"])
+def test_qlora_dequant_once_matches_fused(tmp_path, dequant):
+    """qlora_dequant="once"/"once_folded" (dequantize the base before
+    the forward, trainer.py) must train to the same place as the default
     fused per-matmul dequant: same math, different schedule — the only
-    numeric difference is the bf16 cast of the folded LoRA delta vs the
-    lazy f32 (x@A)@B application."""
+    numeric difference is where the LoRA delta meets bf16 rounding."""
     from tests.test_trainer import _toy_batches
 
     model = tiny_test("causal")
@@ -113,7 +113,7 @@ def test_qlora_dequant_once_matches_fused(tmp_path):
 
     t_fused = Trainer(TrainConfig(**base), total_steps=24)
     t_fused.fit(batches)
-    t_once = Trainer(TrainConfig(**base, qlora_dequant="once"), total_steps=24)
+    t_once = Trainer(TrainConfig(**base, qlora_dequant=dequant), total_steps=24)
     t_once.fit(batches)
 
     loss_fused = perplexity_eval(

@@ -54,7 +54,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="quantize the frozen base for LoRA training "
                    "(capability of the reference's --use_8bit/--use_4bit "
                    "BitsAndBytesConfig flags)")
-    g.add_argument("--qlora-dequant", choices=["fused", "once"],
+    g.add_argument("--qlora-dequant", choices=["fused", "once", "once_folded"],
                    default="fused",
                    help="dequant placement: at each matmul (fused) or "
                    "once per microbatch before the forward (once — "

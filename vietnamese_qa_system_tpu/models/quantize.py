@@ -216,30 +216,52 @@ def quantize_dense_tree(params, mode: str = "nf4", block: int = 64):
     return walk(params)
 
 
-def dequantize_tree(params, dtype=jnp.float32):
-    """Inverse of quantize_dense_tree (for export / HF conversion).  LoRA
-    factors attached by merge_lora are folded into the dense weight."""
+def dequantize_tree(params, dtype=jnp.float32, *, fold_lora: bool = True):
+    """Inverse of quantize_dense_tree (for export / HF conversion, and
+    the in-step whole-base dequant of qlora_dequant="once").  LoRA
+    factors attached by merge_lora are folded into the dense weight by
+    default (export semantics).
+
+    ``fold_lora=False`` keeps the factors ATTACHED (layers.dense applies
+    (x @ A) @ B lazily on the plain-``w`` path too) and only the frozen
+    base is dequantized.  This is what the in-step "once" dequant must
+    use: folding makes the merged weight a function of the adapter, so
+    the scan-over-layers backward materializes a full-size stacked
+    weight-cotangent tree (~4N f32 bytes — measured +7 GB on PhoGPT-4B,
+    OOM) before contracting it to the rank-r factor grads; with the base
+    dequantized factor-free it is constant w.r.t. the trainables and its
+    cotangent is symbolically zero, while the lazy low-rank application
+    gives dA/dB via activation-sized intermediates only.
+
+    Stacked leaves run dequant + (optional fold) + output-cast inside
+    one per-layer lax.map body: casting outside the map materialized
+    whole leaves in f32 first (a (32, 3072, 12288) MLP leaf is 4.8 GB)."""
+
+    def fold(sub):
+        # sub: one layer's quantized leaf (+ optional lora factors)
+        w = dequantize_weight(
+            {k: v for k, v in sub.items() if k in _QUANT_KEYS}, jnp.float32
+        )
+        if "lora_a" in sub:  # lora_b already carries alpha/r
+            w = w + jnp.dot(
+                sub["lora_a"], sub["lora_b"],
+                preferred_element_type=jnp.float32,
+            )
+        return w.astype(dtype)
 
     def walk(node):
         if isinstance(node, dict) and "w_q" in node:
-            w = dequantize_weight(node, jnp.float32)
-            if "lora_a" in node:  # lora_b already carries alpha/r
-                if node["lora_a"].ndim == 3:
-                    w = w + jnp.einsum(
-                        "lir,lro->lio", node["lora_a"], node["lora_b"],
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    w = w + jnp.dot(
-                        node["lora_a"], node["lora_b"],
-                        preferred_element_type=jnp.float32,
-                    )
-            out = {
-                k: v
-                for k, v in node.items()
-                if k not in _QUANT_KEYS + ("lora_a", "lora_b")
-            }
-            out["w"] = w.astype(dtype)
+            fold_keys = _QUANT_KEYS + (
+                ("lora_a", "lora_b") if fold_lora else ()
+            )
+            keys = tuple(k for k in fold_keys if k in node)
+            sub = {k: node[k] for k in keys}
+            if node["w_q"].ndim == 3:
+                w = jax.lax.map(fold, sub)
+            else:
+                w = fold(sub)
+            out = {k: v for k, v in node.items() if k not in keys}
+            out["w"] = w
             return out
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}

@@ -86,9 +86,19 @@ class TrainConfig:
     # where the quantized base is dequantized in the QLoRA step:
     #   "fused" — at each matmul's point of use (recomputed in the bwd
     #             under per-layer remat; minimum live memory)
-    #   "once"  — the whole base is dequantized to bf16 (LoRA delta
-    #             folded in) before the forward, so the VPU gather chain
-    #             runs ONCE per microbatch instead of twice per matmul.
+    #   "once"  — the whole frozen base is dequantized to bf16 before
+    #             the forward (LoRA factors stay attached and apply
+    #             lazily, keeping weight cotangents symbolically zero —
+    #             see dequantize_tree's fold_lora note), so the VPU
+    #             gather chain runs ONCE per microbatch instead of twice
+    #             per matmul.
+    #   "once_folded" — like "once" but the LoRA delta is folded into
+    #             the bf16 weights, removing the lazy low-rank matmuls
+    #             from the layers at the cost of a full-size stacked
+    #             weight-cotangent tree in the backward (~4N extra f32
+    #             bytes live).  Fastest when HBM is plentiful (llama1b
+    #             B=8: 582.8 vs 605.3 ms) but OOMs where "once" fits
+    #             (PhoGPT-4B).  Measured table in docs/BENCHMARKS.md.
     #             Costs one live bf16 copy of the weights (~2N bytes) and
     #             trades gathers for HBM streaming (probe_mfu_decomp
     #             attributed >=15% of the llama1b flagship step to fused
@@ -174,14 +184,18 @@ def make_train_step(
     def loss_for(trainable, frozen_base, mb):
         if use_lora:
             params = merge_lora(jax.lax.stop_gradient(frozen_base), trainable, lcfg)
-            if cfg.qlora_dequant == "once" and cfg.quantize_base:
-                # dequantize the whole base (LoRA delta folded in) before
-                # the forward: the gather chain runs once per microbatch
-                # and the scan-over-layers remat re-READS bf16 weights
-                # instead of re-dequantizing (see TrainConfig.qlora_dequant)
+            if cfg.qlora_dequant != "fused" and cfg.quantize_base:
+                # dequantize the whole frozen base before the forward:
+                # the gather chain runs once per microbatch and the
+                # scan-over-layers remat re-READS bf16 weights instead
+                # of re-dequantizing (TrainConfig note; fold tradeoff
+                # documented there)
                 from ..models.quantize import dequantize_tree
 
-                params = dequantize_tree(params, dtype=jnp.bfloat16)
+                params = dequantize_tree(
+                    params, dtype=jnp.bfloat16,
+                    fold_lora=(cfg.qlora_dequant == "once_folded"),
+                )
         else:
             params = trainable
         loss, n = loss_of(params, batch=mb)
@@ -298,10 +312,10 @@ class Trainer:
                 from ..models.t5 import stack_t5
 
                 params = stack_t5(params)
-        if cfg.qlora_dequant not in ("fused", "once"):
+        if cfg.qlora_dequant not in ("fused", "once", "once_folded"):
             raise ValueError(
-                f"qlora_dequant must be 'fused' or 'once', got "
-                f"{cfg.qlora_dequant!r}"
+                f"qlora_dequant must be 'fused', 'once' or 'once_folded',"
+                f" got {cfg.qlora_dequant!r}"
             )
         if cfg.quantize_base is not None:
             if cfg.lora is None:
