@@ -40,7 +40,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="gpt125m",
                     choices=["tiny", "gpt125m", "llama1b", "phogpt4b"])
-    ap.add_argument("--quantize", default=None, choices=["int8", "nf4"],
+    ap.add_argument("--quantize", default=None, choices=["int8", "int8c", "nf4"],
                     help="quantize the dense base weights for serving "
                     "(nf4 ~2.3 GB for phogpt4b — the v5e-fits config)")
     ap.add_argument("--requests", type=int, default=32)

@@ -1214,9 +1214,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard the reader LM over ALL visible devices "
                     "(multi-chip serving; tp = column/row-parallel "
                     "heads/MLP). Streams stay bit-identical to unsharded")
-    ps.add_argument("--reader-quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
-                    help="quantize the reader's dense weights for decode "
-                    "(2x/4x less HBM traffic per generated token)")
+    ps.add_argument("--reader-quantize",
+                    choices=["int8", "int8c", "nf4", "nf4-dq"], default=None,
+                    help="quantize the reader's dense weights for decode; "
+                    "int8c (per-output-channel scales) decodes through "
+                    "the w8 GEMM kernel — int8 streamed at byte rate, "
+                    "measured 3.4x the bf16 matmul at decode shapes "
+                    "(ops/w8_matmul.py)")
     ps.add_argument("--min-score", type=float, default=0.2)
     ps.add_argument("--speculative", choices=["none", "ngram", "draft"],
                     default="ngram",
@@ -1312,9 +1316,11 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--max-new-tokens", type=int, default=128)
     pc.add_argument("--temperature", type=float, default=0.0)
     pc.add_argument("--num-beams", type=int, default=1)
-    pc.add_argument("--quantize", choices=["int8", "nf4", "nf4-dq"], default=None,
-                    help="quantize dense weights for decode (2x/4x less "
-                    "HBM traffic per generated token)")
+    pc.add_argument("--quantize",
+                    choices=["int8", "int8c", "nf4", "nf4-dq"], default=None,
+                    help="quantize dense weights for decode; int8c decodes "
+                    "through the w8 GEMM kernel (byte-rate weight "
+                    "streaming, ops/w8_matmul.py)")
     pc.add_argument("--speculative", choices=["none", "ngram", "draft"],
                     default="ngram",
                     help="speculative decoding: ngram = prompt-lookup, "

@@ -81,12 +81,38 @@ def init_dense(key, d_in: int, d_out: int, *, use_bias: bool = True):
 
 def dense(p, x):
     if "w_q" in p:
-        # quantized base weight (models/quantize.py): dequantize at the
-        # point of use — the bf16 copy is transient and sits next to its
-        # matmul in the schedule (recomputed in the bwd under remat)
-        from .quantize import dequantize_weight
+        from ..ops.w8_matmul import supports as _w8_supports
 
-        y = _matmul(x, dequantize_weight(p, COMPUTE_DTYPE))
+        q = p["w_q"]
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if (
+            q.ndim == 2
+            and q.dtype == jnp.int8
+            and p.get("w_s") is not None
+            and p["w_s"].shape[0] == 1  # int8c: per-output-channel scales
+            and _w8_supports(rows, q.shape[0], q.shape[1])
+        ):
+            # serving decode hot path: the w8 GEMM kernel streams the
+            # int8 weight from HBM at byte rate and folds the column
+            # scale after the MXU contraction (ops/w8_matmul.py) — the
+            # dequantize-then-matmul XLA path below writes a full bf16
+            # copy of the weight every step and measured SLOWER than an
+            # unquantized model (docs/BENCHMARKS.md round-4 serving)
+            from ..ops.w8_matmul import w8_matmul
+
+            xf = x.reshape(rows, x.shape[-1]).astype(COMPUTE_DTYPE)
+            y = w8_matmul(xf, q, p["w_s"], out_dtype=jnp.float32)
+            y = y.reshape(*x.shape[:-1], q.shape[1])
+        else:
+            # quantized base weight (models/quantize.py): dequantize at
+            # the point of use — the bf16 copy is transient and sits
+            # next to its matmul in the schedule (recomputed in the bwd
+            # under remat)
+            from .quantize import dequantize_weight
+
+            y = _matmul(x, dequantize_weight(p, COMPUTE_DTYPE))
     else:
         y = _matmul(x, p["w"])
     if "b" in p:

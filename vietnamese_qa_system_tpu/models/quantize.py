@@ -88,15 +88,28 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
     layer independently via vmap; lax.scan then slices 2-D leaves the
     in-step dequant already understands.
     """
-    w = jnp.asarray(w, jnp.float32)
+    w = jnp.asarray(w)
     if w.ndim == 3:
         # sequential over the stacked layer dim: vmap would materialize
         # every layer's quantization transients at once (OOMs eagerly on
         # billion-param stacked trees); one layer's transients at a time
-        # keeps peak memory O(d_in * d_out)
+        # keeps peak memory O(d_in * d_out).  The f32 cast must also
+        # happen INSIDE the per-layer call — casting the whole stacked
+        # leaf first is a 4N-byte transient (4.8 GB for PhoGPT-4B's MLP
+        # leaf; OOMed quantizing a bf16 4B tree on-chip, round 4)
         return jax.lax.map(lambda x: quantize_weight(x, mode, block), w)
+    w = w.astype(jnp.float32)
     d_in, d_out = w.shape
-    block = _pick_block(d_in, block)
+    if mode == "int8c":
+        # per-output-CHANNEL scales (one block spanning all of d_in,
+        # nb == 1): the layout the w8 GEMM kernel needs — the scale
+        # folds through the K contraction, so the kernel streams int8
+        # from HBM and multiplies once per output (ops/w8_matmul.py).
+        # block = d_in exactly (no power-of-two walk: any d_in divides
+        # itself).
+        mode, block = "int8", d_in
+    else:
+        block = _pick_block(d_in, block)
     nb = d_in // block
     wb = w.reshape(nb, block, d_out)
     absmax = jnp.maximum(jnp.max(jnp.abs(wb), axis=1), 1e-12)  # (nb, d_out)
