@@ -57,6 +57,10 @@ def main() -> None:
                     "With arrivals, the lockstep arm batches whatever has "
                     "arrived when the previous batch finishes (classic "
                     "dynamic batching) — the realistic serving comparison")
+    ap.add_argument("--no-scan-layers", action="store_true",
+                    help="unstack the layer scan: per-layer weights are "
+                    "standalone arrays so the w8 kernel (int8c) streams "
+                    "at full byte rate (scripts/probe_decode.py finding)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="/tmp/probe_continuous.jsonl")
     args = ap.parse_args()
@@ -78,6 +82,10 @@ def main() -> None:
         "llama1b": mcfg.llama_1b_class,
         "phogpt4b": mcfg.phogpt_4b_class,
     }[args.size]()
+    if args.no_scan_layers and cfg.scan_layers:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, scan_layers=False)
     # init + cast in ONE jit so a 4B model never materializes its f32
     # tree (~15 GB) — see probe_train.py
     params = jax.jit(
