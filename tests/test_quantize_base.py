@@ -347,3 +347,37 @@ def test_pick_block_never_degenerates_to_one():
     # per-element path had ~40% error (sign * absmax only)
     rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
     assert rel < 0.1
+
+
+def test_int8c_outlier_channel_tradeoff(rng):
+    """int8c carries ONE scale per output channel spanning all of d_in —
+    an outlier INPUT channel (large row, the LLM.int8 failure mode that
+    bitsandbytes handles with a fp16 outlier split) inflates every
+    column's absmax and coarsens the whole weight.  Blockwise int8
+    confines the damage to the 64-row block holding the outlier.  This
+    pins the tradeoff the CLI help warns about: int8c error grows on
+    outlier weights but stays bounded; blockwise int8 barely moves."""
+    w = rng.normal(size=(256, 128)).astype(np.float32)
+    w_out = w.copy()
+    w_out[17] *= 12.0  # one outlier input channel, 12x typical magnitude
+    errs = {}
+    for mode in ("int8", "int8c"):
+        for name, arr in (("clean", w), ("outlier", w_out)):
+            q = quantize_weight(jnp.asarray(arr), mode)
+            deq = np.asarray(dequantize_weight(q, jnp.float32))
+            mask = np.ones(256, bool)
+            mask[17] = False  # error on the NON-outlier entries
+            num = np.linalg.norm(deq[mask] - arr[mask])
+            errs[mode, name] = num / np.linalg.norm(arr[mask])
+    # clean Gaussian weights: both modes reconstruct to well under 1%
+    assert errs["int8", "clean"] < 0.01
+    assert errs["int8c", "clean"] < 0.01
+    # outlier row: blockwise int8 is insulated — only the one 64-row
+    # block holding row 17 quantizes at the 12x-coarser step, so rms
+    # error grows by ~sqrt(block/d_in) = 1/2 of int8c's...
+    assert errs["int8", "outlier"] < 0.02
+    # ...while int8c's single scale coarsens EVERY row: error is
+    # ~sqrt(d_in/block) = 2x blockwise int8 (the documented tradeoff),
+    # bounded by outlier_mag/127 ~ 9%
+    assert errs["int8c", "outlier"] > 1.5 * errs["int8", "outlier"]
+    assert errs["int8c", "outlier"] < 0.09

@@ -548,3 +548,61 @@ def test_remat_policy_rejects_unknown(pair):
                  "labels": ids},
             )[0]
         )(stacked)
+
+
+# ---------------------------------------------------------- serve-load unstack
+
+
+def test_unstack_for_decode_causal(pair):
+    """Serving loads unstack scan-stacked blocks (scan's per-iteration
+    weight slices stream at ~55% of HBM rate — families.py docstring);
+    arrays must be bit-identical and list params must pass through."""
+    from vietnamese_qa_system_tpu.models.families import unstack_for_decode
+
+    base, params_list, cfg_scan, stacked = pair
+    out = unstack_for_decode(stacked, cfg_scan)
+    assert not causal_lm.blocks_stacked(out)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_list), jax.tree_util.tree_leaves(out)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # list-form params pass through untouched
+    assert unstack_for_decode(params_list, base) is params_list
+
+
+def test_unstack_for_decode_quantized(pair, rng):
+    """Quantized stacked leaves (w_q (L,K,N) int8 + w_s) unstack to the
+    2-D leaves the w8 GEMM kernel's full-rate path needs, and decode
+    logits match the stacked scan decode."""
+    from vietnamese_qa_system_tpu.models import quantize_dense_tree
+    from vietnamese_qa_system_tpu.models.families import unstack_for_decode
+
+    base, params_list, cfg_scan, stacked = pair
+    q_stacked = quantize_dense_tree(stacked, "int8c")
+    out = unstack_for_decode(q_stacked, cfg_scan)
+    assert not causal_lm.blocks_stacked(out)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    l_stacked = causal_lm.forward(q_stacked, cfg_scan, ids, mask)
+    l_unstacked = causal_lm.forward(out, base, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(l_stacked), np.asarray(l_unstacked), atol=2e-4
+    )
+
+
+def test_unstack_for_decode_t5():
+    from vietnamese_qa_system_tpu.models import t5
+    from vietnamese_qa_system_tpu.models.config import ModelConfig
+    from vietnamese_qa_system_tpu.models.families import unstack_for_decode
+
+    cfg = ModelConfig(
+        arch="seq2seq", seq2seq_family="t5", vocab_size=64, d_model=32,
+        n_heads=2, d_kv=8, n_layers=2, n_decoder_layers=2, d_ff=64,
+        mlp_gated=True, tie_embeddings=False, relative_attention_buckets=8,
+        relative_attention_max_distance=16, attention_bias=False,
+        scan_layers=True,
+    )
+    params = t5.init_t5(jax.random.key(0), cfg)
+    assert t5.t5_stacked(params)
+    out = unstack_for_decode(params, cfg)
+    assert not t5.t5_stacked(out)

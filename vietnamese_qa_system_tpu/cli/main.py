@@ -724,6 +724,14 @@ def cmd_serve(args) -> int:
         else:
             rparams = init_model_params(rcfg, jax.random.key(args.seed + 1))
             dist_print("(no --reader-params: answering with RANDOM weights)")
+        if not getattr(args, "keep_stacked", False):
+            from ..models.families import unstack_for_decode
+
+            new_rparams = unstack_for_decode(rparams, rcfg)
+            if new_rparams is not rparams:
+                dist_print("unstacked scan-layers reader blocks for decode "
+                           "(--keep-stacked keeps the training layout)")
+            rparams = new_rparams
         if args.reader_quantize:
             from ..models import quantize_dense_tree
 
@@ -945,6 +953,17 @@ def cmd_chat(args) -> int:
     else:
         params = init_model_params(model, jax.random.key(args.seed))
         dist_print("(no --init-params given: chatting with RANDOM weights)")
+    if not getattr(args, "keep_stacked", False):
+        # decode never pays scan's compile-depth advantage back, and scan's
+        # per-iteration weight slices stream at ~55% of HBM rate
+        # (models/families.py::unstack_for_decode)
+        from ..models.families import unstack_for_decode
+
+        new_params = unstack_for_decode(params, model)
+        if new_params is not params:
+            dist_print("unstacked scan-layers blocks for decode "
+                       "(--keep-stacked keeps the training layout)")
+        params = new_params
     if args.quantize:
         # decode is weight-bandwidth-bound at small batch: int8 halves and
         # nf4 quarters the bytes streamed from HBM per generated token
@@ -1220,7 +1239,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "int8c (per-output-channel scales) decodes through "
                     "the w8 GEMM kernel — int8 streamed at byte rate, "
                     "measured 3.4x the bf16 matmul at decode shapes "
-                    "(ops/w8_matmul.py)")
+                    "(ops/w8_matmul.py). int8c has ONE scale per output "
+                    "channel (coarser than blockwise int8; no LLM.int8-"
+                    "style outlier split) — check quality on your "
+                    "checkpoint before production (models/quantize.py)")
     ps.add_argument("--min-score", type=float, default=0.2)
     ps.add_argument("--speculative", choices=["none", "ngram", "draft"],
                     default="ngram",
@@ -1292,6 +1314,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "per-token HBM read and doubles resident slots at a "
                     "small logits perturbation (streams match "
                     "generate(kv_dtype='int8'), not bf16 bit-for-bit)")
+    ps.add_argument("--keep-stacked", action="store_true",
+                    help="keep scan-over-layers (stacked) reader weights "
+                    "stacked at serve time; default unstacks them for "
+                    "full-rate weight streaming (models/families.py)")
     ps.add_argument("--prefill-chunk", type=int, default=0,
                     help="admit long prompts in pieces of this many tokens "
                     "(must be a prompt bucket; 0 = whole-prompt prefill): "
@@ -1310,6 +1336,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--scan-layers", action="store_true",
                     help="model was trained with --scan-layers (stacked "
                     "block checkpoint layout)")
+    pc.add_argument("--keep-stacked", action="store_true",
+                    help="decode with the stacked (scan) layout instead of "
+                    "unstacking at load (slower weight streaming; see "
+                    "models/families.py::unstack_for_decode)")
     pc.add_argument("--init-params", default=None)
     pc.add_argument("--tokenizer", default="byte")
     pc.add_argument("--max-len", type=int, default=256)

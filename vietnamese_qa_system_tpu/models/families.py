@@ -38,3 +38,37 @@ def s2s_stacked(cfg: ModelConfig, params) -> bool:
 
         return t5_stacked(params)
     return False
+
+
+def unstack_for_decode(params, cfg: ModelConfig):
+    """Scan-over-layers (stacked) pytree -> list-of-blocks, for SERVING.
+
+    Scan-over-layers is a training-compile-time device: one traced layer
+    regardless of depth, with per-layer remat.  At decode time it costs
+    real bandwidth instead — ``lax.scan`` materializes each iteration's
+    sliced layer weights as a fresh buffer, so weight streaming runs at
+    ~55% of the HBM rate the same kernel reaches on a plain 2-D leaf
+    (408 vs 741 GB/s measured for the w8 int8 GEMM on v5e, and
+    +7% vs +33% end-to-end PhoGPT-4B B=1 decode —
+    docs/BENCHMARKS.md "Weight-only int8 serving").  Decode also never
+    pays scan's compile-depth advantage back: the unrolled decode step
+    compiles once per serving process.  The CLI serve/chat loaders call
+    this by default (``--keep-stacked`` opts out).
+
+    No-op for list-form params and for families without a stacked form.
+    Reference context: the serving scripts load the trained model fresh
+    for inference (reference src/models/model_utils/ds_inference.py:45-60)
+    — the training-time graph layout never leaks into serving there
+    either.
+    """
+    if cfg.arch == "causal":
+        from .causal_lm import blocks_stacked, unstack_blocks
+
+        if blocks_stacked(params):
+            return unstack_blocks(params, cfg.n_layers)
+        return params
+    if cfg.arch == "seq2seq" and s2s_stacked(cfg, params):
+        from .t5 import unstack_t5
+
+        return unstack_t5(params, cfg)
+    return params

@@ -107,6 +107,15 @@ def quantize_weight(w, mode: str = "nf4", block: int = 64) -> dict:
         # from HBM and multiplies once per output (ops/w8_matmul.py).
         # block = d_in exactly (no power-of-two walk: any d_in divides
         # itself).
+        # ACCURACY: one scale spanning all of d_in is coarser than
+        # blockwise int8, and there is no LLM.int8-style outlier
+        # decomposition (bitsandbytes' load_in_8bit splits outlier
+        # columns to fp16 precisely because plain per-channel int8 can
+        # degrade on real large-model weights with outlier channels).
+        # tests/test_quantize_base.py plants outlier channels and bounds
+        # the extra error; the trained-checkpoint ppl comparison lives
+        # in docs/BENCHMARKS.md "Weight-only int8 serving".  Validate on
+        # YOUR checkpoint before serving int8c.
         mode, block = "int8", d_in
     else:
         block = _pick_block(d_in, block)

@@ -117,7 +117,11 @@ def _w8(x, w_q, w_s, out_dtype, interpret):
             f"w8_matmul needs K/N divisible by 128 (got K={kk}, N={n}); "
             "gate calls with ops.w8_matmul.supports()"
         )
-    m_pad = -(-m // 8) * 8
+    # pad M to the 16-sublane bf16 native tile (not 8): v5e's Mosaic
+    # accepted an 8-row bf16 block, but sub-native-tile second-minor dims
+    # are a rejection/perf hazard on other TPU generations, and the cost
+    # at decode shapes is nil (advisor finding, round 4)
+    m_pad = -(-m // 16) * 16
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     y = _w8_matmul(

@@ -99,12 +99,12 @@ class TrainConfig:
     #             bytes live).  Fastest when HBM is plentiful (llama1b
     #             B=8: 582.8 vs 605.3 ms) but OOMs where "once" fits
     #             (PhoGPT-4B).  Measured table in docs/BENCHMARKS.md.
-    #             Costs one live bf16 copy of the weights (~2N bytes) and
-    #             trades gathers for HBM streaming (probe_mfu_decomp
-    #             attributed >=15% of the llama1b flagship step to fused
-    #             dequant; measured numbers in docs/BENCHMARKS.md).  Pair
-    #             with scan_layers remat (the outer-loss remat would
-    #             recompute the dequant and cancel the win).
+    # Both non-fused modes cost one live bf16 copy of the weights (~2N
+    # bytes) and trade gathers for HBM streaming (probe_mfu_decomp
+    # attributed >=15% of the llama1b flagship step to fused dequant;
+    # measured numbers in docs/BENCHMARKS.md).  Pair them with
+    # scan_layers remat (the outer-loss remat would recompute the
+    # dequant and cancel the win).
     qlora_dequant: str = "fused"
     seed: int = 42
     log_every: int = 10
