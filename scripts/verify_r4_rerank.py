@@ -63,12 +63,17 @@ i2 = np.asarray(i2)
 rec = np.mean([len(set(i2[r]) & set(oracle[r])) / 10 for r in range(16)])
 check(f"IVF topk rerank=None recall ({rec:.3f})", rec >= 0.95)
 
-# 4. error-path probes
+# 4. error-path probes (round 5: a SET rerank now runs the two-stage
+# exact re-score instead of raising — engine/ivf.py::topk)
+s_rr, i_rr = ivf.topk(qv, 10, rerank=40)
+i_rr = np.asarray(i_rr)
+rec_rr = np.mean([len(set(i_rr[r]) & set(oracle[r])) / 10 for r in range(16)])
+check(f"IVF rerank=40 recall ({rec_rr:.3f})", rec_rr >= rec - 1e-9)
 try:
-    ivf.topk(qv, 10, rerank=40)
-    check("IVF rerank set raises", False)
+    ivf.topk(qv, 10, rerank=5)
+    check("IVF rerank<k raises", False)
 except ValueError as e:
-    check("IVF rerank set raises", "does not support rerank" in str(e))
+    check("IVF rerank<k raises", "rerank" in str(e))
 try:
     store.topk(qv, 10, rerank=512)
     check("explicit rerank>128 raises", False)

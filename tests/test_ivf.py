@@ -72,21 +72,92 @@ def test_select_serving_index(corpus):
     assert ivf_crossover_batch(ivf, kappa=1) >= cross
 
 
-def test_build_from_int8_res_carries_scales(corpus):
-    """An IVF built over an int8_res store degrades to plain int8: the
-    primary codes AND their row scales must ride into the buckets (the
-    round-4 verify drive measured recall 0.71 at full probe when the
-    scales were dropped).  Full-probe recall must match the int8 build."""
+def test_build_from_int8_res_keeps_residual(corpus):
+    """An IVF built over an int8_res store stays int8_res: primary codes
+    + scales feed the probe-score pass, the residual level rides in
+    parallel slabs, and the auto rerank's exact re-score applies it —
+    so the measured-best serving dtype composes with the IVF index
+    (round-4 VERDICT missing #3; reference: faiss exact search at any
+    batch, heavy_ranker.py:91-101).  Full-probe reranked recall must
+    beat the plain-int8 build (residual restores ~15.7-bit scores)."""
     _, q, oracle = corpus
     _, ivf_res = _build(corpus, "int8_res")
-    assert ivf_res.dtype == "int8"
+    assert ivf_res.dtype == "int8_res"
     assert ivf_res.bucket_scales is not None
-    _, ids = ivf_res.topk(q, 10, mode="exact")
+    assert ivf_res.res_buckets is not None
+    _, ids = ivf_res.topk(q, 10, mode="exact")  # auto rerank = 4*k
     r_res = _recall(ids, oracle)
     _, ivf8 = _build(corpus, "int8")
     _, ids8 = ivf8.topk(q, 10, mode="exact")
-    assert abs(r_res - _recall(ids8, oracle)) < 0.02
-    assert r_res >= 0.92
+    assert r_res >= _recall(ids8, oracle) - 1e-9
+    assert r_res >= 0.95
+
+
+def test_ivf_int8_res_rerank_scores_match_f32(corpus):
+    """Reranked scores must equal the true f32 dot products to residual
+    precision (~1e-3 relative), not the primary-only int8 scores."""
+    pts, q, _ = corpus
+    _, ivf = _build(corpus, "int8_res")
+    scores, ids = ivf.topk(q, 10, mode="exact")
+    scores, ids = np.asarray(scores), np.asarray(ids)
+    true = q @ pts.T
+    for i in range(len(q)):
+        got = scores[i]
+        want = true[i, ids[i]]
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_ivf_rerank_off_and_validation(corpus):
+    """rerank=0 disables the second stage (primary-only scores); rerank
+    < k raises; explicit rerank works on bf16 too (pure f32 re-score)."""
+    pts, q, oracle = corpus
+    _, ivf = _build(corpus, "int8_res")
+    s_off, ids_off = ivf.topk(q, 10, mode="exact", rerank=0)
+    s_on, _ = ivf.topk(q, 10, mode="exact")
+    # primary-only scores differ from reranked (coarser quantization)
+    assert not np.allclose(np.asarray(s_off), np.asarray(s_on), atol=1e-5)
+    with pytest.raises(ValueError, match="rerank"):
+        ivf.topk(q, 10, rerank=5)
+    _, ivf_bf = _build(corpus, "bf16")
+    _, ids_bf = ivf_bf.topk(q, 10, rerank=40)
+    assert _recall(ids_bf, oracle) >= 0.95
+
+
+def test_ivf_int8_res_sharded_matches_single(corpus):
+    _, q, _ = corpus
+    _, ivf1 = _build(corpus, "int8_res", shards=1)
+    _, ivf4 = _build(corpus, "int8_res", shards=4)
+    _, ids1 = ivf1.topk(q, 10, mode="exact")
+    _, ids4 = ivf4.topk(q, 10, mode="exact")
+    ids1, ids4 = np.asarray(ids1), np.asarray(ids4)
+    agree = np.mean(
+        [len(set(ids1[i]) & set(ids4[i])) / 10 for i in range(len(q))]
+    )
+    assert agree >= 0.99
+
+
+def test_ivf_int8_res_save_load_and_add(corpus, tmp_path):
+    """Residual slabs round-trip through save/load; spill adds carry a
+    residual level too (get_vectors reconstructs to ~1e-3)."""
+    pts, q, _ = corpus
+    _, ivf = _build(corpus, "int8_res")
+    path = str(tmp_path / "ivf_res")
+    ivf.save(path)
+    back = load_index(path)
+    assert back.dtype == "int8_res"
+    s0, i0 = ivf.topk(q, 10)
+    s1, i1 = back.topk(q, 10)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
+    rng = np.random.default_rng(3)
+    new = rng.normal(size=(5, D)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    ids = back.add(new)
+    got = back.get_vectors(ids)
+    np.testing.assert_allclose(got, new, atol=2e-3)
+    # the new rows are searchable through the reranked spill path
+    _, found = back.topk(new, 1)
+    assert set(np.asarray(found).ravel()) == set(ids.tolist())
 
 
 def test_exact_mode_matches_flat_store(corpus):
@@ -235,13 +306,13 @@ def test_retriever_over_ivf(corpus, tmp_path):
     res_flat = r_flat.search([docs[3]], k=3)
     assert {x.id for x in res[0]} & {x.id for x in res_flat[0]}
     # rerank=None is interface-compatible (the crash at round-3 head);
-    # a SET rerank over IVF is rejected with a clear error, not a
-    # TypeError deep in the batch loop
+    # since round 5 a SET rerank over IVF runs the two-stage exact
+    # re-score instead of raising (engine/ivf.py::topk)
     ivf.topk(np.zeros((2, cfg.d_model), np.float32), 3, rerank=None)
     r_rr = Retriever(params, cfg, tok, ivf, docstore, max_len=32,
                      query_batch=8, rerank=12)
-    with pytest.raises(ValueError, match="does not support rerank"):
-        r_rr.search([docs[3]], k=3)
+    res_rr = r_rr.search([docs[3]], k=3)
+    assert {x.id for x in res_rr[0]} & {x.id for x in res_flat[0]}
 
 
 @pytest.mark.parametrize("dtype", ["int8", "bf16"])
