@@ -14,6 +14,13 @@ Arms (both warmed, both measured after compile):
   continuous  — the same burst through ContinuousEngine: per-request
                 budgets, slots free early, admissions between chunks.
 
+``--quantize`` accepts a COMMA LIST (e.g. ``none,int8c``): every config
+runs in ONE process over the same request set, because the axon-tunnel
+dispatch floor is SESSION-dependent (measured 1.3-30 ms across
+sessions, CLAUDE.md) and the continuous arm pays it per chunk — two
+configs from different processes are not comparable.  The measured
+per-dispatch floor is recorded alongside the results.
+
 Reports makespan, useful tokens/s (sum of requested budgets / makespan),
 and mean/p95 per-request latency.  Random weights (throughput only —
 streams were pinned token-identical to generate() in
@@ -21,6 +28,8 @@ tests/test_continuous.py).
 
 Usage:
   python scripts/probe_continuous.py --size gpt125m --requests 32 --slots 8
+  python scripts/probe_continuous.py --size phogpt4b --no-scan-layers \
+      --quantize none,int8c --requests 16 --slots 8
 """
 
 from __future__ import annotations
@@ -40,9 +49,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="gpt125m",
                     choices=["tiny", "gpt125m", "llama1b", "phogpt4b"])
-    ap.add_argument("--quantize", default=None, choices=["int8", "int8c", "nf4"],
-                    help="quantize the dense base weights for serving "
-                    "(nf4 ~2.3 GB for phogpt4b — the v5e-fits config)")
+    ap.add_argument("--quantize", default=None,
+                    help="comma list of weight configs to run in one "
+                    "process: none|int8|int8c|nf4 (nf4 ~2.3 GB for "
+                    "phogpt4b — the v5e-fits config)")
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk-steps", type=int, default=16)
@@ -57,10 +67,22 @@ def main() -> None:
                     "With arrivals, the lockstep arm batches whatever has "
                     "arrived when the previous batch finishes (classic "
                     "dynamic batching) — the realistic serving comparison")
+    ap.add_argument("--speculative", default="ngram",
+                    choices=["ngram", "off"],
+                    help="in-engine prompt-lookup drafting.  NOTE: this "
+                    "probe's prompts are RANDOM tokens, so ngram drafts "
+                    "accept ~nothing and chunks degrade to (gamma+1)-row "
+                    "verify forwards — 'off' measures the plain "
+                    "8-row-per-step decode path (weight-stream-bound, "
+                    "the shape real QA traffic is NOT in only because "
+                    "its drafts accept ~85%)")
     ap.add_argument("--no-scan-layers", action="store_true",
                     help="unstack the layer scan: per-layer weights are "
                     "standalone arrays so the w8 kernel (int8c) streams "
                     "at full byte rate (scripts/probe_decode.py finding)")
+    ap.add_argument("--skip-lockstep", action="store_true",
+                    help="continuous arm only (lockstep is insensitive "
+                    "to the engine options being A/B'd)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="/tmp/probe_continuous.jsonl")
     args = ap.parse_args()
@@ -86,17 +108,29 @@ def main() -> None:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, scan_layers=False)
+
+    # session dispatch floor: a trivial jitted op round-trip (CLAUDE.md —
+    # interpret per-chunk costs relative to THIS, not across sessions)
+    @jax.jit
+    def _bump(a):
+        return a + 1.0
+
+    xs = jnp.ones((8,), jnp.float32)
+    np.asarray(_bump(xs))
+    t0 = time.time()
+    for _ in range(20):
+        np.asarray(_bump(xs))
+    floor_ms = (time.time() - t0) / 20 * 1e3
+    print(f"session dispatch floor: {floor_ms:.2f} ms", flush=True)
+
     # init + cast in ONE jit so a 4B model never materializes its f32
     # tree (~15 GB) — see probe_train.py
-    params = jax.jit(
+    params_bf16 = jax.jit(
         lambda k: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16), init_causal_lm(k, cfg)
         )
     )(jax.random.key(7))
-    if args.quantize:
-        from vietnamese_qa_system_tpu.models.quantize import quantize_dense_tree
 
-        params = quantize_dense_tree(params, mode=args.quantize)
     rng = np.random.default_rng(args.seed)
     R, S = args.requests, args.slots
     prompts = [
@@ -109,122 +143,159 @@ def main() -> None:
     print(f"{R} requests, prompts {args.min_prompt}-{args.max_prompt}, "
           f"budgets {args.min_new}-{args.max_new} (sum {useful} useful "
           f"tokens), slots {S}", flush=True)
-    results = {}
 
-    # ---- arm 1: lockstep batched generate -------------------------------
-    # one static shape: width = smallest power-of-two bucket >= max prompt,
-    # budget = max budget (each group decodes the full budget — lockstep
-    # cannot stop early without abandoning the other rows)
-    width = 1
-    while width < max(len(p) for p in prompts):
-        width *= 2
-    max_budget = max(budgets)
-    ids = np.zeros((S, width), np.int32)
-    mask = np.zeros((S, width), np.int32)
-
-    def run_group(group):
-        ids[:] = 0
-        mask[:] = 0
-        for r, i in enumerate(group):
-            p = prompts[i]
-            ids[r, width - len(p):] = p
-            mask[r, width - len(p):] = 1
-        out = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-                       max_new_tokens=max_budget, eos_id=None)
-        np.asarray(out[:, -1])  # force completion (axon-safe)
-
-    run_group(list(range(min(S, R))))  # warm the one compile
-    arrive = np.zeros(R)
+    arrive0 = np.zeros(R)
     if args.arrival_rate > 0:
-        arrive = np.cumsum(
+        arrive0 = np.cumsum(
             rng.exponential(1.0 / args.arrival_rate, size=R)
         )
-    lat_lock = [0.0] * R
-    n_groups = 0
-    t0 = time.time()
-    if args.arrival_rate > 0:
-        # dynamic batching: when the previous batch finishes, take up to
-        # `slots` of whatever has arrived (wait for the first arrival)
-        nxt = 0
-        while nxt < R:
-            now = time.time() - t0
-            if arrive[nxt] > now:
-                time.sleep(arrive[nxt] - now)
-            now = time.time() - t0
-            group = []
-            while nxt < R and len(group) < S and arrive[nxt] <= now:
-                group.append(nxt)
-                nxt += 1
-            run_group(group)
-            n_groups += 1
-            done = time.time() - t0
-            for i in group:
-                lat_lock[i] = done - arrive[i]
-    else:
-        for lo in range(0, R, S):
-            group = list(range(lo, min(lo + S, R)))
-            run_group(group)
-            n_groups += 1
-            done = time.time() - t0
-            for i in group:
-                lat_lock[i] = done  # the whole group returns together
-    mk_lock = time.time() - t0
-    results["lockstep"] = {
-        "makespan_s": round(mk_lock, 2),
-        "useful_tokens_per_s": round(useful / mk_lock, 1),
-        "decoded_tokens_per_s": round(n_groups * S * max_budget / mk_lock, 1),
-        "lat_mean_s": round(float(np.mean(lat_lock)), 2),
-        "lat_p95_s": round(float(np.percentile(lat_lock, 95)), 2),
-    }
-    print("lockstep:", json.dumps(results["lockstep"]), flush=True)
 
-    # ---- arm 2: continuous batching --------------------------------------
-    eng = ContinuousEngine(
-        params, cfg, n_slots=S, total=args.total,
-        chunk_steps=args.chunk_steps, eos_id=None,
-    )
-    # warm every prefill bucket + insert + decode chunk out of the timing
-    for b in eng.buckets:
-        eng.generate_ids(prompts[0][: min(len(prompts[0]), b)], 2)
-    done_at = [0.0] * R
+    def run_config(params, tag):
+        results = {}
+        arrive = arrive0
 
-    def stamp(i):
-        def cb(_fut):
-            done_at[i] = time.time()
-        return cb
+        # ---- arm 1: lockstep batched generate ---------------------------
+        # one static shape: width = smallest power-of-two bucket >= max
+        # prompt, budget = max budget (each group decodes the full budget
+        # — lockstep cannot stop early without abandoning other rows)
+        width = 1
+        while width < max(len(p) for p in prompts):
+            width *= 2
+        max_budget = max(budgets)
+        ids = np.zeros((S, width), np.int32)
+        mask = np.zeros((S, width), np.int32)
 
-    t0 = time.time()
-    futs = []
-    for i, (p, m) in enumerate(zip(prompts, budgets)):
-        if args.arrival_rate > 0:
-            now = time.time() - t0
-            if arrive[i] > now:
-                time.sleep(arrive[i] - now)
-        f = eng.submit(p, m)
-        f.add_done_callback(stamp(i))
-        futs.append(f)
-    emitted = sum(len(f.result(timeout=3600)["ids"]) for f in futs)
-    mk_cont = max(done_at) - t0
-    lat_cont = [d - t0 - a for d, a in zip(done_at, arrive)]
-    stats = eng.snapshot_stats()
-    eng.close()
-    results["continuous"] = {
-        "makespan_s": round(mk_cont, 2),
-        "useful_tokens_per_s": round(emitted / mk_cont, 1),
-        "lat_mean_s": round(float(np.mean(lat_cont)), 2),
-        "lat_p95_s": round(float(np.percentile(lat_cont, 95)), 2),
-        "avg_occupancy": stats.get("avg_occupancy"),
-        "chunks": stats["chunks"],
-    }
-    print("continuous:", json.dumps(results["continuous"]), flush=True)
-    results["speedup_makespan"] = round(mk_lock / mk_cont, 2)
-    results["speedup_mean_latency"] = round(
-        results["lockstep"]["lat_mean_s"]
-        / max(results["continuous"]["lat_mean_s"], 1e-9), 2)
-    print(f"SPEEDUP makespan {results['speedup_makespan']}x, "
-          f"mean latency {results['speedup_mean_latency']}x", flush=True)
+        def run_group(group):
+            ids[:] = 0
+            mask[:] = 0
+            for r, i in enumerate(group):
+                p = prompts[i]
+                ids[r, width - len(p):] = p
+                mask[r, width - len(p):] = 1
+            out = generate(params, cfg, jnp.asarray(ids),
+                           jnp.asarray(mask),
+                           max_new_tokens=max_budget, eos_id=None)
+            np.asarray(out[:, -1])  # force completion (axon-safe)
+
+        mk_lock = None
+        if not args.skip_lockstep:
+            run_group(list(range(min(S, R))))  # warm the one compile
+        lat_lock = [0.0] * R
+        n_groups = 0
+        t0 = time.time()
+        if args.skip_lockstep:
+            pass
+        elif args.arrival_rate > 0:
+            # dynamic batching: when the previous batch finishes, take up
+            # to `slots` of whatever has arrived (wait for first arrival)
+            nxt = 0
+            while nxt < R:
+                now = time.time() - t0
+                if arrive[nxt] > now:
+                    time.sleep(arrive[nxt] - now)
+                now = time.time() - t0
+                group = []
+                while nxt < R and len(group) < S and arrive[nxt] <= now:
+                    group.append(nxt)
+                    nxt += 1
+                run_group(group)
+                n_groups += 1
+                done = time.time() - t0
+                for i in group:
+                    lat_lock[i] = done - arrive[i]
+        else:
+            for lo in range(0, R, S):
+                group = list(range(lo, min(lo + S, R)))
+                run_group(group)
+                n_groups += 1
+                done = time.time() - t0
+                for i in group:
+                    lat_lock[i] = done  # the whole group returns together
+        if not args.skip_lockstep:
+            mk_lock = time.time() - t0
+            results["lockstep"] = {
+                "makespan_s": round(mk_lock, 2),
+                "useful_tokens_per_s": round(useful / mk_lock, 1),
+                "decoded_tokens_per_s": round(
+                    n_groups * S * max_budget / mk_lock, 1),
+                "lat_mean_s": round(float(np.mean(lat_lock)), 2),
+                "lat_p95_s": round(
+                    float(np.percentile(lat_lock, 95)), 2),
+            }
+            print(f"[{tag}] lockstep:", json.dumps(results["lockstep"]),
+                  flush=True)
+
+        # ---- arm 2: continuous batching ---------------------------------
+        eng = ContinuousEngine(
+            params, cfg, n_slots=S, total=args.total,
+            chunk_steps=args.chunk_steps, eos_id=None,
+            speculative=args.speculative,
+        )
+        # warm every prefill bucket + insert + decode chunk out of timing
+        for b in eng.buckets:
+            eng.generate_ids(prompts[0][: min(len(prompts[0]), b)], 2)
+        done_at = [0.0] * R
+
+        def stamp(i):
+            def cb(_fut):
+                done_at[i] = time.time()
+            return cb
+
+        t0 = time.time()
+        futs = []
+        for i, (p, m) in enumerate(zip(prompts, budgets)):
+            if args.arrival_rate > 0:
+                now = time.time() - t0
+                if arrive[i] > now:
+                    time.sleep(arrive[i] - now)
+            f = eng.submit(p, m)
+            f.add_done_callback(stamp(i))
+            futs.append(f)
+        emitted = sum(len(f.result(timeout=3600)["ids"]) for f in futs)
+        mk_cont = max(done_at) - t0
+        lat_cont = [d - t0 - a for d, a in zip(done_at, arrive)]
+        stats = eng.snapshot_stats()
+        eng.close()
+        results["continuous"] = {
+            "makespan_s": round(mk_cont, 2),
+            "useful_tokens_per_s": round(emitted / mk_cont, 1),
+            "lat_mean_s": round(float(np.mean(lat_cont)), 2),
+            "lat_p95_s": round(float(np.percentile(lat_cont, 95)), 2),
+            "avg_occupancy": stats.get("avg_occupancy"),
+            "chunks": stats["chunks"],
+        }
+        print(f"[{tag}] continuous:", json.dumps(results["continuous"]),
+              flush=True)
+        if mk_lock is not None:
+            results["speedup_makespan"] = round(mk_lock / mk_cont, 2)
+            results["speedup_mean_latency"] = round(
+                results["lockstep"]["lat_mean_s"]
+                / max(results["continuous"]["lat_mean_s"], 1e-9), 2)
+            print(f"[{tag}] SPEEDUP makespan "
+                  f"{results['speedup_makespan']}x, mean latency "
+                  f"{results['speedup_mean_latency']}x", flush=True)
+        return results
+
+    modes = [m.strip() for m in (args.quantize or "none").split(",")]
+    all_results = {"floor_ms": round(floor_ms, 2)}
+    for i, mode in enumerate(modes):
+        if mode in ("none", "bf16"):
+            p_run = params_bf16
+        else:
+            from vietnamese_qa_system_tpu.models.quantize import (
+                quantize_dense_tree,
+            )
+
+            p_run = quantize_dense_tree(params_bf16, mode=mode)
+            if i == len(modes) - 1:
+                # free the bf16 tree before the engine allocates KV: at
+                # 4B, bf16 (7.4 G) + int8 (3.7 G) + KV (~3 G) crowds v5e
+                del params_bf16
+        all_results[mode] = run_config(p_run, mode)
+        del p_run
     with open(args.out, "a") as f:
-        f.write(json.dumps({"args": vars(args), "results": results}) + "\n")
+        f.write(json.dumps({"args": vars(args),
+                            "results": all_results}) + "\n")
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def main() -> None:
                     help="stacked blocks under lax.scan — O(1)-in-depth "
                     "compile for deep flash models on the remote tunnel")
     ap.add_argument("--remat-policy", default=None,
-                    choices=["full", "dots", "none"],
+                    choices=["full", "dots", "proj_bf16", "none"],
                     help="scan-over-layers remat granularity "
                          "(models/layers.py::remat_wrap)")
     ap.add_argument("--lora-r", type=int, default=0,

@@ -507,22 +507,28 @@ def test_scan_all_local_decode(rng):
     np.testing.assert_array_equal(np.asarray(out_list), np.asarray(out_scan))
 
 
-@pytest.mark.parametrize("policy", ["dots", "none"])
+@pytest.mark.parametrize("policy", ["dots", "none", "proj_bf16"])
 def test_remat_policy_grad_parity(pair, rng, policy):
     """remat_policy changes WHAT the backward saves, never the math: loss
     and grads must match the default full-remat scan bitwise-closely,
     including on the flash path (the "dots" policy saves the tagged
-    flash_out so the kernel forward is not recomputed)."""
+    flash_out so the kernel forward is not recomputed).  "proj_bf16" is
+    the one deliberate exception: its SAVED projection outputs round to
+    bf16 (that is the policy's memory win), so it matches to bf16
+    precision rather than bitwise."""
     base, _, cfg_scan, stacked = pair
     cfg_flash = dataclasses.replace(cfg_scan, use_flash_attention=True)
     ids = jnp.asarray(rng.integers(1, 512, (2, 128)), jnp.int32)
     mask = jnp.ones((2, 128), jnp.int32).at[1, 100:].set(0)
     batch = {"input_ids": ids, "attention_mask": mask, "labels": ids}
 
+    loss_rtol = 5e-3 if policy == "proj_bf16" else 1e-6
+    grad_tol = 5e-2 if policy == "proj_bf16" else 2e-3
     cfg_pol = dataclasses.replace(cfg_flash, remat_policy=policy)
     loss_full, _ = causal_lm.loss_fn(stacked, cfg_flash, batch)
     loss_pol, _ = causal_lm.loss_fn(stacked, cfg_pol, batch)
-    np.testing.assert_allclose(float(loss_full), float(loss_pol), rtol=1e-6)
+    np.testing.assert_allclose(float(loss_full), float(loss_pol),
+                               rtol=loss_rtol)
 
     g_full = jax.jit(
         jax.grad(lambda p: causal_lm.loss_fn(p, cfg_flash, batch)[0])
@@ -532,7 +538,7 @@ def test_remat_policy_grad_parity(pair, rng, policy):
     )(stacked)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_pol)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3
+            np.asarray(a), np.asarray(b), atol=grad_tol, rtol=grad_tol
         )
 
 

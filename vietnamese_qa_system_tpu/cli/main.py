@@ -38,7 +38,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    "lax.scan (T5X/MaxText-style): compile time O(1) in "
                    "depth + per-layer remat (lower memory; causal only)")
     g.add_argument("--remat-policy", default=None,
-                   choices=["full", "dots", "none"],
+                   choices=["full", "dots", "proj_bf16", "none"],
                    help="scan-over-layers remat granularity: full = "
                    "recompute the layer (min memory), dots = save matmul/"
                    "flash outputs and recompute only elementwise glue "

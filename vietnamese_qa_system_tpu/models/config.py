@@ -126,6 +126,9 @@ class ModelConfig:
     # only elementwise glue — trades ~B*T*(4d+2ff) saved f32/layer for
     # skipping the fwd recompute (~25% of step FLOPs; measured numbers in
     # docs/BENCHMARKS.md);
+    # "proj_bf16" = like "dots" but the saves are rounded to bf16 (half
+    # the bytes that made dots OOM) and the fused-QLoRA dequant re-gather
+    # is skipped too — the flagship training policy (layers.remat_wrap);
     # "none" = no remat (deep flash stacks OOM).  The capability knob
     # behind torch's gradient_checkpointing_enable (reference
     # src/models/trainer.py:527-533), with selectivity torch's flag lacks.

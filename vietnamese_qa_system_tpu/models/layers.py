@@ -12,10 +12,26 @@ reference's accelerate ``mixed_precision: bf16`` configs.
 
 from __future__ import annotations
 
+import contextvars
+
 import jax
 import jax.numpy as jnp
 
 COMPUTE_DTYPE = jnp.bfloat16
+
+# Trace-time flag set by remat_wrap("proj_bf16") while the wrapped layer
+# body traces (forward AND the checkpoint's backward re-trace): dense()
+# rounds its return value to bf16 and tags it "proj_bf16" so the policy
+# saves exactly the projection outputs, in bf16.
+_TAG_PROJ_BF16 = contextvars.ContextVar("tag_proj_bf16", default=False)
+
+
+def _maybe_tag_proj(y):
+    if _TAG_PROJ_BF16.get():
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(y.astype(COMPUTE_DTYPE), "proj_bf16")
+    return y
 
 
 def _matmul(x, w):
@@ -43,6 +59,18 @@ def remat_wrap(fn, policy_name: str):
       saved f32/layer for skipping the forward recompute (~25% of step
       FLOPs) — the standard TPU training trade once HBM allows it
       (measured numbers in docs/BENCHMARKS.md).
+    - ``"proj_bf16"``: selective remat with BF16 saves — every
+      projection output (layers.dense return value: qkv, attention out,
+      MLP up/gate/down, incl. LoRA correction) is rounded to bf16 and
+      saved, plus the flash kernel output/lse; the backward recomputes
+      only norms/activations/residual glue.  Halves the saved-bytes
+      cost that made ``dots`` OOM (XLA saves raw f32 dot accumulators;
+      round-3 measured 22.6 GB at llama1b B=8) and, unlike ``dots``,
+      also skips the nf4/int8 dequant re-gather in fused QLoRA.  The
+      bf16 rounding of saved activations is the same precision the
+      activation-dtype policy already applies to the residual stream;
+      only this policy's saved tensors round — "full"/"dots" numerics
+      are untouched (measured numbers in docs/BENCHMARKS.md round-5).
     - ``"none"``: no remat — scan saves everything XLA decides to keep
       (deep flash stacks typically OOM; small models profile fastest).
 
@@ -59,10 +87,23 @@ def remat_wrap(fn, policy_name: str):
             cp.save_only_these_names("flash_out", "flash_lse"),
         )
         return jax.checkpoint(fn, policy=policy)
+    if policy_name == "proj_bf16":
+        def tagged(*a, **k):
+            tok = _TAG_PROJ_BF16.set(True)
+            try:
+                return fn(*a, **k)
+            finally:
+                _TAG_PROJ_BF16.reset(tok)
+
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "proj_bf16", "flash_out", "flash_lse"
+        )
+        return jax.checkpoint(tagged, policy=policy)
     if policy_name == "full":
         return jax.checkpoint(fn)
     raise ValueError(
-        f"unknown remat_policy {policy_name!r}; want full | dots | none"
+        f"unknown remat_policy {policy_name!r}; "
+        "want full | dots | proj_bf16 | none"
     )
 
 
@@ -135,7 +176,7 @@ def dense(p, x):
                 p["lora_b"].astype(COMPUTE_DTYPE),
                 preferred_element_type=jnp.float32,
             )
-            return y
+            return _maybe_tag_proj(y)
         # lazily applied LoRA on a quantized base (merge_lora attaches the
         # factors; lora_b already carries alpha/r): y += (x @ A) @ B — the
         # full-rank delta is never materialized (QLoRA compute)
@@ -149,7 +190,7 @@ def dense(p, x):
             p["lora_b"].astype(COMPUTE_DTYPE),
             preferred_element_type=jnp.float32,
         )
-    return y
+    return _maybe_tag_proj(y)
 
 
 # -----------------------------------------------------------------------------

@@ -60,6 +60,7 @@ def _fa_kernel(
     has_bias: bool = False,
     window: int | None = None,
     static_len: int | None = None,
+    mxu_row_sum: bool = True,
 ):
     # `static_len` specialization: when every row attends the full
     # (static) key length, the length is baked in as a compile-time
@@ -74,10 +75,21 @@ def _fa_kernel(
     if static_len is None:
         lens_ref = refs.pop(0)
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *scratch = refs
     else:
         bias_ref = None
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch = refs
+    if mxu_row_sum:
+        m_scr, acc_scr = scratch
+        l_scr = None
+    else:
+        # separate VPU row-sum recurrence: at D % 128 == 0 (the PhoGPT
+        # D=128 regime) the ones-column trick below pads p@v to D+1
+        # columns, which spills into a SECOND 128-wide MXU tile and
+        # doubles that matmul's hardware cost; a (BLK_Q, 1) l scratch +
+        # one VPU row reduce is cheaper there (round-5 diagnosis of the
+        # fwd-vs-bwd TF/s asymmetry, scripts/probe_flash_rowsum.py)
+        m_scr, acc_scr, l_scr = scratch
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -89,6 +101,8 @@ def _fa_kernel(
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+        if l_scr is not None:
+            l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
 
     def compute(masked: bool):
         q = q_ref[0]
@@ -133,21 +147,36 @@ def _fa_kernel(
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         # NOTE: exp in bf16 measured neutral-to-worse (3.97 vs 3.84 ms
         # honest at T=4k) — Mosaic's transcendental rate doesn't double
-        p = jnp.exp(s - m_cur).astype(jnp.bfloat16)  # (BLK_Q, BLK_K)
+        p_f = jnp.exp(s - m_cur)  # (BLK_Q, BLK_K) f32
+        p = p_f.astype(jnp.bfloat16)
         alpha = jnp.exp(m_prev - m_cur)  # (BLK_Q, 1)
-        # row-sum rides the MXU for free: the matmul N-dim (D=64) only
-        # half-fills the 128-wide MXU tile, so appending a ones column to
-        # v computes sum(p) in the SAME pass as p@v — the VPU row-sum and
-        # the separate l recurrence disappear (l is acc column D, sharing
-        # the alpha rescale)
-        v_ext = jnp.pad(v_ref[0], ((0, 0), (0, 1)), constant_values=1.0)
-        pv = jax.lax.dot_general(
-            p,
-            v_ext,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BLK_Q, D+1); column D is sum(p)
-        acc_scr[:] = acc_scr[:] * alpha + pv
+        if mxu_row_sum:
+            # row-sum rides the MXU for free WHEN D leaves tile slack:
+            # at D=64 the matmul N-dim only half-fills the 128-wide MXU
+            # tile, so appending a ones column to v computes sum(p) in
+            # the SAME pass as p@v — the VPU row-sum and the separate l
+            # recurrence disappear (l is acc column D, sharing the alpha
+            # rescale).  At D=128 this pad costs a whole second tile —
+            # use mxu_row_sum=False there.
+            v_ext = jnp.pad(
+                v_ref[0], ((0, 0), (0, 1)), constant_values=1.0)
+            pv = jax.lax.dot_general(
+                p,
+                v_ext,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BLK_Q, D+1); column D is sum(p)
+            acc_scr[:] = acc_scr[:] * alpha + pv
+        else:
+            pv = jax.lax.dot_general(
+                p,
+                v_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BLK_Q, D)
+            acc_scr[:] = acc_scr[:] * alpha + pv
+            l_scr[:] = l_scr[:] * alpha + jnp.sum(
+                p_f, axis=1, keepdims=True)
         m_scr[:] = m_cur
 
     # Interior blocks need NO masking at all: every key in the block is
@@ -184,9 +213,13 @@ def _fa_kernel(
 
     @pl.when(ik == nk - 1)
     def _emit():
-        d = acc_scr.shape[-1] - 1
-        l = jnp.maximum(acc_scr[:, d:], 1e-30)  # (BLK_Q, 1): sum(p)
-        o_ref[0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
+        if mxu_row_sum:
+            d = acc_scr.shape[-1] - 1
+            l = jnp.maximum(acc_scr[:, d:], 1e-30)  # (BLK_Q, 1): sum(p)
+            o_ref[0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
+        else:
+            l = jnp.maximum(l_scr[:], 1e-30)
+            o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
         lse = (m_scr[:] + jnp.log(l)).reshape(1, blk_q)  # (1, BLK_Q)
         lse_ref[0, 0] = jnp.broadcast_to(lse, (8, blk_q))
 
@@ -194,18 +227,26 @@ def _fa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "blk_q", "blk_k", "scale", "interpret",
-                     "n_heads", "window", "static_len"),
+                     "n_heads", "window", "static_len", "mxu_row_sum"),
 )
 def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
                interpret, n_heads: int = 1, window: int | None = None,
-               static_len: int | None = None):
+               static_len: int | None = None,
+               mxu_row_sum: bool | None = None):
     bh, tq, d = q.shape
     tk = k.shape[1]
     nq = tq // blk_q
     grid = (bh, nq, tk // blk_k)
+    if mxu_row_sum is None:
+        # the ones-column trick is free only while D leaves slack in the
+        # last 128-wide MXU tile; at D % 128 == 0 the pad costs a whole
+        # extra tile per p@v (A/B in scripts/probe_flash_rowsum.py; see
+        # docs/BENCHMARKS.md round-5 "flash fwd row-sum")
+        mxu_row_sum = d % 128 != 0
     kernel = functools.partial(
         _fa_kernel, blk_q=blk_q, blk_k=blk_k, causal=causal, scale=scale,
         has_bias=bias is not None, window=window, static_len=static_len,
+        mxu_row_sum=mxu_row_sum,
     )
     in_specs = [
         pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
@@ -249,11 +290,20 @@ def _flash_fwd(q, k, v, kv_lens, bias=None, *, causal, blk_q, blk_k, scale,
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, nq, 8, blk_q), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((blk_q, 1), jnp.float32),
-            # accumulator column d carries sum(p) (the MXU-rowsum trick)
-            pltpu.VMEM((blk_q, d + 1), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((blk_q, 1), jnp.float32),
+                # accumulator column d carries sum(p) (MXU-rowsum trick)
+                pltpu.VMEM((blk_q, d + 1), jnp.float32),
+            ]
+            if mxu_row_sum
+            else [
+                pltpu.VMEM((blk_q, 1), jnp.float32),
+                pltpu.VMEM((blk_q, d), jnp.float32),
+                # separate VPU row-sum recurrence (D % 128 == 0 path)
+                pltpu.VMEM((blk_q, 1), jnp.float32),
+            ]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * tq * tk * d,
             bytes_accessed=2 * bh * (tq + 2 * tk) * d,
