@@ -42,7 +42,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="scan-over-layers remat granularity: full = "
                    "recompute the layer (min memory), dots = save matmul/"
                    "flash outputs and recompute only elementwise glue "
-                   "(faster when HBM allows), none = no remat")
+                   "(faster when HBM allows), proj_bf16 = like dots but "
+                   "saves round to bf16 (half the bytes; the flagship "
+                   "SPEED config with --quantize-base int8: PhoGPT-4B "
+                   "measured 68% vs 49% MFU, docs/BENCHMARKS.md round-5)"
+                   ", none = no remat")
     g.add_argument("--init-params", help="checkpoint dir or converted-weights .npz to start from")
 
     g = p.add_argument_group("lora (reference peft group, train.py:33)")
