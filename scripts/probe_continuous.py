@@ -52,7 +52,10 @@ def main() -> None:
     ap.add_argument("--quantize", default=None,
                     help="comma list of weight configs to run in one "
                     "process: none|int8|int8c|nf4 (nf4 ~2.3 GB for "
-                    "phogpt4b — the v5e-fits config)")
+                    "phogpt4b — the v5e-fits config).  Append '+kv8' to "
+                    "a config to also quantize the decode KV cache "
+                    "(models/layers.py::kv_quantize scale-folding), "
+                    "e.g. 'none,int8c,int8c+kv8'")
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk-steps", type=int, default=16)
@@ -150,7 +153,7 @@ def main() -> None:
             rng.exponential(1.0 / args.arrival_rate, size=R)
         )
 
-    def run_config(params, tag):
+    def run_config(params, tag, kv_dtype=None):
         results = {}
         arrive = arrive0
 
@@ -230,10 +233,14 @@ def main() -> None:
             params, cfg, n_slots=S, total=args.total,
             chunk_steps=args.chunk_steps, eos_id=None,
             speculative=args.speculative,
+            **({"kv_dtype": kv_dtype} if kv_dtype else {}),
         )
         # warm every prefill bucket + insert + decode chunk out of timing
+        # (generous timeout: first compiles of a quantized+kv-quant
+        # engine measured >300 s on slow tunnel sessions)
         for b in eng.buckets:
-            eng.generate_ids(prompts[0][: min(len(prompts[0]), b)], 2)
+            eng.generate_ids(prompts[0][: min(len(prompts[0]), b)], 2,
+                             timeout=1800.0)
         done_at = [0.0] * R
 
         def stamp(i):
@@ -279,19 +286,21 @@ def main() -> None:
     modes = [m.strip() for m in (args.quantize or "none").split(",")]
     all_results = {"floor_ms": round(floor_ms, 2)}
     for i, mode in enumerate(modes):
-        if mode in ("none", "bf16"):
+        wmode, _, kvtag = mode.partition("+")
+        kv_dtype = "int8" if kvtag == "kv8" else None
+        if wmode in ("none", "bf16"):
             p_run = params_bf16
         else:
             from vietnamese_qa_system_tpu.models.quantize import (
                 quantize_dense_tree,
             )
 
-            p_run = quantize_dense_tree(params_bf16, mode=mode)
+            p_run = quantize_dense_tree(params_bf16, mode=wmode)
             if i == len(modes) - 1:
                 # free the bf16 tree before the engine allocates KV: at
                 # 4B, bf16 (7.4 G) + int8 (3.7 G) + KV (~3 G) crowds v5e
                 del params_bf16
-        all_results[mode] = run_config(p_run, mode)
+        all_results[mode] = run_config(p_run, mode, kv_dtype=kv_dtype)
         del p_run
     with open(args.out, "a") as f:
         f.write(json.dumps({"args": vars(args),

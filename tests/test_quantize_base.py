@@ -381,3 +381,48 @@ def test_int8c_outlier_channel_tradeoff(rng):
     # bounded by outlier_mag/127 ~ 9%
     assert errs["int8c", "outlier"] > 1.5 * errs["int8", "outlier"]
     assert errs["int8c", "outlier"] < 0.09
+
+
+def test_flagship_proj_bf16_int8_matches_full(tmp_path):
+    """The round-5 flagship training config (int8 base + scan-layers +
+    remat_policy="proj_bf16", 68% MFU on PhoGPT-4B) must train to the
+    same place as the same model under classic full per-layer remat:
+    the policy changes WHAT the backward saves (bf16-rounded projection
+    outputs), not the math beyond bf16 rounding."""
+    import dataclasses
+
+    from tests.test_trainer import _toy_batches
+
+    model = dataclasses.replace(
+        tiny_test("causal"), scan_layers=True, remat_policy="full"
+    )
+    base = dict(
+        lora=LoraConfig(r=8),
+        lr=5e-3,
+        epochs=4,
+        log_dir=str(tmp_path),
+        mesh_axes={"data": 1},
+        quantize_base="int8",
+    )
+    batches = _toy_batches(model.vocab_size)
+
+    t_full = Trainer(TrainConfig(model=model, **base), total_steps=24)
+    t_full.fit(batches)
+    model_pb = dataclasses.replace(model, remat_policy="proj_bf16")
+    t_pb = Trainer(TrainConfig(model=model_pb, **base), total_steps=24)
+    t_pb.fit(batches)
+
+    loss_full = perplexity_eval(
+        t_full.merged_params(), model, batches()
+    )["eval_loss"]
+    loss_pb = perplexity_eval(
+        t_pb.merged_params(), model_pb, batches()
+    )["eval_loss"]
+    assert abs(loss_pb - loss_full) <= 0.1, (loss_pb, loss_full)
+    for a, b in zip(
+        jax.tree.leaves(t_full.state["adapter"]),
+        jax.tree.leaves(t_pb.state["adapter"]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / denom <= 0.25
