@@ -1317,7 +1317,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="KV-cache storage for /generate: int8 halves the "
                     "per-token HBM read and doubles resident slots at a "
                     "small logits perturbation (streams match "
-                    "generate(kv_dtype='int8'), not bf16 bit-for-bit)")
+                    "generate(kv_dtype='int8'), not bf16 bit-for-bit). "
+                    "The HBM-lean stack --reader-quantize int8c "
+                    "--kv-quant int8 measured FASTEST continuous config "
+                    "on PhoGPT-4B at ~45% of bf16 serving HBM "
+                    "(docs/BENCHMARKS.md round-5)")
     ps.add_argument("--keep-stacked", action="store_true",
                     help="keep scan-over-layers (stacked) reader weights "
                     "stacked at serve time; default unstacks them for "
