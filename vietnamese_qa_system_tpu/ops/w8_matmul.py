@@ -98,6 +98,29 @@ def _pick_blk(dim: int, candidates=(512, 256, 128)) -> int | None:
     return None
 
 
+def _pick_blk_k(k_dim: int, m_pad: int, blk_n: int) -> int | None:
+    """Largest VMEM-safe K block — fewer sequential grid steps.
+
+    Each Mosaic grid step carries a fixed overhead that dominates at
+    decode row counts (m <= 16: a (16, 512)@(512, 512) step is ~4 MFLOP
+    of MXU work under ~2 us of per-step cost — the 8-slot plain-chunk
+    engine measured int8c LOSING to bf16 until the step count dropped,
+    docs/BENCHMARKS.md round-5).  Maximizing blk_k minimizes the
+    K-innermost grid length (often to 1), bounded by the int8 weight
+    tile (blk_k * blk_n bytes) and the bf16 x tile (m_pad * blk_k * 2)
+    each staying <= 4 MB of VMEM.
+    """
+    for c in (4096, 3072, 2048, 1536, 1024, 768, 512, 384, 256, 128):
+        if k_dim % c:
+            continue
+        if c * blk_n > 4 * 1024 * 1024:
+            continue
+        if m_pad * c * 2 > 4 * 1024 * 1024:
+            continue
+        return c
+    return None
+
+
 def supports(m: int, k: int, n: int, max_rows: int = 256) -> bool:
     """True if w8_matmul can run this shape (layers.dense gates on it)."""
     return (
@@ -111,17 +134,18 @@ def supports(m: int, k: int, n: int, max_rows: int = 256) -> bool:
 def _w8(x, w_q, w_s, out_dtype, interpret):
     m, kk = x.shape
     n = w_q.shape[1]
-    blk_k, blk_n = _pick_blk(kk), _pick_blk(n)
-    if blk_k is None or blk_n is None:
-        raise ValueError(
-            f"w8_matmul needs K/N divisible by 128 (got K={kk}, N={n}); "
-            "gate calls with ops.w8_matmul.supports()"
-        )
     # pad M to the 16-sublane bf16 native tile (not 8): v5e's Mosaic
     # accepted an 8-row bf16 block, but sub-native-tile second-minor dims
     # are a rejection/perf hazard on other TPU generations, and the cost
     # at decode shapes is nil (advisor finding, round 4)
     m_pad = -(-m // 16) * 16
+    blk_n = _pick_blk(n)
+    blk_k = _pick_blk_k(kk, m_pad, blk_n) if blk_n else None
+    if blk_k is None or blk_n is None:
+        raise ValueError(
+            f"w8_matmul needs K/N divisible by 128 (got K={kk}, N={n}); "
+            "gate calls with ops.w8_matmul.supports()"
+        )
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     y = _w8_matmul(
