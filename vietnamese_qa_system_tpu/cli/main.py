@@ -1318,9 +1318,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "per-token HBM read and doubles resident slots at a "
                     "small logits perturbation (streams match "
                     "generate(kv_dtype='int8'), not bf16 bit-for-bit). "
-                    "The HBM-lean stack --reader-quantize int8c "
-                    "--kv-quant int8 measured FASTEST continuous config "
-                    "on PhoGPT-4B at ~45% of bf16 serving HBM "
+                    "Pair with --reader-quantize int8c for the HBM-lean "
+                    "stack (~45% of bf16 serving HBM): kv int8 is the "
+                    "CAPACITY lever (2x residents at matched HBM), "
+                    "int8c alone the peak-throughput config "
                     "(docs/BENCHMARKS.md round-5)")
     ps.add_argument("--keep-stacked", action="store_true",
                     help="keep scan-over-layers (stacked) reader weights "
